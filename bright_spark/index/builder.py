@@ -1,0 +1,337 @@
+"""Index build pipeline — SURVEY.md §2.4 B1-B6.
+
+The reference's write path (`handlers/documents.go:181-198` ->
+`store/store.go:392-426`) hands batches to Bleve, which builds
+in-memory segments and background-merges them. Here the same stages
+are explicit Spark dataflow with exactly two shuffles:
+
+  stage 1  docs: deterministic dense doc_id assignment + one-pass
+           code-aware tokenization (Arrow-batched), materialized as
+           the ``docs`` table (with a ``_term_arr/_tf_arr`` build
+           column so content is tokenized exactly once)
+  stage 2  postings: per-partition segment build (B1: map-side partial
+           posting lists, the combiner) -> shuffle-merge on
+           ``(term, range_id)`` (B2) -> delta+varint blocks with
+           per-block (max_tf, min_dl) skip metadata -> bucket(term)-
+           partitioned parquet
+  stage 3  term_stats (B4: global df/cf per term) + index_meta
+           (N, avgdl, total_tokens)
+
+Scale/skew notes (B5): grouping by ``(term, range_id)`` — not bare
+``term`` — structurally bounds every merge group to <= 2**range_bits
+entries, so a term appearing in 60% of 10^12 docs still merges as
+millions of bounded, parallel groups instead of one straggler. This is
+the salting the north rule demands, with a *fixed, query-aligned* salt
+(the doc-range), which the query side exploits for shuffle-free
+per-range WAND. Global df is recovered by a second, map-side-combined
+aggregation over chunk counts (stage 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bright_spark.analysis.tokenizer import count_terms
+from bright_spark.index import codec
+from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog
+from bright_spark.models import IndexConfig
+
+STAGING_TOKEN_COLS = "doc_len INT, _term_arr ARRAY<STRING>, _tf_arr ARRAY<INT>"
+
+
+# ------------------------------------------------------------ kernels
+
+def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
+                      filter_stopwords: bool, passthrough_cols: list[str]):
+    """mapInPandas kernel: content -> (term, tf) arrays + doc_len.
+
+    Arrow-batched; the per-document Counter loop is unavoidable string
+    work, but it runs inside the Python worker over whole record
+    batches (this is the T1-T5 chain from SURVEY.md §2.3)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[content_col].tolist()
+            langs = pdf[lang_col].tolist() if lang_col else [None] * len(texts)
+            term_arr, tf_arr, dlens = [], [], []
+            for text, lang in zip(texts, langs):
+                counts, dl = count_terms(text or "", mode, lang, filter_stopwords)
+                items = sorted(counts.items())
+                term_arr.append([t for t, _ in items])
+                tf_arr.append([c for _, c in items])
+                dlens.append(dl)
+            out = pdf[passthrough_cols].copy()
+            out["doc_len"] = pd.Series(dlens, index=pdf.index, dtype="int32")
+            out["_term_arr"] = pd.Series(term_arr, index=pdf.index, dtype=object)
+            out["_tf_arr"] = pd.Series(tf_arr, index=pdf.index, dtype=object)
+            yield out
+
+    return fn
+
+
+def _make_partials_fn(range_bits: int):
+    """mapInPandas kernel: docs rows -> per-batch partial posting rows
+    (B1). Vectorized explode + group via lexsort/slice — no per-entry
+    Python."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lens = pdf["_term_arr"].str.len().to_numpy(dtype=np.int64)
+            if lens.sum() == 0:
+                continue
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+            dls = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), lens)
+            terms = np.concatenate(pdf["_term_arr"].to_numpy())
+            tfs = np.concatenate(pdf["_tf_arr"].to_numpy()).astype(np.int64)
+            ranges = doc_ids >> np.int64(range_bits)
+            codes, uniq_terms = pd.factorize(terms, sort=False)
+            order = np.lexsort((doc_ids, ranges, codes))
+            codes, ranges = codes[order], ranges[order]
+            doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+            boundary = np.flatnonzero(
+                np.diff(codes).astype(bool) | np.diff(ranges).astype(bool)
+            ) + 1
+            starts = np.concatenate(([0], boundary))
+            ends = np.concatenate((boundary, [len(codes)]))
+            yield pd.DataFrame({
+                "term": uniq_terms[codes[starts]],
+                "range_id": ranges[starts],
+                "doc_ids": [doc_ids[s:e] for s, e in zip(starts, ends)],
+                "tfs": [tfs[s:e] for s, e in zip(starts, ends)],
+                "dls": [dls[s:e] for s, e in zip(starts, ends)],
+            })
+
+    return fn
+
+
+def _make_merge_fn(block_size: int, n_buckets: int):
+    """mapInPandas kernel that merges ALL partial posting runs in its
+    partition (the preceding ``repartition(n, term, range_id)`` shuffle
+    colocates every run of a group). Partition-level merging instead of
+    per-group ``applyInPandas`` avoids the per-group Arrow/pandas round
+    trip — thousands of tiny (term, range) groups merge as one
+    vectorized lexsort + boundary scan (B2)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdfs = [p for p in batches if len(p)]
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        lens = pdf["doc_ids"].str.len().to_numpy(dtype=np.int64)
+        codes, uniq_terms = pd.factorize(pdf["term"].to_numpy(), sort=False)
+        flat_code = np.repeat(codes, lens)
+        flat_range = np.repeat(pdf["range_id"].to_numpy(dtype=np.int64), lens)
+        flat_doc = np.concatenate(pdf["doc_ids"].to_numpy()).astype(np.int64)
+        flat_tf = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
+        flat_dl = np.concatenate(pdf["dls"].to_numpy()).astype(np.int64)
+        order = np.lexsort((flat_doc, flat_range, flat_code))
+        flat_code, flat_range = flat_code[order], flat_range[order]
+        flat_doc, flat_tf, flat_dl = flat_doc[order], flat_tf[order], flat_dl[order]
+        boundary = np.flatnonzero(
+            np.diff(flat_code).astype(bool) | np.diff(flat_range).astype(bool)
+        ) + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [flat_code.size]))
+        out: dict[str, list] = {k: [] for k in (
+            "bucket", "term", "range_id", "df_chunk", "cf_chunk",
+            "first_doc", "max_doc", "n", "max_tf", "min_dl", "docs", "tfs", "dls")}
+        for s, e in zip(starts, ends):
+            term = str(uniq_terms[flat_code[s]])
+            blocks = codec.encode_blocks(flat_doc[s:e], flat_tf[s:e], flat_dl[s:e],
+                                         block_size)
+            out["bucket"].append(zlib.crc32(term.encode("utf-8")) % n_buckets)
+            out["term"].append(term)
+            out["range_id"].append(int(flat_range[s]))
+            out["df_chunk"].append(int(e - s))
+            out["cf_chunk"].append(int(flat_tf[s:e].sum()))
+            for k in ("first_doc", "max_doc", "n", "max_tf", "min_dl",
+                      "docs", "tfs", "dls"):
+                out[k].append(blocks[k])
+        yield pd.DataFrame(out)
+
+    return fn
+
+
+# ------------------------------------------------------------- driver
+
+class IndexBuilder:
+    """Builds one index directory from a source DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: IndexConfig,
+        index_dir: str,
+        *,
+        content_col: str = "content",
+        key_cols: tuple[str, ...] = ("repo", "path", "commit"),
+        id_col: str | None = None,
+        lang_col: str | None = "lang",
+        attr_cols: tuple[str, ...] = (),
+        n_build_partitions: int | None = None,
+        filter_stopwords: bool = False,
+    ):
+        self.spark = spark
+        self.config = config
+        self.catalog = IndexCatalog(index_dir)
+        self.content_col = content_col
+        self.key_cols = key_cols
+        self.id_col = id_col
+        self.lang_col = lang_col
+        self.attr_cols = attr_cols
+        self.n_build_partitions = n_build_partitions
+        self.filter_stopwords = filter_stopwords
+
+    # -------------------------------------------------------- stage 1
+
+    def build_docs(self, source: DataFrame) -> None:
+        cfg = self.config
+        cols = list(dict.fromkeys(
+            ([self.id_col] if self.id_col else list(self.key_cols))
+            + ([self.lang_col] if self.lang_col else [])
+            + list(self.attr_cols) + [self.content_col]
+        ))
+        src = source.select(*cols)
+        p = self.n_build_partitions or self.spark.sparkContext.defaultParallelism
+
+        if self.id_col:
+            # identity provided by the source (docID = stringified PK in
+            # the reference, store/store.go:409-414; here numeric PK)
+            keyed = (src.withColumnRenamed(self.id_col, "doc_id")
+                        .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+                        .repartition(p, "doc_id"))
+            order_cols = ["doc_id"]
+        else:
+            # deterministic dense ids by natural-key order: range
+            # partition + local sort now; global offsets after the
+            # staging write (no single-partition global sort — this is
+            # the 10^12-row-safe replacement for UUIDv7 fill, U6)
+            keyed = (src.repartitionByRange(p, *self.key_cols)
+                        .sortWithinPartitions(*self.key_cols))
+            order_cols = list(self.key_cols)
+
+        keyed = keyed.withColumn("content_sha256", F.sha2(F.col(self.content_col), 256))
+        keyed = keyed.withColumn("_pid", F.spark_partition_id())
+
+        passthrough = [c for c in keyed.columns]
+        in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields)
+        out_schema = f"{in_schema}, {STAGING_TOKEN_COLS}"
+        tokenized = keyed.mapInPandas(
+            _make_tokenize_fn(self.content_col, self.lang_col, cfg.tokenizer,
+                              self.filter_stopwords, passthrough),
+            schema=out_schema,
+        )
+        staging = os.path.join(self.catalog.index_dir, "_staging")
+        tokenized.write.mode("overwrite").parquet(staging)
+
+        stg = self.spark.read.parquet(staging)
+        if self.id_col:
+            docs = stg
+        else:
+            counts = {r["_pid"]: r["cnt"] for r in
+                      stg.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+            offsets, acc = {}, 0
+            for pid in sorted(counts):
+                offsets[pid] = acc
+                acc += counts[pid]
+            off_df = self.spark.createDataFrame(
+                [(pid, off) for pid, off in offsets.items()], "_pid INT, _offset BIGINT")
+            w = Window.partitionBy("_pid").orderBy(*order_cols)
+            docs = (stg.join(F.broadcast(off_df), "_pid")
+                       .withColumn("doc_id",
+                                   (F.col("_offset") + F.row_number().over(w) - 1))
+                       .drop("_offset"))
+        if not cfg.store_content:
+            docs = docs.drop(self.content_col)
+        (docs.sortWithinPartitions("doc_id")
+             .write.mode("overwrite").parquet(self.catalog.docs_path))
+
+    # -------------------------------------------------------- stage 2
+
+    def build_postings(self) -> None:
+        cfg = self.config
+        dt = self.spark.read.parquet(self.catalog.docs_path).select(
+            "doc_id", "doc_len", "_term_arr", "_tf_arr")
+        partials = dt.mapInPandas(
+            _make_partials_fn(cfg.range_bits),
+            schema=("term STRING, range_id BIGINT, doc_ids ARRAY<BIGINT>, "
+                    "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>"),
+        )
+        n_merge = self.n_build_partitions or self.spark.sparkContext.defaultParallelism
+        merged = (partials
+                  .repartition(n_merge, "term", "range_id")
+                  .mapInPandas(_make_merge_fn(cfg.block_size, cfg.n_term_buckets),
+                               schema=POSTINGS_SCHEMA))
+        (merged.repartition(cfg.n_term_buckets, "bucket")
+               .sortWithinPartitions("term", "range_id")
+               .write.mode("overwrite")
+               .partitionBy("bucket")
+               .parquet(self.catalog.postings_path))
+
+    # -------------------------------------------------------- stage 3
+
+    def build_stats(self) -> None:
+        cfg = self.config
+        post = self.spark.read.parquet(self.catalog.postings_path)
+        ts = (post.groupBy("bucket", "term")
+                  .agg(F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf")))
+        (ts.repartition(cfg.n_term_buckets, "bucket")
+           .sortWithinPartitions("term")
+           .write.mode("overwrite").partitionBy("bucket")
+           .parquet(self.catalog.term_stats_path))
+
+        docs = self.spark.read.parquet(self.catalog.docs_path)
+        row = docs.agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_len").alias("total_tokens"),
+        ).collect()[0]
+        n_docs = int(row["n_docs"])
+        total_tokens = int(row["total_tokens"] or 0)
+        meta = {
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "k1": cfg.k1,
+            "b": cfg.b,
+            "tokenizer": cfg.tokenizer,
+            "filter_stopwords": self.filter_stopwords,
+            "range_bits": cfg.range_bits,
+            "block_size": cfg.block_size,
+            "n_term_buckets": cfg.n_term_buckets,
+            "version": 1,
+        }
+        self.catalog.save_meta(meta)
+        self.spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite") \
+            .parquet(self.catalog.index_meta_path)
+
+    # ----------------------------------------------------------- main
+
+    def build(self, source: DataFrame) -> IndexCatalog:
+        self.catalog.save_config(self.config, extra={
+            "content_col": self.content_col,
+            "key_cols": list(self.key_cols),
+            "id_col": self.id_col,
+            "lang_col": self.lang_col,
+            "attr_cols": list(self.attr_cols),
+            "filter_stopwords": self.filter_stopwords,
+        })
+        self.build_docs(source)
+        self.build_postings()
+        self.build_stats()
+        return self.catalog
+
+
+def build_index(spark: SparkSession, source: DataFrame, index_dir: str,
+                config: IndexConfig | None = None, **kwargs) -> IndexCatalog:
+    cfg = config or IndexConfig(id=os.path.basename(index_dir.rstrip("/")))
+    return IndexBuilder(spark, cfg, index_dir, **kwargs).build(source)

@@ -1,0 +1,98 @@
+"""Request/response/config dataclasses.
+
+Mirrors the reference wire models:
+- IndexConfig {id, primaryKey, excludeAttributes[]} -> models/index.go:4-8
+- SearchRequest {q, offset, limit, page, sort[], attributesToRetrieve[],
+  attributesToExclude[]} -> models/index.go:11-19, handlers/search.go:20-81
+- SearchResult envelope {hits, totalHits, totalPages} -> models/index.go:22-26,
+  handlers/search.go:171-177
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+DEFAULT_LIMIT = 20  # handlers/search.go:31 (default size 20)
+
+
+class SearchRequestError(ValueError):
+    """400-class request validation error (handlers/search.go:74-76)."""
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Per-index configuration (models/index.go:4-8)."""
+
+    id: str
+    primary_key: str | None = None
+    exclude_attributes: tuple[str, ...] = ()
+
+    # bright_spark extensions (build-time knobs; not in the reference —
+    # they parametrize the explicit Spark shuffle/partition design)
+    k1: float = 1.2
+    b: float = 0.75
+    tokenizer: str = "code"  # "code" | "simple" (whitespace)
+    block_size: int = 128  # posting docs per compressed block
+    range_bits: int = 16  # doc-range chunk = 2**range_bits doc ids
+    n_term_buckets: int = 16  # hash(term) partition buckets of `postings`
+    store_content: bool = True  # keep raw content in docs table (R3 retrieve)
+
+
+@dataclass
+class SearchRequest:
+    """One search call (models/index.go:11-19).
+
+    Body params override query params in the reference
+    (handlers/search.go:39-63); callers here resolve that before
+    constructing the dataclass. ``page`` (1-based) overrides offset:
+    offset=(page-1)*limit (handlers/search.go:79-81).
+    """
+
+    q: str = ""
+    offset: int = 0
+    limit: int = DEFAULT_LIMIT
+    page: int | None = None
+    sort: list[str] = field(default_factory=list)  # ["-_score"] default
+    attributes_to_retrieve: list[str] = field(default_factory=list)
+    attributes_to_exclude: list[str] = field(default_factory=list)
+
+    def validate(self) -> None:
+        if self.attributes_to_retrieve and self.attributes_to_exclude:
+            # handlers/search.go:74-76 — mutually exclusive -> 400
+            raise SearchRequestError(
+                "attributesToRetrieve and attributesToExclude are mutually exclusive"
+            )
+        if self.limit <= 0:
+            raise SearchRequestError("limit must be positive")
+        if self.offset < 0:
+            raise SearchRequestError("offset must be >= 0")
+        if self.page is not None and self.page <= 0:
+            raise SearchRequestError("page must be >= 1")
+
+    @property
+    def effective_offset(self) -> int:
+        if self.page is not None:
+            return (self.page - 1) * self.limit  # handlers/search.go:79-81
+        return self.offset
+
+
+@dataclass
+class SearchResponse:
+    """Result envelope (models/index.go:22-26, handlers/search.go:171-177)."""
+
+    hits: list[dict[str, Any]]
+    total_hits: int
+    limit: int
+
+    @property
+    def total_pages(self) -> int:
+        return math.ceil(self.total_hits / self.limit) if self.limit else 0
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "hits": self.hits,
+            "totalHits": self.total_hits,
+            "totalPages": self.total_pages,
+        }

@@ -1,0 +1,379 @@
+"""SearchEngine — the read path, end to end (SURVEY.md §3.1).
+
+Reference lifecycle: param parse -> Bleve query AST -> searcher tree ->
+TopNCollector -> hit post-processing (`handlers/search.go:16-177`).
+Spark lifecycle here:
+
+  SearchRequest -> parser (pure Python AST) -> Planner (maps clauses to
+  postings/term_stats/docs structures) -> one of two physical plans:
+
+  * ``wand``       (default for scored term/bool queries): partition-
+    pruned postings scan for the query terms -> groupBy(range_id)
+    applyInPandas block-max kernel (per-range exact top-k + exact match
+    count, zero shuffle beyond the tiny per-term row fetch) -> global
+    TakeOrdered merge -> broadcast-join docs for fields.
+  * ``relational`` (filters, phrases, custom sorts, and the permanent
+    differential-testing path): decode postings to an exploded
+    (term, doc_id, tf, dl) view -> broadcast-join per-term weights ->
+    groupBy(doc_id) score sum + must-group counting -> docs-predicate
+    semi-joins -> orderBy/limit. Catalyst handles pushdown/pruning;
+    every step is built-in DataFrame ops except the vectorized varint
+    decode.
+
+At 10^12-doc scale the wand path touches only the posting rows of the
+query's terms (bucket-pruned directories, term-sorted row groups), and
+its single shuffle is the applyInPandas grouping of ~terms x ranges
+rows — there is no docs-table scan unless fields are requested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bright_spark.analysis.tokenizer import tokenize_with_positions
+from bright_spark.index.catalog import IndexCatalog
+from bright_spark.models import SearchRequest, SearchRequestError, SearchResponse
+from bright_spark.query import scorer
+from bright_spark.query.parser import parse_query
+from bright_spark.query.planner import AnalyzedQuery, AttrPred, Planner
+
+_KERNEL_SCHEMA = "doc_id BIGINT, score DOUBLE, range_id BIGINT, range_matched BIGINT"
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.catalog = IndexCatalog(index_dir)
+        self.planner = Planner(spark, self.catalog)
+        self.meta = self.planner.meta
+        self.extra = self.planner.extra
+
+    # ----------------------------------------------------------- utils
+
+    def _term_weights(self, aq: AnalyzedQuery) -> dict[str, float]:
+        """boost * idf per scoring term (driver-side: k small rows)."""
+        specs = aq.scoring_terms
+        if not specs:
+            return {}
+        terms = [s.term for s in specs]
+        rows = self.catalog.term_stats_for_terms(self.spark, terms).collect()
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+        n = int(self.meta["n_docs"])
+        out = {}
+        for s in specs:
+            df = dfs.get(s.term, 0)
+            if df > 0:
+                out[s.term] = s.boost * float(scorer.idf(n, df))
+        return out
+
+    def _attr_filter(self, preds: list[AttrPred]):
+        cond = None
+        for p in preds:
+            col = F.col(p.column)
+            if p.op == "=":
+                c = col.cast("string") == p.value
+            elif p.op == ">":
+                c = col > p.value
+            elif p.op == ">=":
+                c = col >= p.value
+            elif p.op == "<":
+                c = col < p.value
+            elif p.op == "<=":
+                c = col <= p.value
+            elif p.op == "between":
+                c = (col >= p.value) & (col <= p.hi)
+            elif p.op == "like":
+                c = col.cast("string").like(p.value)
+            else:
+                raise ValueError(f"bad attr op {p.op}")
+            if p.negated:
+                c = ~c
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    # ------------------------------------------------------- wand path
+
+    def _wand_hits(self, aq: AnalyzedQuery, k: int, prune: bool = True) -> DataFrame:
+        """Per-range kernel -> (doc_id, score, range_id, range_matched)."""
+        weights = self._term_weights(aq)
+        must_groups = [[s.term for s in g if s.term in weights] if any(s.term in weights for s in g) else []
+                       for g in aq.must_groups]
+        should = [s.term for s in aq.should_terms if s.term in weights]
+        must_not = sorted(set(aq.must_not_terms))
+        needed = sorted(set(weights) | set(must_not))
+        avgdl = float(self.meta["avgdl"])
+        k1 = float(self.meta["k1"])
+        b = float(self.meta["b"])
+
+        empty = self.spark.createDataFrame([], _KERNEL_SCHEMA)
+        if not weights or any(not g for g in must_groups):
+            # no scoring terms, or an unsatisfiable must group
+            # (every member has df=0) -> no hits (Q6)
+            return empty
+
+        rows = self.catalog.postings_for_terms(self.spark, needed)
+
+        def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            terms: dict[str, scorer.TermPostings] = {}
+            for term, grp in pdf.groupby("term", sort=False):
+                w = weights.get(term, 0.0)
+                terms[str(term)] = scorer.TermPostings(w, grp.to_dict("records"))
+            docs, scores, n_matched = scorer.score_range_topk(
+                terms, must_groups, should, must_not,
+                k=k, avgdl=avgdl, k1=k1, b=b, prune=prune)
+            return pd.DataFrame({
+                "doc_id": docs, "score": scores,
+                "range_id": np.full(docs.size, int(key[0]), dtype=np.int64),
+                "range_matched": np.full(docs.size, n_matched, dtype=np.int64),
+            })
+
+        return rows.groupBy("range_id").applyInPandas(kernel, _KERNEL_SCHEMA)
+
+    # ------------------------------------------------- relational path
+
+    def _exploded_postings(self, terms: list[str]) -> DataFrame:
+        """Decoded (term, doc_id, tf, dl) view — vectorized varint
+        decode in mapInPandas; everything downstream is built-in ops."""
+        rows = self.catalog.postings_for_terms(self.spark, terms)
+        sel = rows.select("term", "first_doc", "docs", "tfs", "dls")
+
+        def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from bright_spark.index import codec
+            for pdf in batches:
+                ds, ts, ls, names = [], [], [], []
+                for row in pdf.itertuples(index=False):
+                    for fd, db, tb, lb in zip(row.first_doc, row.docs, row.tfs, row.dls):
+                        d, t, l = codec.decode_block(int(fd), db, tb, lb)
+                        ds.append(d)
+                        ts.append(t)
+                        ls.append(l)
+                        names.append(np.full(d.size, row.term, dtype=object))
+                if not ds:
+                    continue
+                yield pd.DataFrame({
+                    "term": np.concatenate(names),
+                    "doc_id": np.concatenate(ds),
+                    "tf": np.concatenate(ts),
+                    "dl": np.concatenate(ls),
+                })
+
+        return sel.mapInPandas(decode_fn, "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT")
+
+    def _relational_hits(self, aq: AnalyzedQuery) -> DataFrame:
+        """Exhaustively scored match set: (doc_id, score). The pure-
+        DataFrame execution (SURVEY.md §7 step 1) used for filters,
+        phrases, custom sorts, and differential testing."""
+        weights = self._term_weights(aq)
+        avgdl = float(self.meta["avgdl"])
+        k1 = float(self.meta["k1"])
+        b = float(self.meta["b"])
+        docs_df = self.catalog.docs(self.spark)
+
+        pos_specs: list[tuple[str, float, int]] = []  # term, w, group_id
+        for gi, g in enumerate(aq.must_groups):
+            for s in g:
+                if s.term in weights:
+                    pos_specs.append((s.term, weights[s.term], gi))
+        for s in aq.should_terms:
+            if s.term in weights:
+                pos_specs.append((s.term, weights[s.term], -1))
+        for ph in aq.phrases:
+            for t in ph.tokens:
+                if t in weights:
+                    pos_specs.append((t, weights[t], -1))
+        n_groups = len(aq.must_groups)
+        unsatisfiable = any(
+            all(s.term not in weights for s in g) for g in aq.must_groups
+        ) or (aq.phrases and any(t not in weights for ph in aq.phrases for t in ph.tokens))
+
+        if aq.has_positive and (not pos_specs or unsatisfiable):
+            return self.spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
+
+        if not aq.has_positive:
+            # match-all / filter-only / pure-negation: constant score 1
+            # (Q1: every doc, score 1 — handlers/search.go:91-92)
+            out = docs_df.select("doc_id").withColumn("score", F.lit(1.0))
+            if aq.must_not_terms:
+                neg = (self._exploded_postings(sorted(set(aq.must_not_terms)))
+                       .select("doc_id").distinct())
+                out = out.join(neg, "doc_id", "left_anti")
+            cond = self._attr_filter(aq.attr_preds) if aq.attr_preds else None
+            if cond is not None:
+                keep = docs_df.filter(cond).select("doc_id")
+                out = out.join(keep, "doc_id", "left_semi")
+            return out
+
+        # term -> (weight, array of must-group ids it can satisfy)
+        agg: dict[str, tuple[float, set[int]]] = {}
+        for t, w, g in pos_specs:
+            prev = agg.get(t, (w, set()))
+            groups = prev[1] | ({g} if g >= 0 else set())
+            agg[t] = (max(prev[0], w), groups)
+        wdf = self.spark.createDataFrame(
+            [(t, w, sorted(gs)) for t, (w, gs) in sorted(agg.items())],
+            "term STRING, w DOUBLE, groups ARRAY<INT>",
+        )
+        exploded = self._exploded_postings(sorted(agg))
+        tfn = (F.col("tf") * (k1 + 1.0)) / (
+            F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / max(avgdl, 1e-9)))
+        contrib = (exploded.join(F.broadcast(wdf), "term")
+                   .withColumn("contrib", F.col("w") * tfn))
+        per_doc = (contrib.groupBy("doc_id")
+                   .agg(F.sum("contrib").alias("score"),
+                        F.size(F.array_distinct(
+                            F.flatten(F.collect_list("groups")))).alias("n_g")))
+        cand = per_doc.filter(F.col("n_g") >= n_groups) if n_groups else per_doc
+        cand = cand.select("doc_id", "score")
+
+        if aq.must_not_terms:
+            neg = (self._exploded_postings(sorted(set(aq.must_not_terms)))
+                   .select("doc_id").distinct())
+            cand = cand.join(neg, "doc_id", "left_anti")
+
+        if aq.phrases:
+            cand = self._verify_phrases(cand, aq, docs_df)
+
+        if aq.attr_preds:
+            cond = self._attr_filter(aq.attr_preds)
+            keep = docs_df.filter(cond).select("doc_id")
+            cand = cand.join(keep, "doc_id", "left_semi")
+        return cand
+
+    def _verify_phrases(self, cand: DataFrame, aq: AnalyzedQuery,
+                        docs_df: DataFrame) -> DataFrame:
+        """Q4 positional adjacency: v1 stores no positions, so re-run
+        the analyzer over only the AND-candidate docs' content and
+        check consecutive base positions (Arrow-batched)."""
+        content_col = self.extra.get("content_col", "content")
+        lang_col = self.extra.get("lang_col")
+        mode = self.meta.get("tokenizer", "code")
+        phrases = [list(ph.tokens) for ph in aq.phrases]
+        cols = ["doc_id", content_col] + ([lang_col] if lang_col else [])
+        joined = docs_df.select(*cols).join(F.broadcast(cand), "doc_id")
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ok = []
+                for row in pdf.itertuples(index=False):
+                    text = getattr(row, content_col) or ""
+                    toks = tokenize_with_positions(text, mode=mode)
+                    pos_by_term: dict[str, set[int]] = {}
+                    for t, p in toks:
+                        pos_by_term.setdefault(t, set()).add(p)
+                    good = True
+                    for ph in phrases:
+                        starts = pos_by_term.get(ph[0], set())
+                        hit = any(all((s + i) in pos_by_term.get(t, ())
+                                      for i, t in enumerate(ph[1:], 1))
+                                  for s in starts)
+                        if not hit:
+                            good = False
+                            break
+                    ok.append(good)
+                out = pdf[["doc_id", "score"]].copy()
+                out["ok"] = ok
+                yield out[out["ok"]][["doc_id", "score"]]
+
+        return joined.mapInPandas(verify, "doc_id BIGINT, score DOUBLE")
+
+    # ------------------------------------------------------ public API
+
+    def search_df(self, q: str, k: int = 10, mode: str = "auto",
+                  prune: bool = True) -> DataFrame:
+        """Top-k hits as a DataFrame (doc_id, score), default sort
+        (-_score, doc_id). ``mode``: auto | wand | relational."""
+        aq = self.planner.analyze(parse_query(q))
+        use_wand = mode == "wand" or (
+            mode == "auto" and aq.has_positive and not aq.attr_preds
+            and not aq.phrases and not aq.is_match_all)
+        if use_wand:
+            hits = self._wand_hits(aq, k, prune=prune).select("doc_id", "score")
+        else:
+            hits = self._relational_hits(aq)
+        return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search(self, request: SearchRequest | str, mode: str = "auto") -> SearchResponse:
+        """Full request semantics R1-R6 (handlers/search.go:20-177)."""
+        req = SearchRequest(q=request) if isinstance(request, str) else request
+        req.validate()
+        k_eff = req.effective_offset + req.limit
+
+        aq = self.planner.analyze(parse_query(req.q))
+        custom_sort = [s for s in (req.sort or []) if s.lstrip("-") != "_score"]
+        use_wand = (mode != "relational" and aq.has_positive
+                    and not aq.attr_preds and not aq.phrases and not custom_sort)
+
+        if use_wand:
+            per_range = self._wand_hits(aq, k_eff)
+            per_range.persist()
+            try:
+                total = (per_range.groupBy("range_id")
+                         .agg(F.first("range_matched").alias("m"))
+                         .agg(F.sum("m")).collect()[0][0]) or 0
+                ranked = (per_range.orderBy(F.desc("score"), F.asc("doc_id"))
+                          .limit(k_eff))
+                hit_rows = ranked.collect()
+            finally:
+                per_range.unpersist()
+            hits = [(r["doc_id"], r["score"]) for r in hit_rows]
+        else:
+            cand = self._relational_hits(aq)
+            cand.persist()
+            try:
+                total = cand.count()
+                order = self._order_cols(req)
+                scored = self._join_sort_fields(cand, req)
+                hit_rows = scored.orderBy(*order).limit(k_eff).collect()
+            finally:
+                cand.unpersist()
+            hits = [(r["doc_id"], r["score"]) for r in hit_rows]
+
+        hits = hits[req.effective_offset:]
+        return self._assemble(req, hits, int(total))
+
+    def _order_cols(self, req: SearchRequest):
+        """R2: sort[]=[-]field, default -_score; doc_id tiebreak."""
+        cols = []
+        for s in req.sort or ["-_score"]:
+            desc = s.startswith("-")
+            name = s.lstrip("-+")
+            col = F.col("score") if name == "_score" else F.col(name)
+            cols.append(col.desc() if desc else col.asc())
+        cols.append(F.col("doc_id").asc())
+        return cols
+
+    def _join_sort_fields(self, cand: DataFrame, req: SearchRequest) -> DataFrame:
+        fields = {s.lstrip("-+") for s in (req.sort or []) if s.lstrip("-+") != "_score"}
+        if not fields:
+            return cand
+        docs_df = self.catalog.docs(self.spark).select("doc_id", *sorted(fields))
+        return cand.join(docs_df, "doc_id")
+
+    def _assemble(self, req: SearchRequest, hits: list[tuple[int, float]],
+                  total: int) -> SearchResponse:
+        """R3-R6: projections, id injection, envelope."""
+        if not hits:
+            return SearchResponse(hits=[], total_hits=total, limit=req.limit)
+        ids = [int(d) for d, _ in hits]
+        scores = {int(d): float(s) for d, s in hits}
+        docs_df = self.catalog.docs(self.spark)
+        if req.attributes_to_retrieve:
+            cols = [c for c in req.attributes_to_retrieve if c in docs_df.columns]
+            docs_df = docs_df.select("doc_id", *[c for c in cols if c != "doc_id"])
+        rows = docs_df.filter(F.col("doc_id").isin(ids)).collect()
+        by_id = {int(r["doc_id"]): r.asDict() for r in rows}
+        out = []
+        for d in ids:
+            rec = dict(by_id.get(d, {"doc_id": d}))
+            for c in req.attributes_to_exclude:
+                rec.pop(c, None)  # R4 post-filter (search.go:161-166)
+            if "id" not in rec:
+                rec["id"] = str(d)  # R5 id injection (search.go:156-158)
+            rec["_score"] = scores[d]
+            out.append(rec)
+        return SearchResponse(hits=out, total_hits=total, limit=req.limit)

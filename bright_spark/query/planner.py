@@ -1,0 +1,210 @@
+"""Query planner: ParsedQuery -> AnalyzedQuery (SURVEY.md §3.1 step 4-5).
+
+Maps the parsed clause tree onto the index's physical structures:
+
+- text clauses (field None / ``content``) -> analyzed scoring terms;
+  a clause's analyzed tokens form a *group* — a must group is
+  satisfied by any of its tokens (this is how wildcard/fuzzy
+  expansions stay conjunction-correct: ``+pars* config`` requires
+  some ``pars…`` term, not all of them)
+- wildcard (Q9) / fuzzy (Q10) clauses -> term-dictionary expansion
+  against ``term_stats`` (partition-pruned is impossible for infix
+  patterns, but parquet min/max on term-sorted files prunes prefix
+  patterns; expansion capped deterministically)
+- attribute clauses (``lang:python``, ``doc_len:>200``, Q11/Q12) ->
+  pushed-down predicates on the ``docs`` table
+- phrases (Q4) -> must-group of tokens + positional post-verification
+  against stored content (positions are not stored in v1 blocks; the
+  verify step re-tokenizes only the candidate docs)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from bright_spark.analysis.tokenizer import analyze_query_term, tokenize
+from bright_spark.index.catalog import IndexCatalog
+from bright_spark.query.parser import Clause, ParsedQuery
+
+MAX_EXPANSIONS = 1024  # deterministic cap for wildcard/fuzzy expansion
+
+
+@dataclass
+class TermSpec:
+    term: str
+    boost: float = 1.0
+
+
+@dataclass
+class PhraseSpec:
+    tokens: list[str]
+    boost: float = 1.0
+    role: str = "must"
+
+
+@dataclass
+class AttrPred:
+    column: str
+    op: str          # = > >= < <= between like
+    value: str
+    hi: str | None = None
+    negated: bool = False
+
+
+@dataclass
+class AnalyzedQuery:
+    must_groups: list[list[TermSpec]] = field(default_factory=list)
+    should_terms: list[TermSpec] = field(default_factory=list)
+    must_not_terms: list[str] = field(default_factory=list)
+    phrases: list[PhraseSpec] = field(default_factory=list)
+    attr_preds: list[AttrPred] = field(default_factory=list)
+
+    @property
+    def scoring_terms(self) -> list[TermSpec]:
+        out: dict[str, TermSpec] = {}
+
+        def add(term: str, boost: float) -> None:
+            prev = out.get(term)
+            if prev is None or boost > prev.boost:
+                out[term] = TermSpec(term, boost)
+
+        for g in self.must_groups:
+            for ts in g:
+                add(ts.term, ts.boost)
+        for ts in self.should_terms:
+            add(ts.term, ts.boost)
+        for ph in self.phrases:
+            for t in ph.tokens:
+                add(t, ph.boost)
+        return list(out.values())
+
+    @property
+    def is_match_all(self) -> bool:
+        return not (self.must_groups or self.should_terms or self.must_not_terms
+                    or self.phrases)
+
+    @property
+    def has_positive(self) -> bool:
+        return bool(self.must_groups or self.should_terms or self.phrases)
+
+
+def _wildcard_to_like(pattern: str) -> str:
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out).lower()
+
+
+class Planner:
+    def __init__(self, spark: SparkSession, catalog: IndexCatalog):
+        self.spark = spark
+        self.catalog = catalog
+        self.config = catalog.load_config()
+        self.extra = catalog.load_extra()
+        self.meta = catalog.load_meta()
+        self._doc_columns = None
+
+    def doc_columns(self) -> dict[str, str]:
+        """docs table column -> simple type name."""
+        if self._doc_columns is None:
+            df = self.catalog.docs(self.spark)
+            self._doc_columns = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        return self._doc_columns
+
+    # ------------------------------------------------------ expansion
+
+    def expand_wildcard(self, pattern: str) -> list[str]:
+        like = _wildcard_to_like(pattern)
+        ts = self.catalog.term_stats(self.spark)
+        rows = (ts.filter(F.col("term").like(like))
+                  .select("term").orderBy("term")
+                  .limit(MAX_EXPANSIONS).collect())
+        return [r["term"] for r in rows]
+
+    def expand_fuzzy(self, term: str, fuzziness: int) -> list[str]:
+        t = term.lower()
+        ts = self.catalog.term_stats(self.spark)
+        rows = (ts.filter(
+                    (F.length("term") >= len(t) - fuzziness)
+                    & (F.length("term") <= len(t) + fuzziness)
+                    & (F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness))
+                  .select("term").orderBy("term")
+                  .limit(MAX_EXPANSIONS).collect())
+        return [r["term"] for r in rows]
+
+    # -------------------------------------------------------- analyze
+
+    def _is_attr(self, field_name: str | None) -> bool:
+        if field_name is None:
+            return False
+        content_col = self.extra.get("content_col", "content")
+        if field_name in (content_col, "content", "_all"):
+            return False
+        return field_name in self.doc_columns()
+
+    def analyze(self, pq: ParsedQuery) -> AnalyzedQuery:
+        aq = AnalyzedQuery()
+        mode = self.meta.get("tokenizer", self.config.tokenizer)
+
+        for role, clauses in (("must", pq.must), ("should", pq.should),
+                              ("must_not", pq.must_not)):
+            for cl in clauses:
+                self._analyze_clause(aq, cl, role, mode)
+        return aq
+
+    def _analyze_clause(self, aq: AnalyzedQuery, cl: Clause, role: str, mode: str) -> None:
+        # attribute predicates (Q5 on filter columns, Q11/Q12 ranges)
+        if cl.kind == "range" or self._is_attr(cl.field_name):
+            if cl.kind == "range" and not self._is_attr(cl.field_name):
+                raise ValueError(f"range on unknown attribute: {cl.field_name}")
+            op = cl.op or ("like" if cl.kind == "wildcard" else "=")
+            value = _wildcard_to_like(cl.value) if cl.kind == "wildcard" else cl.value
+            aq.attr_preds.append(AttrPred(
+                column=cl.field_name, op=op, value=value, hi=cl.hi,
+                negated=(role == "must_not")))
+            return
+
+        if cl.kind == "phrase":
+            tokens = tokenize(cl.value, mode=mode)
+            if not tokens:
+                return
+            if len(tokens) == 1:
+                cl = Clause(kind="term", value=tokens[0], boost=cl.boost)
+                return self._analyze_clause(aq, cl, role, mode)
+            if role == "must_not":
+                raise ValueError("NOT phrase is not supported in v1")
+            aq.phrases.append(PhraseSpec(tokens=tokens, boost=cl.boost,
+                                         role=role))
+            return
+
+        if cl.kind == "wildcard":
+            terms = self.expand_wildcard(cl.value)
+        elif cl.kind == "fuzzy":
+            terms = self.expand_fuzzy(cl.value, cl.fuzziness)
+        else:  # term
+            terms = []
+            for tok in analyze_query_term(cl.value, mode=mode):
+                terms.append(tok)
+
+        if not terms:
+            if role == "must":
+                # unsatisfiable conjunct -> empty group kills the query
+                aq.must_groups.append([])
+            return
+        specs = [TermSpec(t, cl.boost) for t in terms]
+        if role == "must":
+            aq.must_groups.append(specs)
+        elif role == "should":
+            aq.should_terms.extend(specs)
+        else:
+            aq.must_not_terms.extend(s.term for s in specs)
