@@ -1,0 +1,85 @@
+from bright_spark.query.parser import parse_query
+
+
+def test_empty_is_match_all():
+    assert parse_query("").is_match_all
+    assert parse_query("   ").is_match_all
+
+
+def test_bare_terms_are_should():
+    pq = parse_query("hello world")
+    assert [c.value for c in pq.should] == ["hello", "world"]
+    assert not pq.must and not pq.must_not
+
+
+def test_plus_minus_modifiers():
+    pq = parse_query("+parse -legacy config")
+    assert [c.value for c in pq.must] == ["parse"]
+    assert [c.value for c in pq.must_not] == ["legacy"]
+    assert [c.value for c in pq.should] == ["config"]
+
+
+def test_and_promotes_both_sides():
+    pq = parse_query("parser AND config")
+    assert [c.value for c in pq.must] == ["parser", "config"]
+
+
+def test_or_keeps_should():
+    pq = parse_query("error OR exception")
+    assert [c.value for c in pq.should] == ["error", "exception"]
+
+
+def test_not():
+    pq = parse_query("config NOT test")
+    assert [c.value for c in pq.should] == ["config"]
+    assert [c.value for c in pq.must_not] == ["test"]
+
+
+def test_field_scoped():
+    pq = parse_query("lang:python")
+    assert pq.should[0].field_name == "lang"
+    assert pq.should[0].value == "python"
+
+
+def test_phrase():
+    pq = parse_query('"hello world"')
+    c = pq.should[0]
+    assert c.kind == "phrase" and c.value == "hello world"
+
+
+def test_wildcard_and_fuzzy():
+    pq = parse_query("pars* confg~1 exact~")
+    kinds = [(c.kind, c.value, c.fuzziness) for c in pq.should]
+    assert kinds == [("wildcard", "pars*", 0), ("fuzzy", "confg", 1), ("fuzzy", "exact", 1)]
+
+
+def test_boost():
+    pq = parse_query("parser^2 config")
+    assert pq.should[0].boost == 2.0
+    assert pq.should[1].boost == 1.0
+
+
+def test_numeric_range():
+    pq = parse_query("price:>100 doc_len:<=3")
+    a, b = pq.should
+    assert (a.kind, a.field_name, a.op, a.value) == ("range", "price", ">", "100")
+    assert (b.kind, b.field_name, b.op, b.value) == ("range", "doc_len", "<=", "3")
+
+
+def test_between_range():
+    pq = parse_query("date:[2020-01-01 TO 2020-12-31]")
+    c = pq.should[0]
+    assert c.kind == "range" and c.op == "between"
+    assert c.value == "2020-01-01" and c.hi == "2020-12-31"
+
+
+def test_phrase_with_boost():
+    pq = parse_query('"hello world"^3')
+    c = pq.should[0]
+    assert c.kind == "phrase" and c.boost == 3.0
+
+
+def test_mixed_and_not():
+    pq = parse_query("parser AND config NOT test -legacy +core")
+    assert [c.value for c in pq.must] == ["parser", "config", "core"]
+    assert [c.value for c in pq.must_not] == ["test", "legacy"]

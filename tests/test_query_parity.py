@@ -1,0 +1,104 @@
+"""Engine vs pure-Python oracle: rank-identical top-k, scores equal,
+exact totals; WAND pruned == exhaustive (SURVEY.md §7 step-3 exit)."""
+
+import pytest
+
+from bright_spark.models import SearchRequest
+
+K = 10
+
+# FIXTURES.md F2 query classes, over the code corpus
+QUERIES = [
+    "parser",
+    "config",
+    "user",                      # hot term (Zipfian head)
+    "getuserid",
+    "getUserId",                 # analyzed to whole identifier
+    "parse config",              # multi-term OR
+    "user session token",
+    "parser AND config",
+    "error OR exception",
+    "config NOT test",
+    "+parse -legacy",
+    "quasar_flux_capacitor",     # planted needle
+    "omegaZetaHandler",
+    "lang:python",               # attr filter only
+    "lang:go user",              # attr + scored
+    "repo:org1/proj2 config",
+    "doc_len:>2000",             # numeric range (Q11 analog)
+    "doc_len:>2000 user",
+    "pars*",                     # wildcard
+    "confg~1",                   # fuzzy
+    "parser^2 config",           # boost
+    "zzz_nonexistent_term",      # zero hits
+    "user AND zzz_nonexistent_term",
+    "-user",                     # pure negation
+    "read AND write AND buffer",
+]
+
+PHRASE_QUERIES = [
+    '"user session"',
+    '"parse config"',
+]
+
+
+def _assert_parity(engine, oracle, q, k=K, mode="auto"):
+    expected, etotal = oracle.search(q, k)
+    rows = engine.search_df(q, k=k, mode=mode).collect()
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    assert [d for d, _ in got] == [d for d, _ in expected], (
+        f"rank mismatch for {q!r} ({mode}): {got} vs {expected}")
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gs == pytest.approx(es, abs=1e-9), f"score mismatch {q!r} doc {gd}"
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identical_wand(engine, oracle, q):
+    _assert_parity(engine, oracle, q, mode="auto")
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_rank_identical_relational(engine, oracle, q):
+    expected, _ = oracle.search(q, K)
+    rows = engine.search_df(q, k=K, mode="relational").collect()
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    # relational path sums in nondeterministic shuffle order: compare
+    # ranks with a tolerance-aware sort
+    assert [d for d, _ in got] == [d for d, _ in expected], f"{q!r}: {got} vs {expected}"
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert gs == pytest.approx(es, rel=1e-9, abs=1e-9)
+
+
+@pytest.mark.parametrize("q", PHRASE_QUERIES)
+def test_phrases(engine, oracle, q):
+    expected, _ = oracle.search(q, K)
+    rows = engine.search_df(q, k=K).collect()
+    got = [(r["doc_id"], r["score"]) for r in rows]
+    assert [d for d, _ in got] == [d for d, _ in expected], f"{q!r}"
+
+
+@pytest.mark.parametrize("q", ["user", "parse config", "user session token",
+                               "error OR exception", "parser^2 config"])
+def test_wand_pruning_exact(engine, oracle, q):
+    """Block-max pruned result must equal the unpruned kernel result."""
+    pruned = engine.search_df(q, k=K, mode="wand", prune=True).collect()
+    full = engine.search_df(q, k=K, mode="wand", prune=False).collect()
+    assert [(r["doc_id"], r["score"]) for r in pruned] == \
+           [(r["doc_id"], r["score"]) for r in full]
+
+
+def test_total_hits_exact(engine, oracle):
+    for q in ["user", "parser AND config", "config NOT test", "lang:python",
+              "quasar_flux_capacitor", "zzz_nonexistent_term"]:
+        _, etotal = oracle.search(q, K)
+        resp = engine.search(SearchRequest(q=q, limit=K))
+        assert resp.total_hits == etotal, q
+
+
+def test_match_all(engine, oracle):
+    resp = engine.search(SearchRequest(q="", limit=5))
+    assert resp.total_hits == oracle.n
+    assert len(resp.hits) == 5
+    # Q1: every doc, score 1
+    assert all(h["_score"] == 1.0 for h in resp.hits)
+    assert [h["doc_id"] for h in resp.hits] == [0, 1, 2, 3, 4]
