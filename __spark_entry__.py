@@ -1,38 +1,430 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exercises the real engine (index build -> bucket-pruned
+posting lookup -> block-max WAND / relational scoring) over the
+driver's ``documents``/``embeddings`` parquet tables; ``oracle_sql()``
+re-derives every result from first principles in DuckDB SQL.
+
+Float policy: BM25/cosine scores are rounded (6/4 decimals) on BOTH
+sides and ranking uses the rounded value with a doc_id tiebreak, so
+last-ulp differences between numpy and DuckDB arithmetic cannot flip
+the comparison. The Spark side over-fetches (k+100) before re-ranking
+by the rounded score.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+K1, B = 1.2, 0.75
+_GATE_DIR = "/tmp/bright_spark_gate"
+_ENGINES: dict[str, object] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir, cached on disk) the inverted index over
+    the documents table and return a SearchEngine."""
+    from bright_spark.index.builder import build_index
+    from bright_spark.models import IndexConfig
+    from bright_spark.query.engine import SearchEngine
+
+    key = os.path.abspath(sf_dir)
+    eng = _ENGINES.get(key)
+    if eng is not None:
+        return eng
+    idx_dir = os.path.join(_GATE_DIR, key.strip("/").replace("/", "_") + "_docs_idx")
+    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+        build_index(
+            spark, _docs(spark, sf_dir), idx_dir,
+            IndexConfig(id="documents", tokenizer="simple", n_term_buckets=8),
+            content_col="text", id_col="doc_id", lang_col="lang",
+            attr_cols=("source", "n_chars"), n_build_partitions=8)
+    eng = SearchEngine(spark, idx_dir)
+    _ENGINES[key] = eng
+    return eng
+
+
+def _ranked(eng, q: str, k: int = 10) -> DataFrame:
+    df = eng.search_df(q, k=k + 100)
+    return (df.select("doc_id", F.round("score", 6).alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(k))
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 disjunction over the sf0.001 corpus."""
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    return _ranked(eng, "spark join", 10)
+
+
+# -------------------------------------------------------------- queries
+
+def _q_bm25(q: str, k: int = 10):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _ranked(_engine(spark, sf_dir), q, k)
+    return fn
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    ts = eng.catalog.term_stats(spark)
+    return (ts.filter(F.col("term").like("b%"))
+            .select("term", F.col("df").cast("bigint").alias("df"),
+                    F.col("cf").cast("bigint").alias("cf")))
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    meta = spark.read.parquet(eng.catalog.index_meta_path)
+    return meta.select(F.col("n_docs").cast("bigint").alias("n_docs"),
+                       F.col("total_tokens").cast("bigint").alias("total_tokens"),
+                       F.round("avgdl", 6).alias("avgdl"))
+
+
+def _q_posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return (eng._exploded_postings(["spark"])
+            .select("doc_id", F.col("tf").cast("bigint").alias("tf"),
+                    F.col("dl").cast("bigint").alias("dl")))
+
+
+def _q_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return (eng.catalog.docs(spark)
+            .filter(F.col("doc_id").isin([1, 5, 10, 11]))
+            .select("doc_id", "lang", "source",
+                    F.col("n_chars").cast("bigint").alias("n_chars"), "text"))
+
+
+def _q_match_all_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    return (eng.catalog.docs(spark).orderBy("doc_id")
+            .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+            .offset(20).limit(10))
+
+
+def _q_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    hits = eng.match_df("spark").select("doc_id")
+    docs = eng.catalog.docs(spark).select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    return (docs.join(F.broadcast(hits), "doc_id")
+            .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10))
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.dedup import exact_duplicates
+    return exact_duplicates(_docs(spark, sf_dir)).select(
+        "doc_id", "content_hash", "canonical_id",
+        F.col("group_size").cast("bigint").alias("group_size"))
+
+
+def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.dedup import near_duplicates_minhash
+    pairs = near_duplicates_minhash(_docs(spark, sf_dir), threshold=0.5)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.dedup import simhash
+    return simhash(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("simhash").cast("bigint").alias("simhash"))
+
+
+def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.quality import token_stats
+    s = token_stats(_docs(spark, sf_dir))
+    return s.select("doc_id",
+                    F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                    F.col("n_distinct").cast("bigint").alias("n_distinct"),
+                    F.round("distinct_ratio", 6).alias("distinct_ratio"),
+                    F.round("avg_token_len", 6).alias("avg_token_len"),
+                    F.col("max_token_len").cast("bigint").alias("max_token_len"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.quality import quality_scores
+    s = quality_scores(_docs(spark, sf_dir))
+    return s.select("doc_id",
+                    F.round("stopword_ratio", 6).alias("stopword_ratio"),
+                    F.round("quality_score", 6).alias("quality_score"))
+
+
+def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.quality import fingerprints
+    return fingerprints(_docs(spark, sf_dir))
+
+
+def _q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.quality import lang_profile
+    p = lang_profile(_docs(spark, sf_dir))
+    return p.select("lang",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("total_tokens").cast("bigint").alias("total_tokens"),
+                    F.round("avg_chars", 6).alias("avg_chars"))
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.vectors.similarity import cosine_topk
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = cosine_topk(emb, [float(x) for x in qvec], k=50, exclude_ids=[0])
+    return (top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(20))
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate ANN — no SQL oracle (rows-only check); recall vs the
+    # brute-force baseline is asserted in tests/test_vectors.py
+    from bright_spark.vectors.similarity import ann_cosine_topk
+    emb = _emb(spark, sf_dir)
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    top = ann_cosine_topk(emb, [float(x) for x in qvec], k=10, n_planes=6,
+                          probe_hamming=2)
+    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- full-text engine (SURVEY.md §2.5 Q1-Q15, §2.6 R1-R2)
+        "ft_bm25_single": _q_bm25("spark"),
+        "ft_bm25_multi_or": _q_bm25("spark join"),
+        "ft_bm25_and": _q_bm25("spark AND join"),
+        "ft_bm25_not": _q_bm25("spark NOT join"),
+        "ft_bm25_filter_lang": _q_bm25("lang:en spark"),
+        "ft_bm25_range": _q_bm25("n_chars:>300 spark"),
+        "ft_wildcard": _q_bm25("sp*"),
+        "ft_fuzzy": _q_bm25("spark~1"),
+        "ft_boost": _q_bm25("spark^2 join"),
+        "ft_phrase": _q_bm25('"the fast"'),
+        "ft_term_stats": _q_term_stats,
+        "ft_corpus_stats": _q_corpus_stats,
+        "ft_posting_list": _q_posting_list,
+        "ft_doc_lookup": _q_doc_lookup,
+        "ft_match_all_page": _q_match_all_page,
+        "ft_sort_field": _q_sort_field,
+        # --- training-data pipeline operators
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_token_stats": _q_text_token_stats,
+        "text_quality": _q_text_quality,
+        "text_fingerprint": _q_text_fingerprint,
+        "text_lang_profile": _q_lang_profile,
+        # --- similarity search
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,  # rows-only (approximate)
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ----------------------------------------------------------- oracle SQL
+
+_BM25_CTE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+meta AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                (SELECT count(*) FROM toks)::DOUBLE
+                  / (SELECT count(*) FROM documents) AS avgdl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1)
+"""
+
+
+def _score(boost: str = "1.0") -> str:
+    return (f"(({boost}) * ln(1 + (n - df + 0.5) / (df + 0.5)))"
+            f" * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))")
+
+
+def _bm25_sql(where: str, k: int = 10, having: str = "", boost: str = "1.0",
+              score_join: str = "", final_join: str = "") -> str:
+    return f"""{_BM25_CTE},
+scores AS (
+  SELECT tf.doc_id, sum({_score(boost)}) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN meta
+  {score_join}
+  WHERE {where}
+  GROUP BY tf.doc_id
+  {having})
+SELECT s.doc_id, round(s.s, 6) AS score
+FROM scores s {final_join}
+ORDER BY round(s.s, 6) DESC, s.doc_id
+LIMIT {k}"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "ft_bm25_single": _bm25_sql("tf.term IN ('spark')"),
+        "ft_bm25_multi_or": _bm25_sql("tf.term IN ('spark', 'join')"),
+        "ft_bm25_and": _bm25_sql("tf.term IN ('spark', 'join')",
+                                 having="HAVING count(DISTINCT tf.term) = 2"),
+        "ft_bm25_not": _bm25_sql(
+            "tf.term IN ('spark') AND tf.doc_id NOT IN "
+            "(SELECT doc_id FROM tf t2 WHERE t2.term = 'join')"),
+        "ft_bm25_filter_lang": _bm25_sql(
+            "tf.term IN ('spark') AND d.lang = 'en'",
+            score_join="JOIN documents d ON d.doc_id = tf.doc_id"),
+        "ft_bm25_range": _bm25_sql(
+            "tf.term IN ('spark') AND d.n_chars > 300",
+            score_join="JOIN documents d ON d.doc_id = tf.doc_id"),
+        "ft_wildcard": _bm25_sql("tf.term LIKE 'sp%'"),
+        "ft_fuzzy": _bm25_sql(
+            "length(tf.term) BETWEEN 4 AND 6 AND levenshtein(tf.term, 'spark') <= 1"),
+        "ft_boost": _bm25_sql(
+            "tf.term IN ('spark', 'join')",
+            boost="CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 1.0 END"),
+        "ft_phrase": _bm25_sql(
+            "tf.term IN ('the', 'fast')",
+            final_join="""JOIN (
+  SELECT DISTINCT a.doc_id FROM
+    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+            unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS p
+     FROM documents) a
+    JOIN
+    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+            unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS p
+     FROM documents) b
+    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = 'the' AND b.term = 'fast') adj ON adj.doc_id = s.doc_id"""),
+        "ft_term_stats": f"""{_BM25_CTE}
+SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+FROM tf WHERE term LIKE 'b%' GROUP BY term""",
+        "ft_corpus_stats": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT count(*) FROM toks)::BIGINT AS total_tokens,
+       round((SELECT count(*) FROM toks)::DOUBLE
+             / (SELECT count(*) FROM documents), 6) AS avgdl""",
+        "ft_posting_list": f"""{_BM25_CTE}
+SELECT tf.doc_id, tf::BIGINT AS tf, dl::BIGINT AS dl
+FROM tf JOIN dl USING (doc_id) WHERE tf.term = 'spark'""",
+        "ft_doc_lookup": """
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars, text
+FROM documents WHERE doc_id IN (1, 5, 10, 11)""",
+        "ft_match_all_page": """
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents ORDER BY doc_id LIMIT 10 OFFSET 20""",
+        "ft_sort_field": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)
+SELECT d.doc_id, d.n_chars::BIGINT AS n_chars
+FROM documents d
+WHERE EXISTS (SELECT 1 FROM toks t WHERE t.doc_id = d.doc_id AND t.term = 'spark')
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10""",
+        "dedup_exact": """
+WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+g AS (SELECT content_hash, min(doc_id) AS canonical_id,
+             count(*)::BIGINT AS group_size
+      FROM h GROUP BY 1)
+SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size
+FROM h JOIN g USING (content_hash)""",
+        "dedup_minhash_lsh": """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM t, unnest(range(1, len(t) - 1)) AS r(i)),
+sig AS (SELECT doc_id,
+  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig UNION ALL
+  SELECT doc_id, 1, h2 || '|' || h3 FROM sig UNION ALL
+  SELECT doc_id, 2, h4 || '|' || h5 FROM sig UNION ALL
+  SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS i
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b AND a.shingle = b.shingle
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       round(i.i::DOUBLE / (ca.n + cb.n - i.i), 6) AS jaccard
+FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
+WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.5""",
+        "dedup_simhash": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, tf, h, unnest(range(0, 32)) AS bit FROM h),
+c AS (SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) % 2 = 1 THEN tf ELSE -tf END) AS s
+      FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+FROM c GROUP BY doc_id""",
+        "text_token_stats": """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+e AS (SELECT doc_id, unnest(t) AS term FROM t)
+SELECT t.doc_id,
+       len(t.t)::BIGINT AS n_tokens,
+       (SELECT count(DISTINCT term) FROM e WHERE e.doc_id = t.doc_id)::BIGINT AS n_distinct,
+       round((SELECT count(DISTINCT term) FROM e WHERE e.doc_id = t.doc_id)::DOUBLE
+             / len(t.t), 6) AS distinct_ratio,
+       round((SELECT sum(length(term)) FROM e WHERE e.doc_id = t.doc_id)::DOUBLE
+             / len(t.t), 6) AS avg_token_len,
+       (SELECT max(length(term)) FROM e WHERE e.doc_id = t.doc_id)::BIGINT AS max_token_len
+FROM t""",
+        "text_quality": """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+e AS (SELECT doc_id, unnest(t) AS term FROM t),
+st AS (SELECT doc_id,
+              count(*)::BIGINT AS n_tokens,
+              count(DISTINCT term)::DOUBLE / count(*) AS distinct_ratio,
+              sum(length(term))::DOUBLE / count(*) AS avg_token_len,
+              sum(CASE WHEN term IN ('the','a','an','and','or','of','to','in','is',
+                                     'it','on','for','with','as','at','by','from',
+                                     'that','this','be','are') THEN 1 ELSE 0 END)::DOUBLE
+                / count(*) AS stopword_ratio
+       FROM e GROUP BY doc_id)
+SELECT doc_id,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(0.4 * least(n_tokens::DOUBLE / 256.0, 1.0)
+             + 0.4 * distinct_ratio
+             + 0.2 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
+                           THEN 1.0 ELSE 0.5 END), 6) AS quality_score
+FROM st""",
+        "text_fingerprint": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents)
+SELECT doc_id, md5(string_agg(DISTINCT term, ' ' ORDER BY term)) AS fingerprint
+FROM toks GROUP BY doc_id""",
+        "text_lang_profile": """
+WITH t AS (SELECT lang, len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens,
+                  length(text)::BIGINT AS n_chars
+           FROM documents)
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       round(avg(n_chars), 6) AS avg_chars
+FROM t GROUP BY lang""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id,
+             list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))) AS cos
+      FROM embeddings, q
+      WHERE vec_id <> 0)
+SELECT vec_id, round(cos, 4) AS cosine
+FROM c ORDER BY round(cos, 4) DESC, vec_id LIMIT 20""",
+    }
+    return sql

@@ -297,6 +297,13 @@ class SearchEngine:
             hits = self._relational_hits(aq)
         return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def match_df(self, q: str) -> DataFrame:
+        """Full exhaustively-scored match set (doc_id, score) — the
+        relational path, for callers that need the complete result
+        (delete-by-filter U3, custom sorts, differential tests)."""
+        aq = self.planner.analyze(parse_query(q))
+        return self._relational_hits(aq)
+
     def search(self, request: SearchRequest | str, mode: str = "auto") -> SearchResponse:
         """Full request semantics R1-R6 (handlers/search.go:20-177)."""
         req = SearchRequest(q=request) if isinstance(request, str) else request

@@ -1,0 +1,154 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All-JVM dataflow (built-in ``pyspark.sql.functions`` only — no Python
+in the hot path) so Catalyst/WSCG handle 100 TB inputs:
+
+- exact dedup: hash-groupBy on md5(text) — one shuffle on the hash,
+  map-side combine does the heavy lifting for common duplicates
+- MinHash + LSH: shingle -> n deterministic md5-salted min-hashes ->
+  band buckets -> bucket self-join for candidate pairs -> exact
+  n-gram Jaccard verification. Hash = md5(salt || shingle), min taken
+  lexicographically: portable across engines (the test oracle
+  recomputes it in SQL), deterministic across runs (north-rule
+  reproducibility: no Random()).
+- SimHash: 32-bit signature from md5-derived token bits weighted by
+  tf; near-dups = signatures within Hamming distance d.
+
+Deterministic by construction; every operator returns a DataFrame and
+never collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens, lowercased (``simple`` analyzer, matching
+    bright_spark.analysis.tokenizer mode='simple')."""
+    return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, content_hash, canonical_id, group_size); canonical =
+    min doc_id of the identical-text group. Keep rows where
+    doc_id != canonical_id to drop duplicates."""
+    hashed = df.select(F.col(id_col).alias("doc_id"),
+                       F.md5(F.col(text_col)).alias("content_hash"))
+    groups = (hashed.groupBy("content_hash")
+              .agg(F.min("doc_id").alias("canonical_id"),
+                   F.count("*").alias("group_size")))
+    return hashed.join(groups, "content_hash").select(
+        "doc_id", "content_hash", "canonical_id", "group_size")
+
+
+def shingles_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                k: int = 3) -> DataFrame:
+    """Distinct k-token shingles per doc (the Jaccard universe)."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("toks"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("toks") >= k,
+            F.transform(F.sequence(F.lit(0), F.size("toks") - k),
+                        lambda i: F.array_join(F.slice("toks", i + 1, k), " "))
+        ).otherwise(F.array(F.array_join("toks", " ")))).alias("shingle"))
+    return sh.distinct()
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n_hashes: int = 8,
+                       k: int = 3) -> DataFrame:
+    """(doc_id, h0..h{n-1}) — hi = min over shingles of
+    md5(i || '|' || shingle) (lexicographic min of hex strings)."""
+    sh = shingles_df(df, id_col, text_col, k)
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+            for i in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, n_hashes: int = 8, bands: int = 4) -> DataFrame:
+    """(doc_id, band, key): band key = concat of the band's hashes.
+    Docs sharing any (band, key) are candidate near-dups."""
+    rows = n_hashes // bands
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows + r}") for r in range(rows)]
+        parts.append(sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat_ws("|", *cols).alias("key")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n_hashes: int = 8,
+                            bands: int = 4, k: int = 3) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing an LSH band bucket."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    bandsdf = lsh_bands(sig, n_hashes, bands)
+    a = bandsdf.alias("a")
+    b = bandsdf.alias("b")
+    pairs = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3) -> DataFrame:
+    """Exact shingle-Jaccard for candidate pairs: (id_a, id_b, jaccard)."""
+    sh = (shingles_df(df, id_col, text_col, k)
+          .groupBy("doc_id").agg(F.collect_set("shingle").alias("sh")))
+    j = (pairs
+         .join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+         .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select("id_a", "id_b",
+                    (inter.cast("double") / union).alias("jaccard"))
+
+
+def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", threshold: float = 0.7,
+                            n_hashes: int = 8, bands: int = 4,
+                            k: int = 3) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs with verified Jaccard."""
+    pairs = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, k)
+    return (jaccard_pairs(df, pairs, id_col, text_col, k)
+            .filter(F.col("jaccard") >= threshold))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc: bit j set iff
+    sum over distinct terms of tf * (+1 if bit j of
+    int(md5(term)[:8], 16) else -1) >= 0.
+
+    32 bits (not 64) keeps the hash inside signed-int64 arithmetic so
+    the identical computation runs on any ANSI SQL engine (oracle
+    parity)."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = tf.withColumn(
+        "h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint"))
+    bits = h.select(
+        "doc_id", "tf", "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
+    contrib = bits.withColumn(
+        "c", F.when(F.expr("shiftright(h, bit) % 2") == 1,
+                    F.col("tf")).otherwise(-F.col("tf")))
+    bit_sums = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
+    return (bit_sums.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("s") >= 0,
+                              F.expr("shiftleft(cast(1 as bigint), bit)"))
+                       .otherwise(F.lit(0))).alias("simhash")))

@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data pipelines: token stats,
+quality scoring, document fingerprinting, language-ID heuristic.
+
+All built-in ``pyspark.sql.functions`` (JVM-side, WSCG-friendly) except
+nothing — there are no UDFs here at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from bright_spark.analysis.tokenizer import LANG_STOPWORDS
+from bright_spark.text.dedup import tokens_col
+
+# small English stopword list for quality ratios (deterministic const)
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on",
+    "for", "with", "as", "at", "by", "from", "that", "this", "be", "are",
+]
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-doc token counting: n_tokens, n_distinct, distinct_ratio,
+    avg/max token length."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        (F.size(F.array_distinct("toks")).cast("double")
+         / F.size("toks")).alias("distinct_ratio"),
+        (F.aggregate(F.transform("toks", lambda t: F.length(t)),
+                     F.lit(0).cast("bigint"),
+                     lambda acc, x: acc + x).cast("double")
+         / F.size("toks")).alias("avg_token_len"),
+        F.array_max(F.transform("toks", lambda t: F.length(t))).alias("max_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0, 1]:
+    length factor (saturating at 256 tokens), lexical diversity,
+    stopword ratio, mean word length band. Deterministic, engine-
+    portable arithmetic (no UDF)."""
+    stats = token_stats(df, id_col, text_col)
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    stop = (toks.groupBy("doc_id")
+            .agg((F.sum(F.when(F.col("term").isin(EN_STOPWORDS), 1).otherwise(0))
+                  .cast("double") / F.count("*")).alias("stopword_ratio")))
+    j = stats.join(stop, "doc_id")
+    length_factor = F.least(F.col("n_tokens").cast("double") / 256.0, F.lit(1.0))
+    wordlen_ok = F.when((F.col("avg_token_len") >= 3.0)
+                        & (F.col("avg_token_len") <= 10.0), 1.0).otherwise(0.5)
+    score = (0.4 * length_factor + 0.4 * F.col("distinct_ratio")
+             + 0.2 * wordlen_ok)
+    return j.select("doc_id", "n_tokens", "distinct_ratio", "stopword_ratio",
+                    "avg_token_len", score.alias("quality_score"))
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    an order-insensitive content signature (bag-of-words identity)."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct("toks")), " "))
+         .alias("fingerprint"))
+
+
+def lang_profile(df: DataFrame, lang_col: str = "lang",
+                 text_col: str = "text") -> DataFrame:
+    """Per-language corpus profile."""
+    toks = df.select(F.col(lang_col).alias("lang"),
+                     F.size(tokens_col(text_col)).alias("n_tokens"),
+                     F.length(text_col).alias("n_chars"))
+    return (toks.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_tokens"),
+                 F.avg("n_chars").alias("avg_chars")))
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text",
+                markers: dict[str, frozenset[str]] | None = None) -> DataFrame:
+    """Keyword-marker language ID (n-gram-heuristic class): predicted
+    lang = argmax over marker sets of matched-token count, ties broken
+    lexicographically, 'unknown' when nothing matches. Default markers
+    are the per-language keyword sets of the code tokenizer."""
+    markers = markers or LANG_STOPWORDS
+    rows = [(lang, kw) for lang, kws in sorted(markers.items()) for kw in sorted(kws)]
+    spark = df.sparkSession
+    mdf = spark.createDataFrame(rows, "m_lang STRING, term STRING")
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    scored = (toks.join(F.broadcast(mdf), "term")
+              .groupBy("doc_id", "m_lang").agg(F.count("*").alias("n")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("m_lang").asc())
+    picked = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") == 1)
+              .select("doc_id", F.col("m_lang").alias("lang_pred"),
+                      F.col("n").alias("marker_hits")))
+    all_ids = df.select(F.col(id_col).alias("doc_id"))
+    return (all_ids.join(picked, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("lang_pred", F.lit("unknown")).alias("lang_pred"),
+                    F.coalesce("marker_hits", F.lit(0)).alias("marker_hits")))

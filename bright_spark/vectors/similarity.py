@@ -1,0 +1,94 @@
+"""Similarity search over an embedding column (array<float>).
+
+- Brute-force cosine top-k: all-JVM (``zip_with`` + ``aggregate`` —
+  sequential left-to-right fold, deterministic across engines) with a
+  ``TakeOrderedAndProject`` top-k (no global sort). The baseline and
+  the oracle-parity path.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures (planes
+  derived from md5, no RNG state), multiprobe within Hamming-adjacent
+  buckets. The 100 TB scale path: candidate generation is a bucket
+  equi-join instead of a full cross product.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                exclude_ids: list[int] | None = None) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query_vec``:
+    (vec_id, cosine) ordered desc, vec_id asc tiebreak."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = df.select(
+        F.col(id_col).alias("vec_id"),
+        (_dot(v, qlit) / (_norm(v) * F.lit(qnorm))).alias("cosine"))
+    if exclude_ids:
+        out = out.filter(~F.col("vec_id").isin(exclude_ids))
+    return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def _hyperplane(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane coefficient in [-1, 1):
+    md5-derived, no RNG state (reproducibility requirement)."""
+    h = hashlib.md5(f"plane:{plane}:{dim}".encode()).hexdigest()[:8]
+    return int(h, 16) / float(2**31) - 1.0
+
+
+def lsh_signatures(df: DataFrame, dim: int, n_planes: int = 16,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, sig): sig bit j = [dot(v, plane_j) >= 0]."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    sig = F.lit(0).cast("bigint")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(_hyperplane(j, d)) for d in range(dim)])
+        bit = F.when(_dot(v, plane) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0))
+        sig = sig + F.shiftleft(bit, j)
+    return df.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
+
+
+def ann_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                    dim: int | None = None, n_planes: int = 12,
+                    probe_hamming: int = 1,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: restrict the exact cosine computation to
+    vectors whose LSH signature is within ``probe_hamming`` bits of
+    the query's signature (multiprobe). Recall is tested against the
+    brute-force baseline; at scale this turns a full scan into a
+    signature-pruned scan (signatures can be precomputed/partitioned)."""
+    dim = dim or len(query_vec)
+    qsig = 0
+    for j in range(n_planes):
+        dot = sum(float(query_vec[d]) * _hyperplane(j, d) for d in range(dim))
+        if dot >= 0:
+            qsig |= 1 << j
+    # enumerate probe signatures within the Hamming radius
+    probes = {qsig}
+    if probe_hamming >= 1:
+        for j in range(n_planes):
+            probes.add(qsig ^ (1 << j))
+    if probe_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(qsig ^ (1 << i) ^ (1 << j))
+    sigs = lsh_signatures(df, dim, n_planes, id_col, vec_col)
+    cand = (df.join(sigs.filter(F.col("sig").isin(sorted(probes))),
+                    df[id_col] == sigs.vec_id, "left_semi"))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -1,0 +1,102 @@
+"""Training-pipeline operators: dedup, quality, language-ID, fingerprints
+(tested on small in-line corpora with hand-computable expectations)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark, tmp_path_factory):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),   # near dup
+        (3, "completely different text about spark engines here", "en"),
+        (4, "der schnelle braune fuchs springt", "de"),
+    ]
+    path = str(tmp_path_factory.mktemp("tiny") / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING, lang STRING") \
+        .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_exact_duplicates(tiny_docs):
+    from bright_spark.text.dedup import exact_duplicates
+    out = {r["doc_id"]: (r["canonical_id"], r["group_size"])
+           for r in exact_duplicates(tiny_docs).collect()}
+    assert out[0] == (0, 2)
+    assert out[1] == (0, 2)
+    assert out[2] == (2, 1)
+
+
+def test_minhash_near_duplicates(tiny_docs):
+    from bright_spark.text.dedup import near_duplicates_minhash
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in near_duplicates_minhash(tiny_docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    # near-dup (one token differs) should be caught with high jaccard
+    if (0, 2) in pairs:
+        assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_minhash_jaccard_exact_value(spark, tiny_docs):
+    from bright_spark.text.dedup import jaccard_pairs
+    pairs = spark.createDataFrame([(0, 2)], "id_a BIGINT, id_b BIGINT")
+    j = jaccard_pairs(tiny_docs, pairs).collect()[0]["jaccard"]
+    # 9 tokens -> 7 shingles each; 6 shared ("lazy dog" vs "lazy cat"
+    # breaks the last shingle) -> 6 / 8
+    assert j == pytest.approx(6 / 8)
+
+
+def test_simhash_similarity(tiny_docs):
+    from bright_spark.text.dedup import simhash
+    out = {r["doc_id"]: r["simhash"] for r in simhash(tiny_docs).collect()}
+    assert out[0] == out[1]  # identical text -> identical signature
+    ham_near = bin(out[0] ^ out[2]).count("1")
+    ham_far = bin(out[0] ^ out[3]).count("1")
+    assert ham_near < ham_far
+    assert 0 <= out[0] < 2**32
+
+
+def test_token_stats(tiny_docs):
+    from bright_spark.text.quality import token_stats
+    r = {x["doc_id"]: x for x in token_stats(tiny_docs).collect()}
+    assert r[0]["n_tokens"] == 9
+    assert r[0]["n_distinct"] == 8  # "the" twice
+    assert r[0]["distinct_ratio"] == pytest.approx(8 / 9)
+
+
+def test_quality_scores(tiny_docs):
+    from bright_spark.text.quality import quality_scores
+    r = {x["doc_id"]: x for x in quality_scores(tiny_docs).collect()}
+    assert r[0]["stopword_ratio"] == pytest.approx(2 / 9)  # the, the
+    assert 0.0 <= r[0]["quality_score"] <= 1.0
+
+
+def test_fingerprints(tiny_docs):
+    from bright_spark.text.quality import fingerprints
+    out = {r["doc_id"]: r["fingerprint"] for r in fingerprints(tiny_docs).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[3]
+
+
+def test_language_id_on_code(spark, repos_parquet):
+    """Marker-keyword language ID over the code corpus: per-lang
+    keywords make the prediction meaningful — expect decent accuracy."""
+    from bright_spark.text.quality import language_id
+    src = spark.read.parquet(repos_parquet).withColumn(
+        "doc_id", F.monotonically_increasing_id())
+    pred = language_id(src, text_col="content")
+    joined = pred.join(src.select("doc_id", "lang"), "doc_id")
+    agg = joined.agg(
+        F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1).otherwise(0)).alias("hit"),
+        F.count("*").alias("n")).collect()[0]
+    assert agg["hit"] / agg["n"] > 0.6
+
+
+def test_lang_profile(tiny_docs):
+    from bright_spark.text.quality import lang_profile
+    out = {r["lang"]: r for r in lang_profile(tiny_docs).collect()}
+    assert out["en"]["n_docs"] == 4
+    assert out["de"]["n_docs"] == 1

@@ -1,0 +1,70 @@
+"""Similarity search: brute-force cosine correctness vs numpy, LSH ANN
+recall vs the brute-force baseline."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, tmp_path_factory):
+    rng = np.random.default_rng(42)
+    vecs = rng.normal(size=(300, 16)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    path = str(tmp_path_factory.mktemp("emb") / "emb.parquet")
+    spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>") \
+        .write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), vecs
+
+
+def _numpy_topk(vecs, q, k, exclude=()):
+    v = vecs.astype(np.float64)
+    qq = np.asarray(q, dtype=np.float64)
+    cos = (v @ qq) / (np.linalg.norm(v, axis=1) * np.linalg.norm(qq))
+    order = sorted(range(len(v)), key=lambda i: (-cos[i], i))
+    return [(i, cos[i]) for i in order if i not in exclude][:k]
+
+
+def test_cosine_topk_exact(emb_df):
+    from bright_spark.vectors.similarity import cosine_topk
+    df, vecs = emb_df
+    q = [float(x) for x in vecs[0]]
+    got = [(r["vec_id"], r["cosine"])
+           for r in cosine_topk(df, q, k=10, exclude_ids=[0]).collect()]
+    expect = _numpy_topk(vecs, q, 10, exclude={0})
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (gi, gc), (ei, ec) in zip(got, expect):
+        assert gc == pytest.approx(ec, abs=1e-9)
+
+
+def test_cosine_topk_plan_is_take_ordered(emb_df):
+    """Top-k must compile to TakeOrderedAndProject (partial per-
+    partition top-k), not a global sort."""
+    from bright_spark.vectors.similarity import cosine_topk
+    df, vecs = emb_df
+    plan = cosine_topk(df, [float(x) for x in vecs[0]], k=10) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_lsh_recall(emb_df):
+    from bright_spark.vectors.similarity import ann_cosine_topk
+    df, vecs = emb_df
+    hits = 0
+    trials = 5
+    for qid in range(trials):
+        q = [float(x) for x in vecs[qid]]
+        exact = {i for i, _ in _numpy_topk(vecs, q, 10)}
+        approx = {r["vec_id"] for r in
+                  ann_cosine_topk(df, q, k=10, n_planes=6, probe_hamming=2).collect()}
+        hits += len(exact & approx)
+    recall = hits / (10 * trials)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_lsh_signature_deterministic(emb_df):
+    from bright_spark.vectors.similarity import lsh_signatures
+    df, _ = emb_df
+    a = {r["vec_id"]: r["sig"] for r in lsh_signatures(df, dim=16, n_planes=8).collect()}
+    b = {r["vec_id"]: r["sig"] for r in lsh_signatures(df, dim=16, n_planes=8).collect()}
+    assert a == b
+    assert all(0 <= s < 256 for s in a.values())
