@@ -231,26 +231,32 @@ class IndexBuilder:
                               self.filter_stopwords, passthrough),
             schema=out_schema,
         )
+        if self.id_col:
+            # identity known up front: tokenized rows ARE the docs
+            # table — single write, no staging round trip
+            if not cfg.store_content:
+                tokenized = tokenized.drop(self.content_col)
+            (tokenized.sortWithinPartitions("doc_id")
+                      .write.mode("overwrite").parquet(self.catalog.docs_path))
+            return
+
         staging = os.path.join(self.catalog.index_dir, "_staging")
         tokenized.write.mode("overwrite").parquet(staging)
 
         stg = self.spark.read.parquet(staging)
-        if self.id_col:
-            docs = stg
-        else:
-            counts = {r["_pid"]: r["cnt"] for r in
-                      stg.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-            offsets, acc = {}, 0
-            for pid in sorted(counts):
-                offsets[pid] = acc
-                acc += counts[pid]
-            off_df = self.spark.createDataFrame(
-                [(pid, off) for pid, off in offsets.items()], "_pid INT, _offset BIGINT")
-            w = Window.partitionBy("_pid").orderBy(*order_cols)
-            docs = (stg.join(F.broadcast(off_df), "_pid")
-                       .withColumn("doc_id",
-                                   (F.col("_offset") + F.row_number().over(w) - 1))
-                       .drop("_offset"))
+        counts = {r["_pid"]: r["cnt"] for r in
+                  stg.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = self.spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid INT, _offset BIGINT")
+        w = Window.partitionBy("_pid").orderBy(*order_cols)
+        docs = (stg.join(F.broadcast(off_df), "_pid")
+                   .withColumn("doc_id",
+                               (F.col("_offset") + F.row_number().over(w) - 1))
+                   .drop("_offset"))
         if not cfg.store_content:
             docs = docs.drop(self.content_col)
         (docs.sortWithinPartitions("doc_id")

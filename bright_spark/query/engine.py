@@ -182,11 +182,16 @@ class SearchEngine:
         for s in aq.should_terms:
             if s.term in weights:
                 pos_specs.append((s.term, weights[s.term], -1))
+        # each phrase token is its own conjunctive group: adjacency
+        # implies conjunction, so verification only scans the (small)
+        # AND-candidate set instead of the union of hot terms
+        gi = len(aq.must_groups)
         for ph in aq.phrases:
             for t in ph.tokens:
                 if t in weights:
-                    pos_specs.append((t, weights[t], -1))
-        n_groups = len(aq.must_groups)
+                    pos_specs.append((t, weights[t], gi))
+                    gi += 1
+        n_groups = gi
         unsatisfiable = any(
             all(s.term not in weights for s in g) for g in aq.must_groups
         ) or (aq.phrases and any(t not in weights for ph in aq.phrases for t in ph.tokens))
