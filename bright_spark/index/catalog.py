@@ -105,7 +105,7 @@ class IndexCatalog:
     def docs(self, spark: SparkSession, include_build_cols: bool = False) -> DataFrame:
         df = spark.read.parquet(self.docs_path)
         if not include_build_cols:
-            df = df.drop("_terms", "_pid")
+            df = df.drop("_term_arr", "_tf_arr", "_pid")
         return df
 
     def postings(self, spark: SparkSession) -> DataFrame:

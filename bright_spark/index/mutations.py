@@ -1,0 +1,258 @@
+"""Document mutations + incremental index maintenance (U1-U4, S5/S6).
+
+Reference semantics:
+- upsert: adding a doc with an existing id replaces it
+  (handlers/documents.go:181-198, store/store.go:409-426)
+- delete by id list (documents.go:231-234) and delete by query filter
+  (documents.go:235-248, store/store.go:450-512)
+- partial update: fetch stored doc, merge fields, re-index
+  (documents.go:280-320)
+- incremental source sync applies the same callbacks from a polled
+  changeset (ingresses/postgres/poller.go) — here, callers pass the
+  changed rows; checkpointing the watermark belongs to the caller's
+  ingestion job (see checkpoints.CheckpointStore).
+
+Physical strategy (the Iceberg MERGE INTO analog on plain parquet):
+only the term-hash **buckets touched by changed terms are rewritten**;
+every other bucket directory is untouched. Changed doc ids are removed
+from decoded posting runs, new entries merged in, blocks re-encoded —
+all Arrow-batched. Corpus stats (N, avgdl) are recomputed; block
+(max_tf, min_dl) skip metadata stays sound because bounds are
+evaluated against current stats at query time (see codec.py).
+
+Invariant (tested): mutate-then-query == full-rebuild-then-query.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bright_spark.index import codec
+from bright_spark.index.builder import IndexBuilder, _make_merge_fn, _make_partials_fn
+from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog, term_bucket
+
+
+def _swap_dir(new: str, dst: str) -> None:
+    trash = dst + "._old"
+    shutil.rmtree(trash, ignore_errors=True)
+    if os.path.exists(dst):
+        os.rename(dst, trash)
+    os.rename(new, dst)
+    shutil.rmtree(trash, ignore_errors=True)
+
+
+def _decode_to_partials(range_bits: int):
+    """Posting rows -> partial-run rows, dropping ``_drop_ids``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            terms, ranges, ds, ts, ls = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                d, t, l = codec.decode_all_blocks({
+                    "first_doc": row.first_doc, "docs": row.docs,
+                    "tfs": row.tfs, "dls": row.dls})
+                drop = np.asarray(row.drop_ids, dtype=np.int64)
+                if drop.size:
+                    keep = ~np.isin(d, drop)
+                    d, t, l = d[keep], t[keep], l[keep]
+                if d.size == 0:
+                    continue
+                terms.append(row.term)
+                ranges.append(int(row.range_id))
+                ds.append(d)
+                ts.append(t)
+                ls.append(l)
+            if terms:
+                yield pd.DataFrame({"term": terms, "range_id": ranges,
+                                    "doc_ids": ds, "tfs": ts, "dls": ls})
+
+    return fn
+
+
+class IndexMutator:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.catalog = IndexCatalog(index_dir)
+        self.config = self.catalog.load_config()
+        self.extra = self.catalog.load_extra()
+
+    # ------------------------------------------------------- internals
+
+    def _builder(self) -> IndexBuilder:
+        return IndexBuilder(
+            self.spark, self.config, self.catalog.index_dir,
+            content_col=self.extra.get("content_col", "content"),
+            key_cols=tuple(self.extra.get("key_cols") or ()),
+            id_col=self.extra.get("id_col"),
+            lang_col=self.extra.get("lang_col"),
+            attr_cols=tuple(self.extra.get("attr_cols") or ()),
+            filter_stopwords=bool(self.extra.get("filter_stopwords")),
+        )
+
+    def _key_cols(self) -> list[str]:
+        if self.extra.get("id_col"):
+            return ["doc_id"]
+        return list(self.extra.get("key_cols") or ("repo", "path", "commit"))
+
+    def _tokenize_updates(self, updates: DataFrame) -> DataFrame:
+        """Tokenize changed rows and assign doc_ids: existing natural
+        keys keep their id (upsert replaces, store.go:416); new keys get
+        ids above the current max, ranked by natural key."""
+        from bright_spark.index.builder import _make_tokenize_fn
+        b = self._builder()
+        keys = self._key_cols()
+        if self.extra.get("id_col"):
+            updates = (updates.withColumnRenamed(self.extra["id_col"], "doc_id")
+                       .withColumn("doc_id", F.col("doc_id").cast("bigint")))
+        src = updates.withColumn(
+            "content_sha256", F.sha2(F.col(b.content_col), 256)) \
+            .withColumn("_pid", F.lit(-1))
+        in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                              for f in src.schema.fields)
+        tokenized = src.mapInPandas(
+            _make_tokenize_fn(b.content_col, b.lang_col, self.config.tokenizer,
+                              b.filter_stopwords, list(src.columns)),
+            schema=f"{in_schema}, doc_len INT, _term_arr ARRAY<STRING>, _tf_arr ARRAY<INT>")
+        if self.extra.get("id_col"):
+            return tokenized
+        docs = self.catalog.docs(self.spark).select(*keys, "doc_id")
+        joined = tokenized.join(docs, keys, "left")
+        max_id = self.catalog.docs(self.spark).agg(F.max("doc_id")).collect()[0][0] or -1
+        from pyspark.sql import Window
+        w = Window.orderBy(*keys)  # new keys are few: single-partition rank OK
+        news = (joined.filter(F.col("doc_id").isNull())
+                .withColumn("doc_id", F.lit(max_id) + F.row_number().over(w)))
+        olds = joined.filter(F.col("doc_id").isNotNull())
+        return olds.unionByName(news)
+
+    # ------------------------------------------------------ operations
+
+    def upsert(self, updates: DataFrame) -> None:
+        """U1/U4: replace-or-insert documents from source-shaped rows."""
+        tok = self._tokenize_updates(updates)
+        tok.persist()
+        try:
+            self._apply(changed=tok)
+        finally:
+            tok.unpersist()
+
+    def delete_ids(self, doc_ids: list[int]) -> None:
+        """U2: delete by id list."""
+        self._apply(deleted_ids=[int(i) for i in doc_ids])
+
+    def delete_by_query(self, q: str) -> None:
+        """U3: delete every doc matching a query-string filter — the
+        same evaluator as search (store/store.go:450-512)."""
+        from bright_spark.query.engine import SearchEngine
+        eng = SearchEngine(self.spark, self.catalog.index_dir)
+        ids = [r["doc_id"] for r in eng.match_df(q).select("doc_id").collect()]
+        if ids:
+            self.delete_ids(ids)
+
+    def patch(self, doc_id: int, fields: dict) -> None:
+        """U4: fetch stored doc, merge fields, re-index whole doc."""
+        row = (self.catalog.docs(self.spark)
+               .filter(F.col("doc_id") == doc_id).collect())
+        if not row:
+            raise KeyError(f"doc_id {doc_id} not found")
+        rec = row[0].asDict()
+        rec.pop("doc_len", None)
+        rec.pop("content_sha256", None)
+        rec.pop("_pid", None)
+        rec.update(fields)
+        if self.extra.get("id_col"):
+            rec[self.extra["id_col"]] = rec.pop("doc_id")
+        else:
+            rec.pop("doc_id", None)
+        upd = self.spark.createDataFrame([rec])
+        self.upsert(upd)
+
+    # ------------------------------------------------------- the apply
+
+    def _apply(self, changed: DataFrame | None = None,
+               deleted_ids: list[int] | None = None) -> None:
+        cfg = self.config
+        docs_all = self.catalog.docs(self.spark, include_build_cols=True)
+
+        if changed is not None:
+            changed_ids = [r["doc_id"] for r in changed.select("doc_id").collect()]
+        else:
+            changed_ids = list(deleted_ids or [])
+        if not changed_ids:
+            return
+        replaced = docs_all.filter(F.col("doc_id").isin(changed_ids))
+        old_terms = {r["t"] for r in
+                     replaced.select(F.explode("_term_arr").alias("t"))
+                     .distinct().collect()}
+        new_terms: set[str] = set()
+        if changed is not None:
+            new_terms = {r["t"] for r in
+                         changed.select(F.explode("_term_arr").alias("t"))
+                         .distinct().collect()}
+        affected_terms = sorted(old_terms | new_terms)
+        affected_buckets = sorted({term_bucket(t, cfg.n_term_buckets)
+                                   for t in affected_terms})
+
+        # ---- docs table rewrite (tmp + atomic dir swap)
+        survivors = docs_all.filter(~F.col("doc_id").isin(changed_ids))
+        new_docs = survivors
+        if changed is not None:
+            new_docs = survivors.unionByName(changed.select(*survivors.columns))
+        tmp_docs = self.catalog.docs_path + "._new"
+        new_docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp_docs)
+        _swap_dir(tmp_docs, self.catalog.docs_path)
+
+        # ---- postings: rewrite only affected buckets
+        post = self.catalog.postings(self.spark)
+        in_buckets = post.filter(F.col("bucket").isin(affected_buckets))
+        untouched = in_buckets.filter(~F.col("term").isin(affected_terms))
+        touched = in_buckets.filter(F.col("term").isin(affected_terms))
+        surviving_partials = (
+            touched.withColumn("drop_ids",
+                               F.array(*[F.lit(i) for i in changed_ids]))
+            .select("term", "range_id", "first_doc", "docs", "tfs", "dls", "drop_ids")
+            .mapInPandas(_decode_to_partials(cfg.range_bits),
+                         schema=("term STRING, range_id BIGINT, "
+                                 "doc_ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, "
+                                 "dls ARRAY<BIGINT>")))
+        partial_parts = [surviving_partials]
+        if changed is not None:
+            new_partials = (self.spark.read.parquet(self.catalog.docs_path)
+                            .filter(F.col("doc_id").isin(changed_ids))
+                            .select("doc_id", "doc_len", "_term_arr", "_tf_arr")
+                            .mapInPandas(_make_partials_fn(cfg.range_bits),
+                                         schema=("term STRING, range_id BIGINT, "
+                                                 "doc_ids ARRAY<BIGINT>, "
+                                                 "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>")))
+            partial_parts.append(new_partials)
+        partials = partial_parts[0]
+        for p in partial_parts[1:]:
+            partials = partials.unionByName(p)
+        n_merge = self.spark.sparkContext.defaultParallelism
+        remerged = (partials.repartition(n_merge, "term", "range_id")
+                    .mapInPandas(_make_merge_fn(cfg.block_size, cfg.n_term_buckets),
+                                 schema=POSTINGS_SCHEMA))
+        rebuilt = untouched.unionByName(remerged)
+        tmp_post = self.catalog.postings_path + "._new"
+        (rebuilt.repartition(len(affected_buckets) or 1, "bucket")
+         .sortWithinPartitions("term", "range_id")
+         .write.mode("overwrite").partitionBy("bucket").parquet(tmp_post))
+        # swap only the rewritten bucket dirs
+        for b in affected_buckets:
+            src = os.path.join(tmp_post, f"bucket={b}")
+            dst = os.path.join(self.catalog.postings_path, f"bucket={b}")
+            if os.path.exists(src):
+                _swap_dir(src, dst)
+            else:
+                shutil.rmtree(dst, ignore_errors=True)  # bucket emptied
+        shutil.rmtree(tmp_post, ignore_errors=True)
+
+        # ---- term_stats + meta recompute (stats pass reuses builder)
+        self._builder().build_stats()

@@ -1,0 +1,140 @@
+"""F5 mutation fixtures: upsert / delete-by-id / delete-by-filter /
+patch; post-state must equal a full rebuild from the mutated source."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from bright_spark.fixtures import make_repos
+from bright_spark.index.builder import build_index
+from bright_spark.index.mutations import IndexMutator
+from bright_spark.models import IndexConfig
+from bright_spark.query.engine import SearchEngine
+
+
+def _postings_map(spark, cat):
+    rows = cat.postings(spark).collect()
+    return {(r["term"], r["range_id"]):
+            (r["df_chunk"], r["cf_chunk"], [bytes(b) for b in r["docs"]])
+            for r in rows}
+
+
+def _docs_map(spark, cat):
+    rows = cat.docs(spark).select("repo", "path", "commit",
+                                  "content_sha256", "doc_len").collect()
+    return {(r["repo"], r["path"], r["commit"]): (r["content_sha256"], r["doc_len"])
+            for r in rows}
+
+
+@pytest.fixture()
+def mut_env(spark, tmp_path_factory):
+    pdf = make_repos(50, 11)
+    base = tmp_path_factory.mktemp("mut")
+    src_path = str(base / "src.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src_path)
+    idx = str(base / "idx")
+    build_index(spark, spark.read.parquet(src_path), idx,
+                IndexConfig(id="mut"), n_build_partitions=4)
+    return pdf, src_path, str(base), idx
+
+
+def _rebuild(spark, pdf, base) -> str:
+    path = f"{base}/rebuild_src.parquet"
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    idx = f"{base}/rebuild_idx"
+    shutil.rmtree(idx, ignore_errors=True)
+    build_index(spark, spark.read.parquet(path), idx,
+                IndexConfig(id="rebuild"), n_build_partitions=4)
+    return idx
+
+
+def _assert_equiv(spark, idx_a: str, idx_b: str, queries):
+    """Same docs, equivalent postings content, identical query results."""
+    from bright_spark.index.catalog import IndexCatalog
+    ca, cb = IndexCatalog(idx_a), IndexCatalog(idx_b)
+    assert _docs_map(spark, ca) == _docs_map(spark, cb)
+    ea, eb = SearchEngine(spark, idx_a), SearchEngine(spark, idx_b)
+    assert ea.meta["n_docs"] == eb.meta["n_docs"]
+    assert ea.meta["avgdl"] == eb.meta["avgdl"]
+    for q in queries:
+        ra = [(r["doc_id"], round(r["score"], 9))
+              for r in ea.search_df(q, k=20).collect()]
+        rb = [(r["doc_id"], round(r["score"], 9))
+              for r in eb.search_df(q, k=20).collect()]
+        # doc ids may be assigned differently after rebuild; compare by
+        # natural key + score
+        da = {r["doc_id"]: (r["repo"], r["path"], r["commit"])
+              for r in ca.docs(spark).collect()}
+        db = {r["doc_id"]: (r["repo"], r["path"], r["commit"])
+              for r in cb.docs(spark).collect()}
+        assert [(da[d], s) for d, s in ra] == [(db[d], s) for d, s in rb], q
+
+
+QUERIES = ["user", "parse config", "parser AND config", "lang:python user"]
+
+
+def test_upsert_new_revision(spark, mut_env):
+    pdf, src_path, base, idx = mut_env
+    # new commit (revision) of an existing (repo, path): a brand-new doc
+    row = pdf.iloc[3].to_dict()
+    row["commit"] = "f" * 40
+    row["content"] = "def patched_parse_config(user): return user.config"
+    updates = spark.createDataFrame([row])
+    IndexMutator(spark, idx).upsert(updates)
+
+    new_pdf = pdf.copy()
+    import pandas as pd
+    new_pdf = pd.concat([new_pdf, pd.DataFrame([row])], ignore_index=True)
+    rebuild = _rebuild(spark, new_pdf, base)
+    _assert_equiv(spark, idx, rebuild, QUERIES + ["patched_parse_config"])
+
+
+def test_upsert_replace_existing(spark, mut_env):
+    pdf, src_path, base, idx = mut_env
+    row = pdf.iloc[5].to_dict()
+    row["content"] = "func replacedEverything() { return nothing }"
+    IndexMutator(spark, idx).upsert(spark.createDataFrame([row]))
+
+    new_pdf = pdf.copy()
+    new_pdf.loc[5, "content"] = row["content"]
+    rebuild = _rebuild(spark, new_pdf, base)
+    _assert_equiv(spark, idx, rebuild, QUERIES + ["replacedeverything"])
+
+
+def test_delete_by_ids(spark, mut_env):
+    pdf, src_path, base, idx = mut_env
+    from bright_spark.index.catalog import IndexCatalog
+    cat = IndexCatalog(idx)
+    victims = [r["doc_id"] for r in
+               cat.docs(spark).orderBy("doc_id").limit(3).collect()]
+    keys = {(r["repo"], r["path"], r["commit"]) for r in
+            cat.docs(spark).filter(F.col("doc_id").isin(victims)).collect()}
+    IndexMutator(spark, idx).delete_ids(victims)
+
+    mask = ~pdf.apply(lambda r: (r["repo"], r["path"], r["commit"]) in keys, axis=1)
+    rebuild = _rebuild(spark, pdf[mask], base)
+    _assert_equiv(spark, idx, rebuild, QUERIES)
+
+
+def test_delete_by_filter(spark, mut_env):
+    pdf, src_path, base, idx = mut_env
+    IndexMutator(spark, idx).delete_by_query("lang:go")
+    rebuild = _rebuild(spark, pdf[pdf.lang != "go"], base)
+    _assert_equiv(spark, idx, rebuild, QUERIES)
+
+
+def test_patch_single_doc(spark, mut_env):
+    pdf, src_path, base, idx = mut_env
+    from bright_spark.index.catalog import IndexCatalog
+    cat = IndexCatalog(idx)
+    target = cat.docs(spark).orderBy("doc_id").limit(1).collect()[0]
+    IndexMutator(spark, idx).patch(
+        target["doc_id"], {"content": "class PatchedOnlyDoc: pass"})
+
+    new_pdf = pdf.copy()
+    sel = ((new_pdf.repo == target["repo"]) & (new_pdf.path == target["path"])
+           & (new_pdf.commit == target["commit"]))
+    new_pdf.loc[sel, "content"] = "class PatchedOnlyDoc: pass"
+    rebuild = _rebuild(spark, new_pdf, base)
+    _assert_equiv(spark, idx, rebuild, QUERIES + ["patchedonlydoc"])
