@@ -85,31 +85,50 @@ def _make_content(rng: random.Random, lang: str, row_idx: int) -> str:
     return content
 
 
+def _row_spec(seed: int, row_idx: int) -> tuple[str, str, str, str]:
+    """Deterministic per-row (repo, path, commit, lang) — independent of
+    any other row, so generation parallelizes (make_repos_spark)."""
+    rng = random.Random(f"{seed}:meta:{row_idx}")
+    repo = f"org{rng.randint(0, 4)}/proj{rng.randint(0, 3)}"
+    lang_pop = [l for l, w, _ in LANGS for _ in range(w)]
+    lang = rng.choice(lang_pop)
+    ext = next(e for l, _, e in LANGS if l == lang)
+    # ~10% of rows are an extra revision of the previous row's file
+    if row_idx > 0 and rng.random() < 0.1:
+        prev = _row_spec(seed, row_idx - 1)
+        repo, path, lang = prev[0], prev[1], prev[3]
+        commit = hashlib.sha1(f"{repo}:{path}:r{row_idx}".encode()).hexdigest()
+        return repo, path, commit, lang
+    path = (f"src/{_zipf_choice(rng, _ID_NOUNS)}/"
+            f"{_zipf_choice(rng, _ID_STEMS)}_{row_idx:06d}.{ext}")
+    commit = hashlib.sha1(f"{repo}:{path}:r0".encode()).hexdigest()
+    return repo, path, commit, lang
+
+
+def make_repo_row(seed: int, row_idx: int) -> dict:
+    repo, path, commit, lang = _row_spec(seed, row_idx)
+    rng = random.Random(f"{seed}:content:{row_idx}")
+    return {"repo": repo, "path": path, "commit": commit, "lang": lang,
+            "content": _make_content(rng, lang, row_idx)}
+
+
 def make_repos(n_rows: int = 2000, seed: int = 42) -> pd.DataFrame:
     """F1 primary corpus: (repo, path, commit, lang, content)."""
-    rng = random.Random(seed)
-    lang_pop = [l for l, w, _ in LANGS for _ in range(w)]
-    rows = []
-    i = 0
-    while len(rows) < n_rows:
-        repo = f"org{rng.randint(0, 4)}/proj{rng.randint(0, 3)}"
-        lang = rng.choice(lang_pop)
-        ext = next(e for l, _, e in LANGS if l == lang)
-        path = f"src/{_zipf_choice(rng, _ID_NOUNS)}/{_zipf_choice(rng, _ID_STEMS)}_{i:05d}.{ext}"
-        n_revs = rng.choices([1, 2, 3], weights=[90, 7, 3], k=1)[0]
-        for rev in range(n_revs):
-            if len(rows) >= n_rows:
-                break
-            commit = hashlib.sha1(f"{repo}:{path}:{rev}".encode()).hexdigest()
-            rows.append({
-                "repo": repo,
-                "path": path,
-                "commit": commit,
-                "lang": lang,
-                "content": _make_content(rng, lang, len(rows)),
-            })
-        i += 1
-    return pd.DataFrame(rows)
+    return pd.DataFrame([make_repo_row(seed, i) for i in range(n_rows)])
+
+
+def make_repos_spark(spark, n_rows: int, seed: int = 42, partitions: int = 32):
+    """Distributed deterministic corpus generation (row-parallel; the
+    output is independent of ``partitions``)."""
+    import pandas as pd  # noqa: F811
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame([make_repo_row(seed, int(i)) for i in pdf["id"]])
+
+    ids = spark.range(0, n_rows, numPartitions=partitions)
+    return ids.mapInPandas(
+        gen, "repo STRING, path STRING, commit STRING, lang STRING, content STRING")
 
 
 # --------------------------------------------------------- F4 products

@@ -36,7 +36,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bright_spark.analysis.tokenizer import count_terms
@@ -50,14 +50,27 @@ STAGING_TOKEN_COLS = "doc_len INT, _term_arr ARRAY<STRING>, _tf_arr ARRAY<INT>"
 # ------------------------------------------------------------ kernels
 
 def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
-                      filter_stopwords: bool, passthrough_cols: list[str]):
+                      filter_stopwords: bool, passthrough_cols: list[str],
+                      id_offsets: dict[int, int] | None = None):
     """mapInPandas kernel: content -> (term, tf) arrays + doc_len.
 
     Arrow-batched; the per-document Counter loop is unavoidable string
     work, but it runs inside the Python worker over whole record
-    batches (this is the T1-T5 chain from SURVEY.md §2.3)."""
+    batches (this is the T1-T5 chain from SURVEY.md §2.3).
+
+    When ``id_offsets`` is given (partition id -> starting doc_id) the
+    kernel also assigns dense deterministic doc_ids in place: the
+    input must be hash-partitioned on the natural key with exactly the
+    partition count the offsets were computed for, and sorted within
+    partitions — then doc_id = offset[pid] + running row index. This
+    fuses identity assignment into the tokenize pass (one data
+    materialization instead of staging + window + rewrite)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        next_id = None
+        if id_offsets is not None:
+            from pyspark import TaskContext
+            next_id = id_offsets.get(TaskContext.get().partitionId(), 0)
         for pdf in batches:
             texts = pdf[content_col].tolist()
             langs = pdf[lang_col].tolist() if lang_col else [None] * len(texts)
@@ -69,6 +82,11 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
                 tf_arr.append([c for _, c in items])
                 dlens.append(dl)
             out = pdf[passthrough_cols].copy()
+            if next_id is not None:
+                out["doc_id"] = pd.Series(
+                    range(next_id, next_id + len(pdf)), index=pdf.index,
+                    dtype="int64")
+                next_id += len(pdf)
             out["doc_len"] = pd.Series(dlens, index=pdf.index, dtype="int32")
             out["_term_arr"] = pd.Series(term_arr, index=pdf.index, dtype=object)
             out["_tf_arr"] = pd.Series(tf_arr, index=pdf.index, dtype=object)
@@ -189,7 +207,8 @@ class IndexBuilder:
         self.id_col = id_col
         self.lang_col = lang_col
         self.attr_cols = attr_cols
-        self.n_build_partitions = n_build_partitions
+        self.n_build_partitions = (n_build_partitions
+                                   or spark.sparkContext.defaultParallelism)
         self.filter_stopwords = filter_stopwords
 
     # -------------------------------------------------------- stage 1
@@ -202,7 +221,7 @@ class IndexBuilder:
             + list(self.attr_cols) + [self.content_col]
         ))
         src = source.select(*cols)
-        p = self.n_build_partitions or self.spark.sparkContext.defaultParallelism
+        p = self.n_build_partitions
 
         if self.id_col:
             # identity provided by the source (docID = stringified PK in
@@ -210,57 +229,40 @@ class IndexBuilder:
             keyed = (src.withColumnRenamed(self.id_col, "doc_id")
                         .withColumn("doc_id", F.col("doc_id").cast("bigint"))
                         .repartition(p, "doc_id"))
-            order_cols = ["doc_id"]
+            id_offsets = None
         else:
-            # deterministic dense ids by natural-key order: range
-            # partition + local sort now; global offsets after the
-            # staging write (no single-partition global sort — this is
-            # the 10^12-row-safe replacement for UUIDv7 fill, U6)
-            keyed = (src.repartitionByRange(p, *self.key_cols)
+            # deterministic dense doc_ids in ONE data pass (the 10^12-
+            # row-safe replacement for UUIDv7 fill, U6): a cheap key-
+            # only count pass fixes per-partition id offsets, then the
+            # tokenize kernel assigns doc_id = offset[pid] + local rank
+            # over hash(natural key) partitions sorted by key. Hash
+            # partitioning (not range) because Spark's murmur3 bucket
+            # is reproducible across jobs/runs — no sampled boundaries.
+            counts = {int(r["_pid"]): int(r["cnt"]) for r in (
+                src.select(*self.key_cols)
+                   .groupBy(F.pmod(F.hash(*self.key_cols), F.lit(p)).alias("_pid"))
+                   .agg(F.count("*").alias("cnt")).collect())}
+            id_offsets, acc = {}, 0
+            for pid in sorted(counts):
+                id_offsets[pid] = acc
+                acc += counts[pid]
+            keyed = (src.repartition(p, *self.key_cols)
                         .sortWithinPartitions(*self.key_cols))
-            order_cols = list(self.key_cols)
 
         keyed = keyed.withColumn("content_sha256", F.sha2(F.col(self.content_col), 256))
-        keyed = keyed.withColumn("_pid", F.spark_partition_id())
-
         passthrough = [c for c in keyed.columns]
         in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields)
-        out_schema = f"{in_schema}, {STAGING_TOKEN_COLS}"
+        id_part = "" if self.id_col else "doc_id BIGINT, "
+        out_schema = f"{in_schema}, {id_part}{STAGING_TOKEN_COLS}"
         tokenized = keyed.mapInPandas(
             _make_tokenize_fn(self.content_col, self.lang_col, cfg.tokenizer,
-                              self.filter_stopwords, passthrough),
+                              self.filter_stopwords, passthrough, id_offsets),
             schema=out_schema,
         )
-        if self.id_col:
-            # identity known up front: tokenized rows ARE the docs
-            # table — single write, no staging round trip
-            if not cfg.store_content:
-                tokenized = tokenized.drop(self.content_col)
-            (tokenized.sortWithinPartitions("doc_id")
-                      .write.mode("overwrite").parquet(self.catalog.docs_path))
-            return
-
-        staging = os.path.join(self.catalog.index_dir, "_staging")
-        tokenized.write.mode("overwrite").parquet(staging)
-
-        stg = self.spark.read.parquet(staging)
-        counts = {r["_pid"]: r["cnt"] for r in
-                  stg.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-        offsets, acc = {}, 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        off_df = self.spark.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid INT, _offset BIGINT")
-        w = Window.partitionBy("_pid").orderBy(*order_cols)
-        docs = (stg.join(F.broadcast(off_df), "_pid")
-                   .withColumn("doc_id",
-                               (F.col("_offset") + F.row_number().over(w) - 1))
-                   .drop("_offset"))
         if not cfg.store_content:
-            docs = docs.drop(self.content_col)
-        (docs.sortWithinPartitions("doc_id")
-             .write.mode("overwrite").parquet(self.catalog.docs_path))
+            tokenized = tokenized.drop(self.content_col)
+        (tokenized.sortWithinPartitions("doc_id")
+                  .write.mode("overwrite").parquet(self.catalog.docs_path))
 
     # -------------------------------------------------------- stage 2
 
@@ -273,7 +275,7 @@ class IndexBuilder:
             schema=("term STRING, range_id BIGINT, doc_ids ARRAY<BIGINT>, "
                     "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>"),
         )
-        n_merge = self.n_build_partitions or self.spark.sparkContext.defaultParallelism
+        n_merge = self.n_build_partitions
         merged = (partials
                   .repartition(n_merge, "term", "range_id")
                   .mapInPandas(_make_merge_fn(cfg.block_size, cfg.n_term_buckets),
@@ -330,6 +332,7 @@ class IndexBuilder:
             "lang_col": self.lang_col,
             "attr_cols": list(self.attr_cols),
             "filter_stopwords": self.filter_stopwords,
+            "n_build_partitions": self.n_build_partitions,
         })
         self.build_docs(source)
         self.build_postings()

@@ -117,6 +117,7 @@ class ResumableIndexBuilder:
             "lang_col": self.builder.lang_col,
             "attr_cols": list(self.builder.attr_cols),
             "filter_stopwords": self.builder.filter_stopwords,
+            "n_build_partitions": self.builder.n_build_partitions,
             "n_shards": self.n_shards,
         })
 

@@ -112,8 +112,7 @@ class IndexMutator:
             updates = (updates.withColumnRenamed(self.extra["id_col"], "doc_id")
                        .withColumn("doc_id", F.col("doc_id").cast("bigint")))
         src = updates.withColumn(
-            "content_sha256", F.sha2(F.col(b.content_col), 256)) \
-            .withColumn("_pid", F.lit(-1))
+            "content_sha256", F.sha2(F.col(b.content_col), 256))
         in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                               for f in src.schema.fields)
         tokenized = src.mapInPandas(

@@ -1,0 +1,82 @@
+"""spark-submit entrypoint: build an inverted index from a parquet
+source table (north rule: the pipeline runs via spark-submit
+--py-files at cluster scale).
+
+    spark-submit --py-files bright_spark.zip jobs/build_index.py \
+        --source /data/repos --index-dir /data/idx --partitions 2048
+
+Prints one JSON line with build timing/throughput (the scaling bench
+consumes it).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--source", required=True, help="source parquet path")
+    ap.add_argument("--index-dir", required=True)
+    ap.add_argument("--tokenizer", default="code", choices=["code", "simple"])
+    ap.add_argument("--content-col", default="content")
+    ap.add_argument("--id-col", default=None)
+    ap.add_argument("--key-cols", default="repo,path,commit")
+    ap.add_argument("--lang-col", default="lang")
+    ap.add_argument("--attr-cols", default="")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--range-bits", type=int, default=16)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--resumable", action="store_true")
+    ap.add_argument("--n-shards", type=int, default=16)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from bright_spark.models import IndexConfig
+    from bright_spark.session import get_spark
+
+    spark = get_spark("build_index", master=args.master,
+                      shuffle_partitions=args.partitions)
+    src = spark.read.parquet(args.source)
+    n_docs = src.count()
+
+    cfg = IndexConfig(id=os.path.basename(args.index_dir.rstrip("/")),
+                      tokenizer=args.tokenizer, range_bits=args.range_bits,
+                      n_term_buckets=args.buckets)
+    kwargs = dict(
+        content_col=args.content_col,
+        key_cols=tuple(c for c in args.key_cols.split(",") if c),
+        id_col=args.id_col,
+        lang_col=args.lang_col or None,
+        attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
+        n_build_partitions=args.partitions,
+    )
+
+    t0 = time.time()
+    if args.resumable:
+        from bright_spark.index.checkpoints import ResumableIndexBuilder
+        ResumableIndexBuilder(spark, cfg, args.index_dir,
+                              n_shards=args.n_shards, **kwargs).build(src)
+    else:
+        from bright_spark.index.builder import build_index
+        build_index(spark, src, args.index_dir, cfg, **kwargs)
+    build_sec = time.time() - t0
+
+    print(json.dumps({
+        "n_docs": n_docs,
+        "build_sec": round(build_sec, 3),
+        "docs_per_sec": round(n_docs / build_sec, 2),
+        "master": spark.sparkContext.master,
+        "partitions": args.partitions,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -55,13 +55,18 @@ def _wildcard_match(pattern: str, term: str) -> bool:
 class OracleIndex:
     def __init__(self, rows, *, content_col="content", key_cols=("repo", "path", "commit"),
                  id_col=None, lang_col="lang", mode="code", k1=1.2, b=0.75,
-                 filter_stopwords=False):
+                 filter_stopwords=False, n_partitions=8):
         self.mode = mode
         self.k1 = k1
         self.b = b
         self.content_col = content_col
         if id_col is None:
-            rows = sorted(rows, key=lambda r: tuple(r[c] for c in key_cols))
+            # engine doc_id order: (murmur3 hash partition, natural key)
+            # — see builder.build_docs / index.hashing
+            from bright_spark.index.hashing import partition_id
+            rows = sorted(rows, key=lambda r: (
+                partition_id([r[c] for c in key_cols], n_partitions),
+                tuple(r[c] for c in key_cols)))
         self.docs = []
         self.tfs: list[dict[str, int]] = []
         self.dls: list[int] = []

@@ -22,12 +22,15 @@ def test_doc_count_and_sha_identity(spark, built_index, repos_pdf):
         assert got[(row.repo, row.path, row.commit)] == expect
 
 
-def test_doc_ids_dense_and_natural_key_ordered(spark, built_index, oracle):
+def test_doc_ids_dense_and_deterministic(spark, built_index, oracle):
+    from bright_spark.index.hashing import partition_id
+    p = built_index.load_extra()["n_build_partitions"]
     rows = built_index.docs(spark).select("doc_id", "repo", "path", "commit").collect()
     by_id = sorted(rows, key=lambda r: r["doc_id"])
     assert [r["doc_id"] for r in by_id] == list(range(len(rows)))
     keys = [(r["repo"], r["path"], r["commit"]) for r in by_id]
-    assert keys == sorted(keys)
+    # engine order: (hash partition, natural key) — reproducible
+    assert keys == sorted(keys, key=lambda k: (partition_id(list(k), p), k))
     # oracle assigns ids the same way
     okeys = [(d["repo"], d["path"], d["commit"]) for d in oracle.docs]
     assert keys == okeys
