@@ -95,39 +95,57 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
     return fn
 
 
-def _make_partials_fn(range_bits: int):
-    """mapInPandas kernel: docs rows -> per-batch partial posting rows
-    (B1). Vectorized explode + group via lexsort/slice — no per-entry
-    Python."""
+def _make_partials_fn(range_bits: int, flush_docs: int = 32768):
+    """mapInPandas kernel: docs rows -> partial posting rows (B1).
+    Vectorized explode + group via lexsort/slice — no per-entry Python.
+    Input Arrow batches are accumulated to ~``flush_docs`` docs before
+    grouping: bigger map-side combines mean ~8x fewer partial rows into
+    the merge shuffle."""
+
+    def emit(pdfs: list[pd.DataFrame]) -> pd.DataFrame | None:
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        lens = pdf["_term_arr"].str.len().to_numpy(dtype=np.int64)
+        if lens.sum() == 0:
+            return None
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
+        dls = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), lens)
+        terms = np.concatenate(pdf["_term_arr"].to_numpy())
+        tfs = np.concatenate(pdf["_tf_arr"].to_numpy()).astype(np.int64)
+        ranges = doc_ids >> np.int64(range_bits)
+        codes, uniq_terms = pd.factorize(terms, sort=False)
+        order = np.lexsort((doc_ids, ranges, codes))
+        codes, ranges = codes[order], ranges[order]
+        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
+        boundary = np.flatnonzero(
+            np.diff(codes).astype(bool) | np.diff(ranges).astype(bool)
+        ) + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [len(codes)]))
+        return pd.DataFrame({
+            "term": uniq_terms[codes[starts]],
+            "range_id": ranges[starts],
+            "doc_ids": [doc_ids[s:e] for s, e in zip(starts, ends)],
+            "tfs": [tfs[s:e] for s, e in zip(starts, ends)],
+            "dls": [dls[s:e] for s, e in zip(starts, ends)],
+        })
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: list[pd.DataFrame] = []
+        n_acc = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            lens = pdf["_term_arr"].str.len().to_numpy(dtype=np.int64)
-            if lens.sum() == 0:
-                continue
-            doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
-            dls = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), lens)
-            terms = np.concatenate(pdf["_term_arr"].to_numpy())
-            tfs = np.concatenate(pdf["_tf_arr"].to_numpy()).astype(np.int64)
-            ranges = doc_ids >> np.int64(range_bits)
-            codes, uniq_terms = pd.factorize(terms, sort=False)
-            order = np.lexsort((doc_ids, ranges, codes))
-            codes, ranges = codes[order], ranges[order]
-            doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-            boundary = np.flatnonzero(
-                np.diff(codes).astype(bool) | np.diff(ranges).astype(bool)
-            ) + 1
-            starts = np.concatenate(([0], boundary))
-            ends = np.concatenate((boundary, [len(codes)]))
-            yield pd.DataFrame({
-                "term": uniq_terms[codes[starts]],
-                "range_id": ranges[starts],
-                "doc_ids": [doc_ids[s:e] for s, e in zip(starts, ends)],
-                "tfs": [tfs[s:e] for s, e in zip(starts, ends)],
-                "dls": [dls[s:e] for s, e in zip(starts, ends)],
-            })
+            acc.append(pdf)
+            n_acc += len(pdf)
+            if n_acc >= flush_docs:
+                out = emit(acc)
+                acc, n_acc = [], 0
+                if out is not None:
+                    yield out
+        if acc:
+            out = emit(acc)
+            if out is not None:
+                yield out
 
     return fn
 
@@ -160,22 +178,28 @@ def _make_merge_fn(block_size: int, n_buckets: int):
         ) + 1
         starts = np.concatenate(([0], boundary))
         ends = np.concatenate((boundary, [flat_code.size]))
-        out: dict[str, list] = {k: [] for k in (
-            "bucket", "term", "range_id", "df_chunk", "cf_chunk",
-            "first_doc", "max_doc", "n", "max_tf", "min_dl", "docs", "tfs", "dls")}
-        for s, e in zip(starts, ends):
-            term = str(uniq_terms[flat_code[s]])
-            blocks = codec.encode_blocks(flat_doc[s:e], flat_tf[s:e], flat_dl[s:e],
-                                         block_size)
-            out["bucket"].append(zlib.crc32(term.encode("utf-8")) % n_buckets)
-            out["term"].append(term)
-            out["range_id"].append(int(flat_range[s]))
-            out["df_chunk"].append(int(e - s))
-            out["cf_chunk"].append(int(flat_tf[s:e].sum()))
-            for k in ("first_doc", "max_doc", "n", "max_tf", "min_dl",
-                      "docs", "tfs", "dls"):
-                out[k].append(blocks[k])
-        yield pd.DataFrame(out)
+        blocks, block_group = codec.encode_blocks_bulk(
+            flat_doc, flat_tf, flat_dl, starts, block_size)
+        n_groups = starts.size
+        # block index range per group (block_group ascending)
+        gb = np.searchsorted(block_group, np.arange(n_groups + 1))
+        terms = [str(uniq_terms[c]) for c in flat_code[starts]]
+        cf = np.add.reduceat(flat_tf, starts)
+        yield pd.DataFrame({
+            "bucket": [zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms],
+            "term": terms,
+            "range_id": flat_range[starts],
+            "df_chunk": (ends - starts).astype(np.int32),
+            "cf_chunk": cf,
+            "first_doc": [blocks["first_doc"][gb[g]:gb[g + 1]] for g in range(n_groups)],
+            "max_doc": [blocks["max_doc"][gb[g]:gb[g + 1]] for g in range(n_groups)],
+            "n": [blocks["n"][gb[g]:gb[g + 1]] for g in range(n_groups)],
+            "max_tf": [blocks["max_tf"][gb[g]:gb[g + 1]] for g in range(n_groups)],
+            "min_dl": [blocks["min_dl"][gb[g]:gb[g + 1]] for g in range(n_groups)],
+            "docs": [blocks["docs"][gb[g]:gb[g + 1]] for g in range(n_groups)],
+            "tfs": [blocks["tfs"][gb[g]:gb[g + 1]] for g in range(n_groups)],
+            "dls": [blocks["dls"][gb[g]:gb[g + 1]] for g in range(n_groups)],
+        })
 
     return fn
 

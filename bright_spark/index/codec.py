@@ -39,11 +39,13 @@ DEFAULT_BLOCK_SIZE = 128
 
 # ---------------------------------------------------------------- varint
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative integer array (vectorized)."""
+def varint_encode_raw(values: np.ndarray):
+    """LEB128-encode a non-negative integer array (vectorized).
+    Returns (uint8 buffer, per-value byte counts) so callers can slice
+    per-segment byte ranges out of one bulk encode."""
     arr = np.asarray(values)
     if arr.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
     if arr.dtype.kind == "i" and arr.min() < 0:
         raise ValueError("varint_encode requires non-negative values")
     v = np.ascontiguousarray(arr, dtype=np.uint64)
@@ -71,7 +73,12 @@ def varint_encode(values: np.ndarray) -> bytes:
             break
         ai = np.flatnonzero(active)
         active[ai[~more]] = False
-    return out.tobytes()
+    return out, nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    buf, _ = varint_encode_raw(values)
+    return buf.tobytes()
 
 
 def varint_decode(buf: bytes | bytearray | memoryview) -> np.ndarray:
@@ -132,6 +139,81 @@ def encode_blocks(
         out["tfs"].append(varint_encode(t))
         out["dls"].append(varint_encode(l))
     return out
+
+
+def encode_blocks_bulk(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_starts: np.ndarray,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+):
+    """Encode MANY posting runs (concatenated, with ``group_starts``
+    marking run boundaries) in three bulk varint passes — identical
+    bytes to per-run :func:`encode_blocks`, but without per-run numpy
+    call overhead (the merge-kernel hot path: one partition may hold
+    hundreds of thousands of small runs).
+
+    Returns (per-block dict of numpy/bytes lists, block_group array
+    mapping each block to its run index).
+    """
+    n = doc_ids.size
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.int64)
+    dls = np.ascontiguousarray(dls, dtype=np.int64)
+    group_starts = np.ascontiguousarray(group_starts, dtype=np.int64)
+    g_ends = np.concatenate((group_starts[1:], [n]))
+    # block starts: every run restarts block segmentation
+    block_starts_parts = [
+        np.arange(s, e, block_size, dtype=np.int64)
+        for s, e in zip(group_starts, g_ends)
+    ]
+    block_starts = (np.concatenate(block_starts_parts)
+                    if block_starts_parts else np.empty(0, dtype=np.int64))
+    block_ends = np.concatenate((block_starts[1:], [n])) if n else block_starts
+    block_group = np.repeat(
+        np.arange(group_starts.size, dtype=np.int64),
+        [len(p) for p in block_starts_parts]) if n else block_starts
+    # deltas: global diff, zeroed at block starts (each block's first
+    # entry encodes 0 relative to its stored first_doc)
+    deltas = np.empty(n, dtype=np.int64)
+    if n:
+        deltas[0] = 0
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+        deltas[block_starts] = 0
+        if deltas.min() < 0:
+            raise ValueError("doc_ids must be strictly increasing within runs")
+        dup = deltas == 0
+        dup[block_starts] = False
+        if dup.any():
+            raise ValueError("duplicate doc_ids within a run")
+    # three bulk varint passes + per-block byte slicing
+    out: dict[str, list] = {}
+
+    def encode_all(vals):
+        buf, nbytes = varint_encode_raw(vals)
+        byte_ends = np.cumsum(nbytes)
+        raw = buf.tobytes()
+        # byte offset of each block start / end
+        bs = np.zeros(block_starts.size, dtype=np.int64)
+        nz = block_starts > 0
+        bs[nz] = byte_ends[block_starts[nz] - 1]
+        be = byte_ends[block_ends - 1] if n else bs
+        return [raw[s:e] for s, e in zip(bs, be)]
+
+    out["docs"] = encode_all(deltas.astype(np.uint64))
+    out["tfs"] = encode_all(tfs)
+    out["dls"] = encode_all(dls)
+    out["first_doc"] = doc_ids[block_starts].tolist() if n else []
+    out["max_doc"] = doc_ids[block_ends - 1].tolist() if n else []
+    out["n"] = (block_ends - block_starts).tolist()
+    if n:
+        out["max_tf"] = np.maximum.reduceat(tfs, block_starts).tolist()
+        out["min_dl"] = np.minimum.reduceat(dls, block_starts).tolist()
+    else:
+        out["max_tf"] = []
+        out["min_dl"] = []
+    return out, block_group
 
 
 def decode_block(first_doc: int, docs: bytes, tfs: bytes, dls: bytes):

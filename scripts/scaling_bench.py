@@ -53,7 +53,7 @@ def run_level(cpus: int) -> dict:
     env = {**os.environ, "SPARK_GRAFT_CPUS": str(cpus)}
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "jobs", "build_index.py"),
-         "--source", CORPUS, "--index-dir", idx,
+         "--source", CORPUS, "--index-dir", idx, "--trials", "2",
          "--partitions", str(cpus * 2), "--master", f"local[{cpus}]"],
         env=env, check=True, capture_output=True, text=True)
     build = json.loads(out.stdout.strip().splitlines()[-1])
