@@ -1,0 +1,99 @@
+"""Continuous source sync -> incremental index maintenance.
+
+The reference's ingress subsystem polls Postgres on an interval,
+applies inserted/updated rows and a trigger-fed delete feed to the
+index, and persists a crash-resumable low-watermark
+(ingresses/postgres/poller.go:67-274, schema.go:22-140,
+ingress.go:502-552). The LISTEN/NOTIFY push path (S7) batches change
+events into the same apply calls.
+
+Spark-native equivalent: a Structured Streaming file source over the
+changefeed directory; each micro-batch applies through
+``IndexMutator`` (upsert + tombstone deletes) inside ``foreachBatch``;
+the streaming checkpoint directory IS the low-watermark (exactly-once
+per batch because the mutation rewrites are idempotent for a given
+batch). ``availableNow`` gives catch-up-then-stop semantics — the
+batch analog of one poll cycle; a processing-time trigger gives the
+poll loop.
+
+Delete feed: rows with ``_deleted = true`` (the analog of
+``__bright_synchronization_deletes``) are applied as deletes of their
+natural key / id; other columns may be null in tombstones.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bright_spark.index.catalog import IndexCatalog
+from bright_spark.index.mutations import IndexMutator
+
+DELETED_COL = "_deleted"
+
+
+class StreamingIngestor:
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 checkpoint_dir: str | None = None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.catalog = IndexCatalog(index_dir)
+        self.checkpoint_dir = checkpoint_dir or os.path.join(
+            index_dir, "stream_checkpoint")
+
+    def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        """One micro-batch of the changefeed -> index mutations."""
+        mut = IndexMutator(self.spark, self.index_dir)
+        cols = batch.columns
+        if DELETED_COL in cols:
+            dels = batch.filter(F.col(DELETED_COL) == True)  # noqa: E712
+            ups = batch.filter((F.col(DELETED_COL).isNull())
+                               | (F.col(DELETED_COL) == False))  # noqa: E712
+        else:
+            dels, ups = None, batch
+        ups = ups.drop(DELETED_COL)
+        # cache: each mutation pass re-reads the batch
+        rows = ups.collect()
+        if rows:
+            mut.upsert(self.spark.createDataFrame(rows, ups.schema))
+        if dels is not None:
+            extra = self.catalog.load_extra()
+            keys = (["doc_id"] if extra.get("id_col")
+                    else list(extra.get("key_cols") or ()))
+            if extra.get("id_col"):
+                ids = [r[extra["id_col"]] for r in
+                       dels.select(extra["id_col"]).collect()]
+            else:
+                docs = self.catalog.docs(self.spark)
+                keyrows = dels.select(*keys).distinct()
+                ids = [r["doc_id"] for r in
+                       docs.join(keyrows, keys, "left_semi")
+                           .select("doc_id").collect()]
+            if ids:
+                mut.delete_ids(ids)
+
+    def run_available_now(self, source_dir: str, schema) -> None:
+        """Catch-up sync: process every unseen file in ``source_dir``
+        then stop (one reference poll cycle; resumable — the streaming
+        checkpoint records consumed files)."""
+        stream = (self.spark.readStream.schema(schema).parquet(source_dir))
+        q = (stream.writeStream
+             .foreachBatch(self.apply_batch)
+             .option("checkpointLocation", self.checkpoint_dir)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    def start_continuous(self, source_dir: str, schema,
+                         interval: str = "30 seconds"):
+        """Poll-loop analog (default interval mirrors the reference's
+        30s poll, ingresses/postgres/config.go:102-117). Returns the
+        StreamingQuery; caller stops it."""
+        stream = (self.spark.readStream.schema(schema).parquet(source_dir))
+        return (stream.writeStream
+                .foreachBatch(self.apply_batch)
+                .option("checkpointLocation", self.checkpoint_dir)
+                .trigger(processingTime=interval)
+                .start())

@@ -1,0 +1,71 @@
+"""S5/S7 analog: streaming incremental sync — catch-up batches apply
+upserts + tombstone deletes through the mutation path; the streaming
+checkpoint is the resumable low-watermark (files are not re-applied)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from bright_spark.fixtures import make_repos
+from bright_spark.index.builder import build_index
+from bright_spark.index.catalog import IndexCatalog
+from bright_spark.models import IndexConfig
+from bright_spark.query.engine import SearchEngine
+from bright_spark.streaming.ingest import StreamingIngestor
+
+SCHEMA = ("repo STRING, path STRING, commit STRING, lang STRING, "
+          "content STRING, _deleted BOOLEAN")
+
+
+def test_streaming_incremental_sync(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    pdf = make_repos(30, 21)
+    src = str(base / "src.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    idx = str(base / "idx")
+    build_index(spark, spark.read.parquet(src), idx, IndexConfig(id="s"),
+                n_build_partitions=4)
+    eng = SearchEngine(spark, idx)
+    n0 = eng.meta["n_docs"]
+    assert n0 == 30
+
+    feed = str(base / "feed")
+    os.makedirs(feed, exist_ok=True)
+    ing = StreamingIngestor(spark, idx, checkpoint_dir=str(base / "ckpt"))
+
+    # batch 1: one new doc + one updated doc
+    new_row = dict(pdf.iloc[0].to_dict())
+    new_row.update(commit="a" * 40, content="def streamed_new_doc(): pass",
+                   _deleted=None)
+    upd_row = dict(pdf.iloc[1].to_dict())
+    upd_row.update(content="class StreamedUpdatedDoc: pass", _deleted=None)
+    spark.createDataFrame([new_row, upd_row], SCHEMA).write.mode("overwrite") \
+        .parquet(os.path.join(feed, "b1"))
+    ing.run_available_now(os.path.join(feed, "b1"), SCHEMA)
+
+    eng = SearchEngine(spark, idx)
+    assert eng.meta["n_docs"] == 31
+    hits = eng.search_df("streamed_new_doc", k=5).collect()
+    assert len(hits) == 1
+    hits = eng.search_df("streamedupdateddoc", k=5).collect()
+    assert len(hits) == 1
+
+    # re-running the same feed is a no-op (checkpoint low-watermark)
+    ing.run_available_now(os.path.join(feed, "b1"), SCHEMA)
+    eng = SearchEngine(spark, idx)
+    assert eng.meta["n_docs"] == 31
+
+    # batch 2: tombstone delete of the updated doc
+    tomb = {k: upd_row[k] for k in ("repo", "path", "commit", "lang")}
+    tomb.update(content=None, _deleted=True)
+    ing2 = StreamingIngestor(spark, idx, checkpoint_dir=str(base / "ckpt2"))
+    spark.createDataFrame([tomb], SCHEMA).write.mode("overwrite") \
+        .parquet(os.path.join(feed, "b2"))
+    ing2.run_available_now(os.path.join(feed, "b2"), SCHEMA)
+
+    eng = SearchEngine(spark, idx)
+    assert eng.meta["n_docs"] == 30
+    assert eng.search_df("streamedupdateddoc", k=5).count() == 0
+    # untouched docs still searchable
+    assert eng.search_df("user", k=5).count() > 0
