@@ -33,6 +33,10 @@ from __future__ import annotations
 
 import re
 from collections import Counter
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
 
 MAX_TOKEN_LEN = 64  # guard against pathological minified blobs
 
@@ -55,6 +59,7 @@ def _code_base_tokens(text: str) -> list[str]:
     return _BASE_TOKEN_RE.findall(text)
 
 
+@lru_cache(maxsize=1 << 18)
 def _expand_identifier(tok: str) -> list[str]:
     """T2+T3: sub-tokens (lowercased) plus the whole lowercased token.
 
@@ -119,6 +124,104 @@ def count_terms(
     the BM25 field-length norm input, matching Bleve's token-count norm)."""
     terms = tokenize(text, mode, lang, filter_stopwords)
     return Counter(terms), len(terms)
+
+
+def count_terms_batch(
+    texts: list[str],
+    mode: str = "code",
+    langs: list[str | None] | None = None,
+    filter_stopwords: bool = False,
+) -> tuple[list[np.ndarray], list[np.ndarray], list[int]]:
+    """Vectorized T1-T5 over a whole Arrow batch: for each doc, the
+    sorted unique terms, their tfs, and doc_len. Semantically identical
+    to per-doc :func:`count_terms` + ``sorted(counts.items())`` (pytest
+    parity property), but the tallying is one factorize + lexsort over
+    the batch instead of a Python ``Counter`` per document — the regex
+    scan (C) is the only per-doc work left.
+    """
+    n = len(texts)
+    empty_s = np.empty(0, dtype=object)
+    empty_i = np.empty(0, dtype=np.int64)
+    if n == 0:
+        return [], [], []
+    if mode == "simple":
+        per_doc = [(t or "").lower().split() for t in texts]
+        per_doc = [[w for w in ws if len(w) <= MAX_TOKEN_LEN] for ws in per_doc]
+        doc_lens_arr = np.fromiter((len(ws) for ws in per_doc), np.int64, n)
+        flat_terms = np.array(
+            [w for ws in per_doc for w in ws], dtype=object)
+        flat_doc = np.repeat(np.arange(n, dtype=np.int64), doc_lens_arr)
+    elif mode == "code":
+        base_per_doc = [_BASE_TOKEN_RE.findall(t or "") for t in texts]
+        base_lens = np.fromiter((len(b) for b in base_per_doc), np.int64, n)
+        flat_base = [b if len(b) <= MAX_TOKEN_LEN else b[:MAX_TOKEN_LEN]
+                     for bs in base_per_doc for b in bs]
+        if not flat_base:
+            return ([empty_s] * n, [empty_i] * n, [0] * n)
+        codes, uniq = pd.factorize(np.array(flat_base, dtype=object), sort=False)
+        # expand each unique base token ONCE (lru-cached across batches)
+        exp_lists = [_expand_identifier(u) for u in uniq]
+        exp_len = np.fromiter((len(e) for e in exp_lists), np.int64, len(uniq))
+        exp_flat = np.array([t for e in exp_lists for t in e], dtype=object)
+        exp_start = np.concatenate(([0], np.cumsum(exp_len)[:-1]))
+        # ragged gather: occurrence j (base code c) emits exp_lists[c]
+        occ_doc = np.repeat(np.arange(n, dtype=np.int64), base_lens)
+        L = exp_len[codes]
+        total = int(L.sum())
+        offs = np.concatenate(([0], np.cumsum(L)[:-1]))
+        ar = (np.arange(total, dtype=np.int64) - np.repeat(offs, L)
+              + np.repeat(exp_start[codes], L))
+        flat_terms = exp_flat[ar]
+        flat_doc = np.repeat(occ_doc, L)
+    else:
+        raise ValueError(f"unknown tokenizer mode: {mode!r}")
+
+    if flat_terms.size == 0:
+        return ([empty_s] * n, [empty_i] * n, [0] * n)
+
+    tids, term_dict = pd.factorize(flat_terms, sort=False)
+    keep = None
+    lens_ok = np.fromiter((len(t) <= MAX_TOKEN_LEN for t in term_dict),
+                          bool, len(term_dict))
+    if not lens_ok.all():
+        keep = lens_ok[tids]
+    if filter_stopwords and mode == "code":
+        lang_keys = sorted({(l or "") for l in (langs or [])} | {""})
+        lang_idx_map = {l: i for i, l in enumerate(lang_keys)}
+        stop_2d = np.zeros((len(lang_keys), len(term_dict)), dtype=bool)
+        for l, li in lang_idx_map.items():
+            sw = LANG_STOPWORDS.get(l, frozenset())
+            if sw:
+                stop_2d[li] = np.fromiter(
+                    (t in sw for t in term_dict), bool, len(term_dict))
+        doc_lang = np.fromiter(
+            (lang_idx_map[(l or "")] for l in (langs or [None] * n)),
+            np.int64, n)
+        stop_hit = stop_2d[doc_lang[flat_doc], tids]
+        keep = ~stop_hit if keep is None else (keep & ~stop_hit)
+    if keep is not None:
+        flat_doc, tids = flat_doc[keep], tids[keep]
+    if flat_doc.size == 0:
+        return ([empty_s] * n, [empty_i] * n, [0] * n)
+
+    doc_len_out = np.bincount(flat_doc, minlength=n).astype(np.int64)
+    # lexicographic rank so per-doc output order == sorted(counts.items())
+    rank = np.empty(len(term_dict), dtype=np.int64)
+    rank[np.argsort(term_dict, kind="stable")] = np.arange(len(term_dict))
+    order = np.lexsort((rank[tids], flat_doc))
+    flat_doc, tids = flat_doc[order], tids[order]
+    boundary = np.flatnonzero(
+        np.diff(flat_doc).astype(bool) | np.diff(tids).astype(bool)) + 1
+    starts = np.concatenate(([0], boundary))
+    ends = np.concatenate((boundary, [flat_doc.size]))
+    g_doc = flat_doc[starts]
+    g_tid = tids[starts]
+    g_tf = (ends - starts).astype(np.int64)
+    g_terms = term_dict[g_tid]
+    doc_bounds = np.searchsorted(g_doc, np.arange(n + 1))
+    term_arrs = [g_terms[doc_bounds[d]:doc_bounds[d + 1]] for d in range(n)]
+    tf_arrs = [g_tf[doc_bounds[d]:doc_bounds[d + 1]] for d in range(n)]
+    return term_arrs, tf_arrs, [int(x) for x in doc_len_out]
 
 
 def analyze_query_term(term: str, mode: str = "code") -> list[str]:

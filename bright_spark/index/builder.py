@@ -29,6 +29,7 @@ aggregation over chunk counts (stage 3).
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import zlib
@@ -39,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bright_spark.analysis.tokenizer import count_terms
+from bright_spark.analysis.tokenizer import count_terms_batch
 from bright_spark.index import codec
 from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog
 from bright_spark.models import IndexConfig
@@ -54,9 +55,9 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
                       id_offsets: dict[int, int] | None = None):
     """mapInPandas kernel: content -> (term, tf) arrays + doc_len.
 
-    Arrow-batched; the per-document Counter loop is unavoidable string
-    work, but it runs inside the Python worker over whole record
-    batches (this is the T1-T5 chain from SURVEY.md §2.3).
+    Arrow-batched; tallying is one factorize + lexsort over the whole
+    record batch (count_terms_batch) — the per-doc regex scan is the
+    only per-document work (T1-T5 chain from SURVEY.md §2.3).
 
     When ``id_offsets`` is given (partition id -> starting doc_id) the
     kernel also assigns dense deterministic doc_ids in place: the
@@ -74,13 +75,8 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
         for pdf in batches:
             texts = pdf[content_col].tolist()
             langs = pdf[lang_col].tolist() if lang_col else [None] * len(texts)
-            term_arr, tf_arr, dlens = [], [], []
-            for text, lang in zip(texts, langs):
-                counts, dl = count_terms(text or "", mode, lang, filter_stopwords)
-                items = sorted(counts.items())
-                term_arr.append([t for t, _ in items])
-                tf_arr.append([c for _, c in items])
-                dlens.append(dl)
+            term_arr, tf_arr, dlens = count_terms_batch(
+                texts, mode, langs, filter_stopwords)
             out = pdf[passthrough_cols].copy()
             if next_id is not None:
                 out["doc_id"] = pd.Series(
@@ -285,8 +281,13 @@ class IndexBuilder:
         )
         if not cfg.store_content:
             tokenized = tokenized.drop(self.content_col)
-        (tokenized.sortWithinPartitions("doc_id")
-                  .write.mode("overwrite").parquet(self.catalog.docs_path))
+        if self.id_col:
+            # source-provided ids arrive hash-partitioned but unsorted
+            tokenized = tokenized.sortWithinPartitions("doc_id")
+        # offsets path: doc_id = offset[pid] + local rank over the
+        # already key-sorted partition — monotone within partition, so
+        # no extra sort pass is needed before the write
+        tokenized.write.mode("overwrite").parquet(self.catalog.docs_path)
 
     # -------------------------------------------------------- stage 2
 
@@ -348,7 +349,24 @@ class IndexBuilder:
 
     # ----------------------------------------------------------- main
 
+    def resolve_range_bits(self, source: DataFrame) -> None:
+        """Auto-size doc ranges (config.range_bits None): aim for ~8
+        ranges per parallel slot so the per-range query kernel and the
+        (term, range) merge both fan out, capped at 2**16-doc ranges
+        for web-scale corpora (B5 skew bound)."""
+        if self.config.range_bits is not None:
+            return
+        n_docs = source.count()
+        slots = self.spark.sparkContext.defaultParallelism
+        # ≥1024-doc spans keep postings row counts bounded (row count =
+        # Σ_term ranges_touched); the 4-per-slot target keeps the query
+        # kernel busy on every core at small corpus sizes
+        span = max(1024, n_docs // max(4 * slots, 1))
+        bits = min(16, max(10, int(span).bit_length() - 1))
+        self.config = dataclasses.replace(self.config, range_bits=bits)
+
     def build(self, source: DataFrame) -> IndexCatalog:
+        self.resolve_range_bits(source)
         self.catalog.save_config(self.config, extra={
             "content_col": self.content_col,
             "key_cols": list(self.key_cols),

@@ -110,6 +110,10 @@ class ResumableIndexBuilder:
         return os.path.join(self.segments_dir, f"seg_{shard:05d}")
 
     def build(self, source: DataFrame) -> IndexCatalog:
+        # deterministic resolution: a resumed run recounts the same
+        # source and lands on the same range_bits
+        self.builder.resolve_range_bits(source)
+        self.config = self.builder.config
         self.catalog.save_config(self.config, extra={
             "content_col": self.builder.content_col,
             "key_cols": list(self.builder.key_cols),

@@ -216,6 +216,34 @@ def encode_blocks_bulk(
     return out, block_group
 
 
+def decode_concat(bufs: list[bytes]) -> np.ndarray:
+    """Decode MANY varint buffers in ONE vectorized pass (uint64).
+    Varint framing is self-delimiting, so concatenation preserves the
+    value sequence; callers recover per-buffer slices from known value
+    counts (the stored per-block ``n``)."""
+    if not bufs:
+        return np.empty(0, dtype=np.uint64)
+    return varint_decode(b"".join(bufs))
+
+
+def decode_doc_blocks_bulk(first_docs: np.ndarray, ns: np.ndarray,
+                           doc_bufs: list[bytes]) -> np.ndarray:
+    """Bulk-decode the docID arrays of many blocks into one flat int64
+    array (query-kernel hot path — one varint pass + one cumsum instead
+    of a per-block Python loop). ``first_docs``/``ns`` are per-block;
+    each block's first delta is 0, so within-block prefix sums fall out
+    of one global cumsum re-based at block starts."""
+    deltas = decode_concat(doc_bufs).astype(np.int64)
+    if deltas.size == 0:
+        return np.empty(0, dtype=np.int64)
+    ns = np.ascontiguousarray(ns, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(ns)[:-1]))
+    c = np.cumsum(deltas)
+    rebase = np.repeat(
+        np.ascontiguousarray(first_docs, dtype=np.int64) - c[starts], ns)
+    return c + rebase
+
+
 def decode_block(first_doc: int, docs: bytes, tfs: bytes, dls: bytes):
     """One block -> (doc_ids int64, tfs int64, dls int64)."""
     d = varint_decode(docs).astype(np.int64)

@@ -35,7 +35,12 @@ class IndexConfig:
     b: float = 0.75
     tokenizer: str = "code"  # "code" | "simple" (whitespace)
     block_size: int = 128  # posting docs per compressed block
-    range_bits: int = 16  # doc-range chunk = 2**range_bits doc ids
+    # doc-range chunk = 2**range_bits doc ids. None = auto-resolved at
+    # build time so the corpus yields ~8 ranges per parallel slot (the
+    # query kernel parallelizes over ranges; a fixed 16 would leave a
+    # small corpus with one range = one task, while 10^12 docs cap at
+    # 2**16-doc ranges as SURVEY.md §2.4 B5 describes).
+    range_bits: int | None = None
     n_term_buckets: int = 16  # hash(term) partition buckets of `postings`
     store_content: bool = True  # keep raw content in docs table (R3 retrieve)
 

@@ -98,8 +98,11 @@ class SearchEngine:
 
     # ------------------------------------------------------- wand path
 
-    def _wand_hits(self, aq: AnalyzedQuery, k: int, prune: bool = True) -> DataFrame:
-        """Per-range kernel -> (doc_id, score, range_id, range_matched)."""
+    def _wand_hits(self, aq: AnalyzedQuery, k: int, prune: bool = True,
+                   need_total: bool = True) -> DataFrame:
+        """Per-range kernel -> (doc_id, score, range_id, range_matched).
+        ``need_total=False`` lets the pruned kernel skip the exact
+        match count (range_matched = -1) — top-k only callers."""
         weights = self._term_weights(aq)
         must_groups = [[s.term for s in g if s.term in weights] if any(s.term in weights for s in g) else []
                        for g in aq.must_groups]
@@ -119,13 +122,10 @@ class SearchEngine:
         rows = self.catalog.postings_for_terms(self.spark, needed)
 
         def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-            terms: dict[str, scorer.TermPostings] = {}
-            for term, grp in pdf.groupby("term", sort=False):
-                w = weights.get(term, 0.0)
-                terms[str(term)] = scorer.TermPostings(w, grp.to_dict("records"))
             docs, scores, n_matched = scorer.score_range_topk(
-                terms, must_groups, should, must_not,
-                k=k, avgdl=avgdl, k1=k1, b=b, prune=prune)
+                pdf, weights, must_groups, should, must_not,
+                k=k, avgdl=avgdl, k1=k1, b=b, prune=prune,
+                need_total=need_total)
             return pd.DataFrame({
                 "doc_id": docs, "score": scores,
                 "range_id": np.full(docs.size, int(key[0]), dtype=np.int64),
@@ -140,26 +140,30 @@ class SearchEngine:
         """Decoded (term, doc_id, tf, dl) view — vectorized varint
         decode in mapInPandas; everything downstream is built-in ops."""
         rows = self.catalog.postings_for_terms(self.spark, terms)
-        sel = rows.select("term", "first_doc", "docs", "tfs", "dls")
+        sel = rows.select("term", "first_doc", "n", "docs", "tfs", "dls")
 
         def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from bright_spark.index import codec
             for pdf in batches:
-                ds, ts, ls, names = [], [], [], []
-                for row in pdf.itertuples(index=False):
-                    for fd, db, tb, lb in zip(row.first_doc, row.docs, row.tfs, row.dls):
-                        d, t, l = codec.decode_block(int(fd), db, tb, lb)
-                        ds.append(d)
-                        ts.append(t)
-                        ls.append(l)
-                        names.append(np.full(d.size, row.term, dtype=object))
-                if not ds:
+                if not len(pdf):
                     continue
+                nb = pdf["first_doc"].str.len().to_numpy(dtype=np.int64)
+                first = np.concatenate(pdf["first_doc"].to_numpy()).astype(np.int64)
+                ns = np.concatenate(pdf["n"].to_numpy()).astype(np.int64)
+                bufs_d = [buf for row in pdf["docs"] for buf in row]
+                bufs_t = [buf for row in pdf["tfs"] for buf in row]
+                bufs_l = [buf for row in pdf["dls"] for buf in row]
+                if not bufs_d:
+                    continue
+                d = codec.decode_doc_blocks_bulk(first, ns, bufs_d)
+                t = codec.decode_concat(bufs_t).astype(np.int64)
+                l = codec.decode_concat(bufs_l).astype(np.int64)
+                block_terms = np.repeat(pdf["term"].to_numpy(), nb)
                 yield pd.DataFrame({
-                    "term": np.concatenate(names),
-                    "doc_id": np.concatenate(ds),
-                    "tf": np.concatenate(ts),
-                    "dl": np.concatenate(ls),
+                    "term": np.repeat(block_terms, ns),
+                    "doc_id": d,
+                    "tf": t,
+                    "dl": l,
                 })
 
         return sel.mapInPandas(decode_fn, "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT")
@@ -297,7 +301,8 @@ class SearchEngine:
             mode == "auto" and aq.has_positive and not aq.attr_preds
             and not aq.phrases and not aq.is_match_all)
         if use_wand:
-            hits = self._wand_hits(aq, k, prune=prune).select("doc_id", "score")
+            hits = (self._wand_hits(aq, k, prune=prune, need_total=False)
+                    .select("doc_id", "score"))
         else:
             hits = self._relational_hits(aq)
         return hits.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -2,30 +2,39 @@
 
 The reference's scoring runs inside Bleve's TopNCollector over a
 searcher tree (`handlers/search.go:140`). Ours is an Arrow-batch
-kernel executed per doc-range chunk via ``applyInPandas``:
+kernel executed per doc-range chunk via ``applyInPandas``, operating on
+FLAT block-level numpy arrays for every query term at once — there is
+no per-term (let alone per-document) Python object churn, so a
+1,000-term wildcard expansion costs barely more than a 2-term query:
 
 - BM25 (k1=1.2, b=0.75 defaults; BASELINE.json pins BM25 over Bleve
   2.4's tf-idf default):
       idf(t)      = ln(1 + (N - df + 0.5) / (df + 0.5))
       tfn(tf, dl) = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
       score(d)    = sum_t boost_t * idf_t * tfn(tf_td, dl_d)
-- Block-max pruning: every posting block stores (max_tf, min_dl);
-  ``tfn`` is increasing in tf and decreasing in dl, so
+- Decoding is bulk: the varint buffers of every selected block are
+  concatenated and decoded in ONE vectorized pass
+  (codec.decode_doc_blocks_bulk / decode_concat).
+- Block-max pruning (disjunctions): every block stores (max_tf,
+  min_dl); ``tfn`` is increasing in tf and decreasing in dl, so
   ``boost*idf*tfn(max_tf, min_dl)`` evaluated with *current* corpus
-  stats upper-bounds every entry in the block. The kernel:
+  stats upper-bounds every entry. The kernel:
     1. builds a block-interval upper-bound envelope over docID space
-       (vectorized event sweep — no per-doc loop),
-    2. exactly scores a seed set (the blocks of the highest-impact
-       term) to establish the top-k threshold θ,
-    3. decodes + scores only blocks overlapping envelope intervals
-       with UB > θ.
-  This is block-max WAND semantics (exact top-k, block-granular
-  skips) restructured from a per-document cursor walk into three
-  numpy passes, because per-document Python loops are the one thing
-  an Arrow-batch UDF must never do (input_hint: "no per-row Python").
-- Conjunctions intersect rarest-term-first (SURVEY.md §4: Bleve's
-  boolean searcher orders by cost); exclusions are vectorized
-  ``isin`` filters.
+       (vectorized event sweep),
+    2. scores the single highest-impact term's postings exactly to
+       seed the top-k threshold θ (each seed contribution lower-bounds
+       that doc's full score),
+    3. bulk-decodes + scores only blocks overlapping envelope
+       intervals with UB ≥ θ.
+  Exactness argument: a doc whose true score can reach θ has all its
+  posting entries inside UB≥θ intervals (its docID lies in one
+  interval, and every block containing it overlaps that interval), so
+  its accumulated sum is exact; docs partially covered by selected
+  blocks accumulate partial sums ≤ true score < θ and cannot displace
+  the ≥ k exactly-scored docs with score ≥ θ.
+- Conjunctions intersect rarest-group-first (SURVEY.md §4: Bleve's
+  boolean searcher orders by cost) with block-granular span skipping;
+  exclusions are vectorized membership filters.
 
 Exactness of the pruned path vs the exhaustive path is a pytest
 property (WAND result == no-pruning result, SURVEY.md §7 step 3 exit).
@@ -36,6 +45,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 
 from bright_spark.index import codec
 
@@ -50,108 +60,109 @@ def tf_norm(tf, dl, avgdl: float, k1: float, b: float):
     return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / max(avgdl, 1e-9)))
 
 
-class TermPostings:
-    """Decoded-on-demand posting row(s) of one term within one range."""
+_EMPTY_I = np.empty(0, dtype=np.int64)
+_EMPTY_F = np.empty(0, dtype=np.float64)
 
-    def __init__(self, weight: float, rows: list[dict]):
-        self.weight = weight  # boost * idf
-        # concatenate parallel block arrays over the term's rows
-        self.first_doc = np.concatenate([np.asarray(r["first_doc"], dtype=np.int64) for r in rows])
-        self.max_doc = np.concatenate([np.asarray(r["max_doc"], dtype=np.int64) for r in rows])
-        self.max_tf = np.concatenate([np.asarray(r["max_tf"], dtype=np.int64) for r in rows])
-        self.min_dl = np.concatenate([np.asarray(r["min_dl"], dtype=np.int64) for r in rows])
-        self.docs_bin = [d for r in rows for d in r["docs"]]
-        self.tfs_bin = [d for r in rows for d in r["tfs"]]
-        self.dls_bin = [d for r in rows for d in r["dls"]]
-        self.df = int(sum(int(r["df_chunk"]) for r in rows))
-        self._doc_cache: dict[int, np.ndarray] = {}
-        self._full_cache = None
+
+class RangeBlocks:
+    """Flat block-level view of ALL posting rows of one doc-range group.
+
+    Parallel arrays, one element per block: owning term code, skip
+    bounds, (max_tf, min_dl) metadata, and the raw varint buffers.
+    """
+
+    def __init__(self, pdf: pd.DataFrame, weights: dict[str, float]):
+        codes, uniq = pd.factorize(pdf["term"].to_numpy(), sort=False)
+        self.terms = [str(t) for t in uniq]
+        self.code_of = {t: c for c, t in enumerate(self.terms)}
+        self.w = np.array([weights.get(t, 0.0) for t in self.terms],
+                          dtype=np.float64)
+        self.df_of_code = np.zeros(len(self.terms), dtype=np.int64)
+        np.add.at(self.df_of_code, codes,
+                  pdf["df_chunk"].to_numpy(dtype=np.int64))
+        nb = pdf["first_doc"].str.len().to_numpy(dtype=np.int64)
+        self.b_code = np.repeat(codes, nb)
+        cat = (np.concatenate(pdf["first_doc"].to_numpy())
+               if len(pdf) else _EMPTY_I)
+        self.b_first = np.asarray(cat, dtype=np.int64)
+        self.b_max = (np.concatenate(pdf["max_doc"].to_numpy()).astype(np.int64)
+                      if len(pdf) else _EMPTY_I)
+        self.b_n = (np.concatenate(pdf["n"].to_numpy()).astype(np.int64)
+                    if len(pdf) else _EMPTY_I)
+        self.b_maxtf = (np.concatenate(pdf["max_tf"].to_numpy()).astype(np.int64)
+                        if len(pdf) else _EMPTY_I)
+        self.b_mindl = (np.concatenate(pdf["min_dl"].to_numpy()).astype(np.int64)
+                        if len(pdf) else _EMPTY_I)
+        self.b_docs: list[bytes] = [buf for row in pdf["docs"] for buf in row]
+        self.b_tfs: list[bytes] = [buf for row in pdf["tfs"] for buf in row]
+        self.b_dls: list[bytes] = [buf for row in pdf["dls"] for buf in row]
 
     def n_blocks(self) -> int:
-        return len(self.docs_bin)
+        return self.b_code.size
 
-    def block_bounds(self, avgdl: float, k1: float, b: float) -> np.ndarray:
+    def codes_for(self, terms: list[str]) -> np.ndarray:
+        return np.array(sorted(self.code_of[t] for t in terms
+                               if t in self.code_of), dtype=np.int64)
+
+    def block_sel(self, codes: np.ndarray) -> np.ndarray:
+        """Block indices owned by any of the given term codes."""
+        if codes.size == 0:
+            return _EMPTY_I
+        return np.flatnonzero(np.isin(self.b_code, codes))
+
+    def bounds(self, avgdl: float, k1: float, b: float) -> np.ndarray:
         """Per-block score upper bound (sound under current stats)."""
-        return self.weight * tf_norm(self.max_tf, self.min_dl, avgdl, k1, b)
+        return self.w[self.b_code] * tf_norm(
+            self.b_maxtf, self.b_mindl, avgdl, k1, b)
 
-    def decode_doc_ids(self, block_idx: int) -> np.ndarray:
-        got = self._doc_cache.get(block_idx)
-        if got is None:
-            d = codec.varint_decode(self.docs_bin[block_idx]).astype(np.int64)
-            np.cumsum(d, out=d)
-            d += self.first_doc[block_idx]
-            self._doc_cache[block_idx] = got = d
-        return got
+    # ------------------------------------------------------ bulk decode
 
-    def decode_blocks(self, block_idxs: np.ndarray):
-        """(doc_ids, tfs, dls) concatenated over the given blocks."""
-        ds, ts, ls = [], [], []
-        for i in block_idxs:
-            i = int(i)
-            ds.append(self.decode_doc_ids(i))
-            ts.append(codec.varint_decode(self.tfs_bin[i]).astype(np.int64))
-            ls.append(codec.varint_decode(self.dls_bin[i]).astype(np.int64))
-        if not ds:
-            z = np.empty(0, dtype=np.int64)
-            return z, z.copy(), z.copy()
-        return np.concatenate(ds), np.concatenate(ts), np.concatenate(ls)
+    def decode_docs(self, bsel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(flat doc_ids, per-entry block index) for selected blocks."""
+        if bsel.size == 0:
+            return _EMPTY_I, _EMPTY_I
+        d = codec.decode_doc_blocks_bulk(
+            self.b_first[bsel], self.b_n[bsel],
+            [self.b_docs[int(i)] for i in bsel])
+        return d, np.repeat(bsel, self.b_n[bsel])
 
-    def decode_all(self):
-        if self._full_cache is None:
-            self._full_cache = self.decode_blocks(np.arange(self.n_blocks()))
-        return self._full_cache
+    def decode_full(self, bsel: np.ndarray):
+        """(doc_ids, tfs, dls, per-entry block idx) for selected blocks."""
+        if bsel.size == 0:
+            return _EMPTY_I, _EMPTY_I, _EMPTY_I, _EMPTY_I
+        d, eb = self.decode_docs(bsel)
+        tf = codec.decode_concat(
+            [self.b_tfs[int(i)] for i in bsel]).astype(np.int64)
+        dl = codec.decode_concat(
+            [self.b_dls[int(i)] for i in bsel]).astype(np.int64)
+        return d, tf, dl, eb
 
-    def all_doc_ids(self) -> np.ndarray:
-        return np.concatenate(
-            [self.decode_doc_ids(i) for i in range(self.n_blocks())]
-        ) if self.n_blocks() else np.empty(0, dtype=np.int64)
+    def union_docs(self, codes: np.ndarray) -> np.ndarray:
+        """Sorted unique docIDs matching ANY of the term codes."""
+        d, _ = self.decode_docs(self.block_sel(codes))
+        return np.unique(d) if d.size else _EMPTY_I
 
 
-def _accumulate(pairs: list[tuple[np.ndarray, np.ndarray]]):
-    """Sum (doc_ids, scores) contributions -> unique doc_ids, totals.
+def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
 
-    Deterministic: contributions are added per unique doc via np.add.at
-    in the caller-provided (sorted-term) order.
-    """
-    if not pairs:
-        z = np.empty(0, dtype=np.int64)
-        return z, np.empty(0, dtype=np.float64)
-    all_docs = np.concatenate([p[0] for p in pairs])
-    uniq, inv = np.unique(all_docs, return_inverse=True)
+
+def _accumulate_entries(d, tf, dl, eb, rb: "RangeBlocks",
+                        avgdl: float, k1: float, b: float):
+    """Sum per-entry contributions into (unique docs, totals)."""
+    if d.size == 0:
+        return _EMPTY_I, _EMPTY_F
+    contrib = rb.w[rb.b_code[eb]] * tf_norm(tf, dl, avgdl, k1, b)
+    uniq, inv = np.unique(d, return_inverse=True)
     totals = np.zeros(uniq.size, dtype=np.float64)
-    off = 0
-    for d, s in pairs:
-        np.add.at(totals, inv[off : off + d.size], s)
-        off += d.size
+    np.add.at(totals, inv, contrib)
     return uniq, totals
 
 
-def _group_doc_ids(terms: dict[str, TermPostings], group: list[str],
-                   span: tuple[int, int] | None = None) -> np.ndarray:
-    """Sorted unique docIDs matching ANY term of the group, optionally
-    restricted (block-granular skip) to a candidate docID span."""
-    parts = []
-    for t in group:
-        tp = terms.get(t)
-        if tp is None:
-            continue
-        if span is None:
-            parts.append(tp.all_doc_ids())
-        else:
-            lo, hi = span
-            bsel = np.flatnonzero((tp.max_doc >= lo) & (tp.first_doc <= hi))
-            if bsel.size:
-                parts.append(np.concatenate(
-                    [tp.decode_doc_ids(int(i)) for i in bsel]))
-    if not parts:
-        return np.empty(0, dtype=np.int64)
-    if len(parts) == 1:
-        return parts[0]
-    return np.unique(np.concatenate(parts))
-
-
 def score_range_topk(
-    terms: dict[str, TermPostings],
+    pdf: pd.DataFrame,
+    weights: dict[str, float],
     must_groups: list[list[str]],
     should: list[str],
     must_not: list[str],
@@ -160,157 +171,140 @@ def score_range_topk(
     k1: float,
     b: float,
     prune: bool = True,
+    need_total: bool = True,
 ):
-    """Exact top-k for one doc-range chunk.
+    """Exact top-k for one doc-range chunk of posting rows.
 
     Returns (doc_ids desc-by-(score, doc_id asc), scores, n_matched).
-    ``terms`` maps term -> TermPostings (only terms present in this
-    range appear). A must group is satisfied by any of its terms
+    ``pdf`` holds the postings rows (every term of the query present in
+    this range). A must group is satisfied by any of its terms
     (wildcard/fuzzy expansions); must_not terms exclude; scoring terms
-    are all must-group members + should terms.
+    are all must-group members + should terms. ``n_matched`` is -1 when
+    ``need_total`` is False and the pruned path skipped the exact count.
     """
+    rb = RangeBlocks(pdf, weights)
     must_groups = [sorted(set(g)) for g in must_groups]
-    scoring = sorted(
-        {t for g in must_groups for t in g if t in terms}
-        | {t for t in should if t in terms}
-    )
+    scoring_terms = sorted(
+        {t for g in must_groups for t in g if weights.get(t)}
+        | {t for t in should if weights.get(t)})
+    scoring = rb.codes_for(scoring_terms)
 
     excl: np.ndarray | None = None
     if must_not:
-        parts = [terms[t].all_doc_ids() for t in sorted(set(must_not)) if t in terms]
-        if parts:
-            excl = np.unique(np.concatenate(parts))
+        ex = rb.union_docs(rb.codes_for(sorted(set(must_not))))
+        excl = ex if ex.size else None
 
-    if not scoring:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), 0)
+    if scoring.size == 0:
+        return _EMPTY_I, _EMPTY_F, 0
 
     # ---------------- conjunctive path: rarest-first intersection (Q6)
     if must_groups:
-        # order groups by total df ascending (Bleve orders searchers by
-        # cost); an empty/absent group means no hits in this range
-        def group_df(g):
-            return sum(terms[t].df for t in g if t in terms)
-        ordered = sorted(must_groups, key=lambda g: (group_df(g), g))
-        cand = _group_doc_ids(terms, ordered[0])
-        for g in ordered[1:]:
+        group_codes = [rb.codes_for(g) for g in must_groups]
+        if any(g.size == 0 for g in group_codes):
+            return _EMPTY_I, _EMPTY_F, 0  # absent conjunct in this range
+        order = sorted(range(len(group_codes)),
+                       key=lambda i: int(rb.df_of_code[group_codes[i]].sum()))
+        cand = rb.union_docs(group_codes[order[0]])
+        for gi in order[1:]:
             if cand.size == 0:
                 break
-            ids = _group_doc_ids(terms, g, span=(int(cand[0]), int(cand[-1])))
+            lo, hi = int(cand[0]), int(cand[-1])
+            bsel = rb.block_sel(group_codes[gi])
+            bsel = bsel[(rb.b_max[bsel] >= lo) & (rb.b_first[bsel] <= hi)]
+            ids, _ = rb.decode_docs(bsel)
+            ids = np.unique(ids)
             cand = cand[np.isin(cand, ids, assume_unique=True)]
         if excl is not None and cand.size:
             cand = cand[~np.isin(cand, excl, assume_unique=True)]
         if cand.size == 0:
-            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), 0)
-        # exact scores for candidates over all scoring terms
+            return _EMPTY_I, _EMPTY_F, 0
+        # exact scores: decode only scoring blocks containing a candidate
+        bsel = rb.block_sel(scoring)
+        j_lo = np.searchsorted(cand, rb.b_first[bsel])
+        j_hi = np.searchsorted(cand, rb.b_max[bsel], side="right")
+        bsel = bsel[j_hi > j_lo]
+        d, tf, dl, eb = rb.decode_full(bsel)
+        pos = np.searchsorted(cand, d)
+        pos_c = np.clip(pos, 0, cand.size - 1)
+        hit = cand[pos_c] == d
         totals = np.zeros(cand.size, dtype=np.float64)
-        for t in scoring:
-            tp = terms[t]
-            d, tf, dl = tp.decode_all()
-            pos = np.searchsorted(d, cand)
-            pos_c = np.clip(pos, 0, d.size - 1)
-            hit = d[pos_c] == cand
-            sc = tp.weight * tf_norm(tf[pos_c], dl[pos_c], avgdl, k1, b)
-            totals += np.where(hit, sc, 0.0)
+        contrib = rb.w[rb.b_code[eb]] * tf_norm(tf, dl, avgdl, k1, b)
+        np.add.at(totals, pos_c[hit], contrib[hit])
         n_matched = int(cand.size)
-        order = np.lexsort((cand, -totals))[:k]
-        return cand[order], totals[order], n_matched
+        docs, scores = _topk(cand, totals, k)
+        return docs, scores, n_matched
 
     # ---------------- disjunctive path: block-max pruned union (Q7/Q15)
-    tps = [terms[t] for t in scoring]
-
-    # exact match count (docID union) — Bleve reports exact totalHits
-    union_parts = [tp.all_doc_ids() for tp in tps]
-    union = np.unique(np.concatenate(union_parts))
-    if excl is not None:
-        union = union[~np.isin(union, excl, assume_unique=True)]
-    n_matched = int(union.size)
-    if n_matched == 0:
-        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64), 0)
-
-    if not prune or n_matched <= 4 * max(k, 1) or len(tps) == 1:
-        pairs = []
-        for tp in tps:
-            d, tf, dl = tp.decode_all()
-            pairs.append((d, tp.weight * tf_norm(tf, dl, avgdl, k1, b)))
-        docs, totals = _accumulate(pairs)
+    score_bsel = rb.block_sel(scoring)
+    n_matched = -1
+    if need_total:
+        d_all, _ = rb.decode_docs(score_bsel)
+        union = np.unique(d_all)
         if excl is not None:
+            union = union[~np.isin(union, excl, assume_unique=True)]
+        n_matched = int(union.size)
+        if n_matched == 0:
+            return _EMPTY_I, _EMPTY_F, 0
+
+    total_entries = int(rb.b_n[score_bsel].sum())
+    if not prune or total_entries <= 8 * max(k, 1) or scoring.size == 1:
+        d, tf, dl, eb = rb.decode_full(score_bsel)
+        docs, totals = _accumulate_entries(d, tf, dl, eb, rb, avgdl, k1, b)
+        if excl is not None and docs.size:
             keep = ~np.isin(docs, excl, assume_unique=True)
             docs, totals = docs[keep], totals[keep]
-        order = np.lexsort((docs, -totals))[:k]
-        return docs[order], totals[order], n_matched
+        if not need_total:
+            n_matched = int(docs.size)
+        docs, scores = _topk(docs, totals, k)
+        return docs, scores, n_matched
+
+    ubs_all = rb.bounds(avgdl, k1, b)
 
     # --- pass 1: upper-bound envelope over docID space (event sweep)
-    starts = np.concatenate([tp.first_doc for tp in tps])
-    ends = np.concatenate([tp.max_doc for tp in tps])
-    ubs = np.concatenate([tp.block_bounds(avgdl, k1, b) for tp in tps])
+    starts = rb.b_first[score_bsel]
+    ends = rb.b_max[score_bsel]
+    ubs = ubs_all[score_bsel]
     events = np.concatenate([starts, ends + 1])
     deltas = np.concatenate([ubs, -ubs])
     order_e = np.argsort(events, kind="stable")
     events, deltas = events[order_e], deltas[order_e]
-    bounds_at = np.cumsum(deltas)  # envelope value after each event
-    # unique event positions (envelope is piecewise constant between)
+    bounds_at = np.cumsum(deltas)
     uniq_pos, last_idx = np.unique(events, return_index=True)
-    # cumulative at the LAST occurrence of each position
     next_start = np.concatenate([last_idx[1:], [events.size]])
     env = bounds_at[next_start - 1]
 
-    # --- pass 2: seed θ with exact scores of the highest-impact term's docs
-    seed_tp = max(tps, key=lambda tp: float(tp.block_bounds(avgdl, k1, b).max()))
-    seed_docs = seed_tp.all_doc_ids()
-    if excl is not None:
-        seed_docs = seed_docs[~np.isin(seed_docs, excl, assume_unique=True)]
-    seed_scores = np.zeros(seed_docs.size, dtype=np.float64)
-    for tp in tps:
-        d, tf, dl = tp.decode_all()
-        pos = np.searchsorted(d, seed_docs)
-        pos_c = np.clip(pos, 0, max(d.size - 1, 0))
-        hit = (d[pos_c] == seed_docs) if d.size else np.zeros(seed_docs.size, bool)
-        sc = tp.weight * tf_norm(tf[pos_c], dl[pos_c], avgdl, k1, b) if d.size else 0.0
-        seed_scores += np.where(hit, sc, 0.0)
-    if seed_docs.size >= k:
-        theta = float(np.partition(seed_scores, seed_docs.size - k)[seed_docs.size - k])
+    # --- pass 2: seed θ from the highest-impact term's own postings
+    # (each seed contribution lower-bounds that doc's full score, so
+    # θ = kth largest seed contribution is a sound threshold)
+    per_code_ub = np.zeros(rb.w.size, dtype=np.float64)
+    np.maximum.at(per_code_ub, rb.b_code[score_bsel], ubs)
+    seed_code = int(np.argmax(per_code_ub))
+    seed_bsel = rb.block_sel(np.array([seed_code]))
+    sd, stf, sdl, seb = rb.decode_full(seed_bsel)
+    if excl is not None and sd.size:
+        keep = ~np.isin(sd, excl)
+        sd, stf, sdl = sd[keep], stf[keep], sdl[keep]
+    seed_contrib = rb.w[seed_code] * tf_norm(stf, sdl, avgdl, k1, b)
+    if sd.size >= k:
+        theta = float(np.partition(seed_contrib, sd.size - k)[sd.size - k])
     else:
         theta = -math.inf
 
-    # --- pass 3: decode + score only blocks overlapping UB>=θ intervals
-    # (>= not >: with the (score desc, doc_id asc) tie-break, a doc
-    # scoring exactly θ can still outrank a seed doc with equal score)
+    # --- pass 3: bulk-decode + score only blocks overlapping UB>=θ
+    # intervals (>= not >: with the (score desc, doc_id asc) tie-break,
+    # a doc scoring exactly θ can still outrank a seed doc)
     hot = env >= theta
-    if not hot.any():
-        order = np.lexsort((seed_docs, -seed_scores))[:k]
-        return seed_docs[order], seed_scores[order], n_matched
-    # hot intervals: [uniq_pos[i], uniq_pos[i+1]) where hot[i]
     hot_starts = uniq_pos[hot]
     hot_idx = np.flatnonzero(hot)
     iv_end = np.concatenate([uniq_pos[1:], [np.iinfo(np.int64).max]])
     hot_ends = iv_end[hot_idx]  # exclusive
-    pairs = []
-    for tp in tps:
-        # block overlaps a hot interval? vectorized interval join
-        j = np.searchsorted(hot_starts, tp.max_doc, side="right") - 1
-        j2 = np.searchsorted(hot_ends, tp.first_doc, side="right")
-        overlap = (j >= j2) & (j >= 0)
-        bsel = np.flatnonzero(overlap)
-        if bsel.size == 0:
-            continue
-        d, tf, dl = tp.decode_blocks(bsel)
-        pairs.append((d, tp.weight * tf_norm(tf, dl, avgdl, k1, b)))
-    docs, totals = _accumulate(pairs)
+    j = np.searchsorted(hot_starts, rb.b_max[score_bsel], side="right") - 1
+    j2 = np.searchsorted(hot_ends, rb.b_first[score_bsel], side="right")
+    overlap = (j >= j2) & (j >= 0)
+    d, tf, dl, eb = rb.decode_full(score_bsel[overlap])
+    docs, totals = _accumulate_entries(d, tf, dl, eb, rb, avgdl, k1, b)
     if excl is not None and docs.size:
         keep = ~np.isin(docs, excl, assume_unique=True)
         docs, totals = docs[keep], totals[keep]
-    # pruned-block docs have partial sums that are <= their true score
-    # ONLY for docs fully covered; docs outside hot intervals entirely
-    # are bounded by θ, but a doc may appear both in a decoded and a
-    # pruned block of different terms. Its decoded partial sum plus the
-    # envelope bound of the pruned part stays <= env <= θ for pruned
-    # intervals — so any doc whose true score exceeds θ has ALL its
-    # entries inside hot intervals (its docID lies in one interval and
-    # every block containing it overlaps that interval). Partial sums
-    # are therefore exact for every doc that can beat θ.
-    if seed_docs.size:
-        extra = np.isin(seed_docs, docs, assume_unique=True, invert=True)
-        docs = np.concatenate([docs, seed_docs[extra]])
-        totals = np.concatenate([totals, seed_scores[extra]])
-    order = np.lexsort((docs, -totals))[:k]
-    return docs[order], totals[order], n_matched
+    docs, scores = _topk(docs, totals, k)
+    return docs, scores, n_matched

@@ -31,7 +31,8 @@ def main() -> None:
     ap.add_argument("--lang-col", default="lang")
     ap.add_argument("--attr-cols", default="")
     ap.add_argument("--partitions", type=int, default=None)
-    ap.add_argument("--range-bits", type=int, default=16)
+    ap.add_argument("--range-bits", type=int, default=None,
+                    help="doc-range width (2**bits); default auto-sizes to the corpus")
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--resumable", action="store_true")
     ap.add_argument("--n-shards", type=int, default=16)
