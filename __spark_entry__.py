@@ -177,6 +177,28 @@ def _q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("avg_chars", 6).alias("avg_chars"))
 
 
+_LANG_MARKERS = {
+    "en": frozenset({"the", "a", "of", "and", "to"}),
+    "de": frozenset({"der", "die", "das", "und", "nicht"}),
+    "es": frozenset({"el", "los", "las", "que", "y"}),
+    "fr": frozenset({"le", "les", "une", "et", "est"}),
+}
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.quality import language_id
+    out = language_id(_docs(spark, sf_dir), markers=_LANG_MARKERS)
+    return out.select("doc_id", "lang_pred",
+                      F.col("marker_hits").cast("bigint").alias("marker_hits"))
+
+
+def _q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.vectors.similarity import near_duplicates_cosine
+    pairs = near_duplicates_cosine(_emb(spark, sf_dir), threshold=0.3,
+                                   n_planes=6, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.vectors.similarity import cosine_topk
     emb = _emb(spark, sf_dir)
@@ -224,9 +246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_profile": _q_lang_profile,
+        "text_lang_id": _q_lang_id,
         # --- similarity search
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,  # rows-only (approximate)
+        "ann_near_dup_cosine": _q_near_dup_cosine,
     }
 
 
@@ -264,6 +288,35 @@ SELECT s.doc_id, round(s.s, 6) AS score
 FROM scores s {final_join}
 ORDER BY round(s.s, 6) DESC, s.doc_id
 LIMIT {k}"""
+
+
+def _lang_marker_values() -> str:
+    rows = [(lang, kw) for lang, kws in sorted(_LANG_MARKERS.items())
+            for kw in sorted(kws)]
+    return ", ".join(f"('{l}', '{t}')" for l, t in rows)
+
+
+def _near_dup_cosine_sql(threshold: float, n_planes: int, dim: int) -> str:
+    """The LSH bucket assignment is deterministic (md5-derived planes),
+    so the oracle recomputes the identical buckets from the same plane
+    constants inlined as literals."""
+    from bright_spark.vectors.similarity import _hyperplane
+    sig_terms = []
+    for j in range(n_planes):
+        coeffs = ", ".join(repr(_hyperplane(j, d)) for d in range(dim))
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{coeffs}]) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)")
+    sig_expr = " + ".join(sig_terms)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {sig_expr} AS sig FROM v),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS cos
+      FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= {threshold}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -416,6 +469,22 @@ WITH t AS (SELECT lang, len(string_split(lower(trim(text)), ' '))::BIGINT AS n_t
 SELECT lang, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
        round(avg(n_chars), 6) AS avg_chars
 FROM t GROUP BY lang""",
+        "text_lang_id": f"""
+WITH m(m_lang, term) AS (VALUES {_lang_marker_values()}),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
+sc AS (SELECT t.doc_id, m.m_lang, count(*)::BIGINT AS n
+       FROM toks t JOIN m USING (term) GROUP BY 1, 2),
+pick AS (SELECT doc_id, m_lang, n,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY n DESC, m_lang ASC) AS rn
+         FROM sc)
+SELECT d.doc_id,
+       coalesce(p.m_lang, 'unknown') AS lang_pred,
+       coalesce(p.n, 0)::BIGINT AS marker_hits
+FROM documents d LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p USING (doc_id)""",
+        "ann_near_dup_cosine": _near_dup_cosine_sql(threshold=0.3, n_planes=6,
+                                                    dim=64),
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id,

@@ -3,17 +3,19 @@
 The reference's write path (`handlers/documents.go:181-198` ->
 `store/store.go:392-426`) hands batches to Bleve, which builds
 in-memory segments and background-merges them. Here the same stages
-are explicit Spark dataflow with exactly two shuffles:
+are explicit Spark dataflow with exactly two data shuffles:
 
-  stage 1  docs: deterministic dense doc_id assignment + one-pass
-           code-aware tokenization (Arrow-batched), materialized as
-           the ``docs`` table (with a ``_term_arr/_tf_arr`` build
-           column so content is tokenized exactly once)
-  stage 2  postings: per-partition segment build (B1: map-side partial
-           posting lists, the combiner) -> shuffle-merge on
-           ``(term, range_id)`` (B2) -> delta+varint blocks with
-           per-block (max_tf, min_dl) skip metadata -> bucket(term)-
-           partitioned parquet
+  stage 1  docs: deterministic dense doc_id assignment + tokenization
+           for doc_len (Arrow-batched), materialized as the ``docs``
+           table (attributes + content + sha256 + doc_len — NO token
+           arrays: shipping per-doc term arrays through Arrow/parquet
+           costs more than the cheap re-tokenize in stage 2)
+  stage 2  postings: FUSED tokenize+segment kernel over the source
+           (B1: the token arrays never leave the Python worker — they
+           go straight into the vectorized map-side combine) ->
+           shuffle-merge on ``(term, range_id)`` (B2) -> delta+varint
+           blocks with per-block (max_tf, min_dl) skip metadata ->
+           bucket(term)-partitioned parquet
   stage 3  term_stats (B4: global df/cf per term) + index_meta
            (N, avgdl, total_tokens)
 
@@ -45,19 +47,23 @@ from bright_spark.index import codec
 from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog
 from bright_spark.models import IndexConfig
 
-STAGING_TOKEN_COLS = "doc_len INT, _term_arr ARRAY<STRING>, _tf_arr ARRAY<INT>"
+PARTIALS_SCHEMA = ("term STRING, range_id BIGINT, doc_ids ARRAY<BIGINT>, "
+                   "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>")
 
 
 # ------------------------------------------------------------ kernels
 
 def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
                       filter_stopwords: bool, passthrough_cols: list[str],
-                      id_offsets: dict[int, int] | None = None):
-    """mapInPandas kernel: content -> (term, tf) arrays + doc_len.
+                      id_offsets: dict[int, int] | None = None,
+                      emit_tokens: bool = False):
+    """mapInPandas kernel: content -> doc_len (+ optionally the per-doc
+    (term, tf) arrays, used only for small mutation batches — the bulk
+    build never ships token arrays through Arrow).
 
-    Arrow-batched; tallying is one factorize + lexsort over the whole
-    record batch (count_terms_batch) — the per-doc regex scan is the
-    only per-document work (T1-T5 chain from SURVEY.md §2.3).
+    Tallying is one factorize + lexsort over the whole record batch
+    (count_terms_batch) — the per-doc regex scan is the only
+    per-document work (T1-T5 chain from SURVEY.md §2.3).
 
     When ``id_offsets`` is given (partition id -> starting doc_id) the
     kernel also assigns dense deterministic doc_ids in place: the
@@ -84,62 +90,149 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
                     dtype="int64")
                 next_id += len(pdf)
             out["doc_len"] = pd.Series(dlens, index=pdf.index, dtype="int32")
-            out["_term_arr"] = pd.Series(term_arr, index=pdf.index, dtype=object)
-            out["_tf_arr"] = pd.Series(tf_arr, index=pdf.index, dtype=object)
+            if emit_tokens:
+                out["_term_arr"] = pd.Series(term_arr, index=pdf.index, dtype=object)
+                out["_tf_arr"] = pd.Series(tf_arr, index=pdf.index, dtype=object)
             yield out
 
     return fn
 
 
-def _make_partials_fn(range_bits: int, flush_docs: int = 32768):
-    """mapInPandas kernel: docs rows -> partial posting rows (B1).
-    Vectorized explode + group via lexsort/slice — no per-entry Python.
-    Input Arrow batches are accumulated to ~``flush_docs`` docs before
-    grouping: bigger map-side combines mean ~8x fewer partial rows into
-    the merge shuffle."""
+def _emit_partials(doc_ids: np.ndarray, term_arrs: list, tf_arrs: list,
+                   range_bits: int) -> pd.DataFrame | None:
+    """(per-doc ids + token arrays) -> combined partial posting rows:
+    vectorized explode + group via lexsort/slice — no per-entry Python.
+    doc_len is derived as Σ tf per doc (= emitted token count)."""
+    lens = np.fromiter((len(t) for t in term_arrs), np.int64, len(term_arrs))
+    if lens.sum() == 0:
+        return None
+    tfs = (np.concatenate([np.asarray(t, dtype=np.int64) for t in tf_arrs])
+           if len(tf_arrs) else np.empty(0, dtype=np.int64))
+    # doc_len = total emitted tokens per doc (tf sum), computed here so
+    # callers need not ship it
+    ends_per_doc = np.cumsum(lens)
+    starts_per_doc = ends_per_doc - lens
+    tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+    dl_per_doc = tf_cum[ends_per_doc] - tf_cum[starts_per_doc]
+    doc_ids_flat = np.repeat(np.asarray(doc_ids, dtype=np.int64), lens)
+    dls = np.repeat(dl_per_doc, lens)
+    terms = np.concatenate([np.asarray(t, dtype=object) for t in term_arrs])
+    ranges = doc_ids_flat >> np.int64(range_bits)
+    codes, uniq_terms = pd.factorize(terms, sort=False)
+    order = np.lexsort((doc_ids_flat, ranges, codes))
+    codes, ranges = codes[order], ranges[order]
+    doc_ids_flat, tfs, dls = doc_ids_flat[order], tfs[order], dls[order]
+    boundary = np.flatnonzero(
+        np.diff(codes).astype(bool) | np.diff(ranges).astype(bool)
+    ) + 1
+    starts = np.concatenate(([0], boundary))
+    ends = np.concatenate((boundary, [len(codes)]))
+    return pd.DataFrame({
+        "term": uniq_terms[codes[starts]],
+        "range_id": ranges[starts],
+        "doc_ids": [doc_ids_flat[s:e] for s, e in zip(starts, ends)],
+        "tfs": [tfs[s:e] for s, e in zip(starts, ends)],
+        "dls": [dls[s:e] for s, e in zip(starts, ends)],
+    })
 
-    def emit(pdfs: list[pd.DataFrame]) -> pd.DataFrame | None:
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        lens = pdf["_term_arr"].str.len().to_numpy(dtype=np.int64)
-        if lens.sum() == 0:
-            return None
-        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), lens)
-        dls = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), lens)
-        terms = np.concatenate(pdf["_term_arr"].to_numpy())
-        tfs = np.concatenate(pdf["_tf_arr"].to_numpy()).astype(np.int64)
-        ranges = doc_ids >> np.int64(range_bits)
-        codes, uniq_terms = pd.factorize(terms, sort=False)
-        order = np.lexsort((doc_ids, ranges, codes))
-        codes, ranges = codes[order], ranges[order]
-        doc_ids, tfs, dls = doc_ids[order], tfs[order], dls[order]
-        boundary = np.flatnonzero(
-            np.diff(codes).astype(bool) | np.diff(ranges).astype(bool)
-        ) + 1
-        starts = np.concatenate(([0], boundary))
-        ends = np.concatenate((boundary, [len(codes)]))
-        return pd.DataFrame({
-            "term": uniq_terms[codes[starts]],
-            "range_id": ranges[starts],
-            "doc_ids": [doc_ids[s:e] for s, e in zip(starts, ends)],
-            "tfs": [tfs[s:e] for s, e in zip(starts, ends)],
-            "dls": [dls[s:e] for s, e in zip(starts, ends)],
-        })
+
+def _make_partials_fn(range_bits: int, flush_docs: int = 32768):
+    """mapInPandas kernel: tokenized rows (with ``_term_arr/_tf_arr``)
+    -> partial posting rows (B1). Used by the mutation path, whose
+    small changed-batches already carry token arrays. Input Arrow
+    batches are accumulated to ~``flush_docs`` docs before grouping:
+    bigger map-side combines mean ~8x fewer partial rows into the
+    merge shuffle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: list[pd.DataFrame] = []
+        ids: list[np.ndarray] = []
+        terms: list = []
+        tfs: list = []
         n_acc = 0
+
+        def flush():
+            out = _emit_partials(
+                np.concatenate(ids) if ids else np.empty(0, dtype=np.int64),
+                terms, tfs, range_bits)
+            ids.clear()
+            terms.clear()
+            tfs.clear()
+            return out
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            acc.append(pdf)
+            ids.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+            terms.extend(pdf["_term_arr"].tolist())
+            tfs.extend(pdf["_tf_arr"].tolist())
             n_acc += len(pdf)
             if n_acc >= flush_docs:
-                out = emit(acc)
-                acc, n_acc = [], 0
+                out = flush()
+                n_acc = 0
                 if out is not None:
                     yield out
-        if acc:
-            out = emit(acc)
+        if n_acc:
+            out = flush()
+            if out is not None:
+                yield out
+
+    return fn
+
+
+def _make_tokenize_partials_fn(content_col: str, lang_col: str | None,
+                               mode: str, filter_stopwords: bool,
+                               range_bits: int,
+                               id_offsets: dict[int, int] | None = None,
+                               flush_docs: int = 32768):
+    """FUSED mapInPandas kernel: source rows -> partial posting rows in
+    one pass (B1). Token arrays are produced AND combined inside the
+    same Python worker — they never cross the Arrow boundary or touch
+    parquet, which removes the build's largest data movement. With
+    ``id_offsets`` the kernel assigns the same deterministic dense
+    doc_ids as the docs stage (same partitioning + sort => same ids);
+    without it, input rows carry ``doc_id``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        next_id = None
+        if id_offsets is not None:
+            from pyspark import TaskContext
+            next_id = id_offsets.get(TaskContext.get().partitionId(), 0)
+        ids: list[np.ndarray] = []
+        terms: list = []
+        tfs: list = []
+        n_acc = 0
+
+        def flush():
+            out = _emit_partials(
+                np.concatenate(ids) if ids else np.empty(0, dtype=np.int64),
+                terms, tfs, range_bits)
+            ids.clear()
+            terms.clear()
+            tfs.clear()
+            return out
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[content_col].tolist()
+            langs = pdf[lang_col].tolist() if lang_col else [None] * len(texts)
+            term_arr, tf_arr, _ = count_terms_batch(
+                texts, mode, langs, filter_stopwords)
+            if next_id is not None:
+                ids.append(np.arange(next_id, next_id + len(pdf), dtype=np.int64))
+                next_id += len(pdf)
+            else:
+                ids.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+            terms.extend(term_arr)
+            tfs.extend(tf_arr)
+            n_acc += len(pdf)
+            if n_acc >= flush_docs:
+                out = flush()
+                n_acc = 0
+                if out is not None:
+                    yield out
+        if n_acc:
+            out = flush()
             if out is not None:
                 yield out
 
@@ -230,50 +323,65 @@ class IndexBuilder:
         self.n_build_partitions = (n_build_partitions
                                    or spark.sparkContext.defaultParallelism)
         self.filter_stopwords = filter_stopwords
+        self._id_offsets: dict[int, int] | None = None
+        self._n_docs: int | None = None
 
     # -------------------------------------------------------- stage 1
 
+    def _keyed(self, source: DataFrame,
+               cols: list[str]) -> tuple[DataFrame, dict[int, int] | None]:
+        """Deterministically partitioned source slice + doc_id offsets.
+
+        id_col path: identity provided by the source (docID =
+        stringified PK in the reference, store/store.go:409-414; here a
+        numeric PK), hash-partitioned on it.
+
+        natural-key path: deterministic dense doc_ids with ONE cheap
+        key-only count pass (the 10^12-row-safe replacement for UUIDv7
+        fill, U6) fixing per-partition id offsets; kernels then assign
+        doc_id = offset[pid] + local rank over hash(natural key)
+        partitions sorted by key. Hash partitioning (not range) because
+        Spark's murmur3 bucket is reproducible across jobs/runs — no
+        sampled boundaries. The count pass runs once per build (cached
+        on self for the second stage).
+        """
+        src = source.select(*cols)
+        p = self.n_build_partitions
+        if self.id_col:
+            keyed = (src.withColumnRenamed(self.id_col, "doc_id")
+                        .withColumn("doc_id", F.col("doc_id").cast("bigint"))
+                        .repartition(p, "doc_id"))
+            return keyed, None
+        if self._id_offsets is None:
+            counts = {int(r["_pid"]): int(r["cnt"]) for r in (
+                source.select(*self.key_cols)
+                      .groupBy(F.pmod(F.hash(*self.key_cols), F.lit(p)).alias("_pid"))
+                      .agg(F.count("*").alias("cnt")).collect())}
+            offsets, acc = {}, 0
+            for pid in sorted(counts):
+                offsets[pid] = acc
+                acc += counts[pid]
+            self._id_offsets = offsets
+            self._n_docs = acc
+        keyed = (src.repartition(p, *self.key_cols)
+                    .sortWithinPartitions(*self.key_cols))
+        return keyed, self._id_offsets
+
     def build_docs(self, source: DataFrame) -> None:
+        """Docs table: attributes + content + content_sha256 + doc_len.
+        Token arrays are deliberately NOT staged (see module doc)."""
         cfg = self.config
         cols = list(dict.fromkeys(
             ([self.id_col] if self.id_col else list(self.key_cols))
             + ([self.lang_col] if self.lang_col else [])
             + list(self.attr_cols) + [self.content_col]
         ))
-        src = source.select(*cols)
-        p = self.n_build_partitions
-
-        if self.id_col:
-            # identity provided by the source (docID = stringified PK in
-            # the reference, store/store.go:409-414; here numeric PK)
-            keyed = (src.withColumnRenamed(self.id_col, "doc_id")
-                        .withColumn("doc_id", F.col("doc_id").cast("bigint"))
-                        .repartition(p, "doc_id"))
-            id_offsets = None
-        else:
-            # deterministic dense doc_ids in ONE data pass (the 10^12-
-            # row-safe replacement for UUIDv7 fill, U6): a cheap key-
-            # only count pass fixes per-partition id offsets, then the
-            # tokenize kernel assigns doc_id = offset[pid] + local rank
-            # over hash(natural key) partitions sorted by key. Hash
-            # partitioning (not range) because Spark's murmur3 bucket
-            # is reproducible across jobs/runs — no sampled boundaries.
-            counts = {int(r["_pid"]): int(r["cnt"]) for r in (
-                src.select(*self.key_cols)
-                   .groupBy(F.pmod(F.hash(*self.key_cols), F.lit(p)).alias("_pid"))
-                   .agg(F.count("*").alias("cnt")).collect())}
-            id_offsets, acc = {}, 0
-            for pid in sorted(counts):
-                id_offsets[pid] = acc
-                acc += counts[pid]
-            keyed = (src.repartition(p, *self.key_cols)
-                        .sortWithinPartitions(*self.key_cols))
-
+        keyed, id_offsets = self._keyed(source, cols)
         keyed = keyed.withColumn("content_sha256", F.sha2(F.col(self.content_col), 256))
         passthrough = [c for c in keyed.columns]
         in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields)
         id_part = "" if self.id_col else "doc_id BIGINT, "
-        out_schema = f"{in_schema}, {id_part}{STAGING_TOKEN_COLS}"
+        out_schema = f"{in_schema}, {id_part}doc_len INT"
         tokenized = keyed.mapInPandas(
             _make_tokenize_fn(self.content_col, self.lang_col, cfg.tokenizer,
                               self.filter_stopwords, passthrough, id_offsets),
@@ -291,14 +399,31 @@ class IndexBuilder:
 
     # -------------------------------------------------------- stage 2
 
-    def build_postings(self) -> None:
+    def build_postings(self, source: DataFrame) -> None:
+        """Fused tokenize+segment pass, then the (term, range_id)
+        shuffle-merge. When content is stored (default), the pass is a
+        shuffle-free columnar scan of the docs table (doc_ids already
+        assigned); re-tokenizing is far cheaper than staging per-doc
+        token arrays through Arrow + parquet. With store_content=False
+        it re-derives the same deterministic doc_ids from the source
+        (one extra key shuffle)."""
         cfg = self.config
-        dt = self.spark.read.parquet(self.catalog.docs_path).select(
-            "doc_id", "doc_len", "_term_arr", "_tf_arr")
-        partials = dt.mapInPandas(
-            _make_partials_fn(cfg.range_bits),
-            schema=("term STRING, range_id BIGINT, doc_ids ARRAY<BIGINT>, "
-                    "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>"),
+        if cfg.store_content:
+            cols = ["doc_id", self.content_col] + (
+                [self.lang_col] if self.lang_col else [])
+            scan = self.spark.read.parquet(self.catalog.docs_path).select(*cols)
+            id_offsets = None
+        else:
+            cols = list(dict.fromkeys(
+                ([self.id_col] if self.id_col else list(self.key_cols))
+                + ([self.lang_col] if self.lang_col else []) + [self.content_col]
+            ))
+            scan, id_offsets = self._keyed(source, cols)
+        partials = scan.mapInPandas(
+            _make_tokenize_partials_fn(
+                self.content_col, self.lang_col, cfg.tokenizer,
+                self.filter_stopwords, cfg.range_bits, id_offsets),
+            schema=PARTIALS_SCHEMA,
         )
         n_merge = self.n_build_partitions
         merged = (partials
@@ -315,21 +440,28 @@ class IndexBuilder:
 
     def build_stats(self) -> None:
         cfg = self.config
+        # column-pruned read: only (bucket, term, df_chunk, cf_chunk)
+        # leave the parquet scan
         post = self.spark.read.parquet(self.catalog.postings_path)
         ts = (post.groupBy("bucket", "term")
                   .agg(F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf")))
-        (ts.repartition(cfg.n_term_buckets, "bucket")
-           .sortWithinPartitions("term")
-           .write.mode("overwrite").partitionBy("bucket")
-           .parquet(self.catalog.term_stats_path))
-
-        docs = self.spark.read.parquet(self.catalog.docs_path)
-        row = docs.agg(
-            F.count("*").alias("n_docs"),
-            F.sum("doc_len").alias("total_tokens"),
-        ).collect()[0]
-        n_docs = int(row["n_docs"])
-        total_tokens = int(row["total_tokens"] or 0)
+        ts.persist()
+        try:
+            (ts.repartition(cfg.n_term_buckets, "bucket")
+               .sortWithinPartitions("term")
+               .write.mode("overwrite").partitionBy("bucket")
+               .parquet(self.catalog.term_stats_path))
+            # total_tokens = Σ cf (every emitted token lands in exactly
+            # one posting run); n_docs is tracked during doc_id
+            # assignment — no extra docs-table scan
+            trow = ts.agg(F.sum("cf").alias("t")).collect()[0]
+        finally:
+            ts.unpersist()
+        total_tokens = int(trow["t"] or 0)
+        n_docs = getattr(self, "_n_docs", None)
+        if n_docs is None:
+            n_docs = int(self.spark.read.parquet(self.catalog.docs_path).count())
+            self._n_docs = n_docs
         meta = {
             "n_docs": n_docs,
             "total_tokens": total_tokens,
@@ -344,26 +476,41 @@ class IndexBuilder:
             "version": 1,
         }
         self.catalog.save_meta(meta)
-        self.spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite") \
-            .parquet(self.catalog.index_meta_path)
+        # single-row table: driver-side pyarrow write (a whole Spark job
+        # for one row is pure fixed overhead)
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        shutil.rmtree(self.catalog.index_meta_path, ignore_errors=True)
+        os.makedirs(self.catalog.index_meta_path, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist([meta]),
+            os.path.join(self.catalog.index_meta_path, "part-0.parquet"))
 
     # ----------------------------------------------------------- main
 
     def resolve_range_bits(self, source: DataFrame) -> None:
-        """Auto-size doc ranges (config.range_bits None): aim for ~8
-        ranges per parallel slot so the per-range query kernel and the
-        (term, range) merge both fan out, capped at 2**16-doc ranges
-        for web-scale corpora (B5 skew bound)."""
-        if self.config.range_bits is not None:
-            return
-        n_docs = source.count()
-        slots = self.spark.sparkContext.defaultParallelism
-        # ≥1024-doc spans keep postings row counts bounded (row count =
-        # Σ_term ranges_touched); the 4-per-slot target keeps the query
-        # kernel busy on every core at small corpus sizes
-        span = max(1024, n_docs // max(4 * slots, 1))
-        bits = min(16, max(10, int(span).bit_length() - 1))
-        self.config = dataclasses.replace(self.config, range_bits=bits)
+        """Auto-size build knobs left as None in the config:
+
+        - range_bits: aim for ~4 doc-ranges per parallel slot so the
+          per-range query kernel and the (term, range) merge both fan
+          out, with ≥1024-doc spans (bounds postings row counts) and
+          ≤2**16-doc spans (the B5 skew bound for web-scale corpora).
+        - n_term_buckets: ~the build partition count (bounded [16, 256])
+          so the bucket-partitioned postings write parallelizes.
+        """
+        repl: dict = {}
+        if self.config.n_term_buckets is None:
+            repl["n_term_buckets"] = min(256, max(16, self.n_build_partitions))
+        if self.config.range_bits is None:
+            n_docs = source.count()
+            self._n_docs = int(n_docs)
+            slots = self.spark.sparkContext.defaultParallelism
+            span = max(1024, n_docs // max(4 * slots, 1))
+            repl["range_bits"] = min(16, max(10, int(span).bit_length() - 1))
+        if repl:
+            self.config = dataclasses.replace(self.config, **repl)
 
     def build(self, source: DataFrame) -> IndexCatalog:
         self.resolve_range_bits(source)
@@ -377,7 +524,7 @@ class IndexBuilder:
             "n_build_partitions": self.n_build_partitions,
         })
         self.build_docs(source)
-        self.build_postings()
+        self.build_postings(source)
         self.build_stats()
         return self.catalog
 

@@ -8,7 +8,7 @@ The reference persists one Bleve scorch directory per index under
       config.json      index + build configuration (configs.json analog)
       meta.json        corpus stats (n_docs, avgdl, ...) — driver-fast copy
       docs/            parquet: doc_id, natural key / attribute columns,
-                       content (optional), content_sha256, doc_len, _terms
+                       content (optional), content_sha256, doc_len
       postings/        parquet, dir-partitioned by bucket=crc32(term)%B:
                        (term, range_id) rows of compressed posting blocks
       term_stats/      parquet by bucket: term -> global df, cf

@@ -26,7 +26,12 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bright_spark.index.builder import IndexBuilder, _make_merge_fn, _make_partials_fn
+from bright_spark.index.builder import (
+    PARTIALS_SCHEMA,
+    IndexBuilder,
+    _make_merge_fn,
+    _make_tokenize_partials_fn,
+)
 from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog
 from bright_spark.models import IndexConfig
 
@@ -135,9 +140,15 @@ class ResumableIndexBuilder:
                 "status": "done", "attempt": (ck or {}).get("attempt", 0) + 1,
                 "rows_in": n, "wall_ms": int((time.time() - t0) * 1000)})
 
-        # ---- stage 2: per-shard segments
-        docs = self.spark.read.parquet(self.catalog.docs_path).select(
-            "doc_id", "doc_len", "_term_arr", "_tf_arr")
+        # ---- stage 2: per-shard segments (fused tokenize+partials over
+        # the stored docs slice; doc_ids are already assigned)
+        if not self.config.store_content:
+            raise ValueError(
+                "resumable shard builds re-tokenize from stored content; "
+                "store_content=False is not supported")
+        b = self.builder
+        cols = ["doc_id", b.content_col] + ([b.lang_col] if b.lang_col else [])
+        docs = self.spark.read.parquet(self.catalog.docs_path).select(*cols)
         for shard in range(self.n_shards):
             key = f"segment_{shard:05d}"
             ck = self.store.get(key)
@@ -146,9 +157,10 @@ class ResumableIndexBuilder:
             t0 = time.time()
             part = docs.filter(F.col("doc_id") % self.n_shards == shard)
             partials = part.mapInPandas(
-                _make_partials_fn(self.config.range_bits),
-                schema=("term STRING, range_id BIGINT, doc_ids ARRAY<BIGINT>, "
-                        "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>"))
+                _make_tokenize_partials_fn(
+                    b.content_col, b.lang_col, self.config.tokenizer,
+                    b.filter_stopwords, self.config.range_bits),
+                schema=PARTIALS_SCHEMA)
             partials.write.mode("overwrite").parquet(self._seg_path(shard))
             seg = self.spark.read.parquet(self._seg_path(shard))
             stats = seg.agg(

@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bright_spark.index import codec
-from bright_spark.index.builder import IndexBuilder, _make_merge_fn, _make_partials_fn
+from bright_spark.index.builder import (
+    IndexBuilder,
+    _make_merge_fn,
+    _make_partials_fn,
+    _make_tokenize_fn,
+)
 from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog, term_bucket
 
 
@@ -117,7 +122,8 @@ class IndexMutator:
                               for f in src.schema.fields)
         tokenized = src.mapInPandas(
             _make_tokenize_fn(b.content_col, b.lang_col, self.config.tokenizer,
-                              b.filter_stopwords, list(src.columns)),
+                              b.filter_stopwords, list(src.columns),
+                              emit_tokens=True),
             schema=f"{in_schema}, doc_len INT, _term_arr ARRAY<STRING>, _tf_arr ARRAY<INT>")
         if self.extra.get("id_col"):
             return tokenized
@@ -186,9 +192,21 @@ class IndexMutator:
             changed_ids = list(deleted_ids or [])
         if not changed_ids:
             return
+        # the docs table stores no token arrays (build module doc) —
+        # re-tokenize the (small) replaced set from stored content
         replaced = docs_all.filter(F.col("doc_id").isin(changed_ids))
+        b = self._builder()
+        if not self.config.store_content:
+            raise ValueError("mutations re-tokenize replaced docs from "
+                             "stored content; store_content=False is not "
+                             "supported")
+        rep_cols = [b.content_col] + ([b.lang_col] if b.lang_col else [])
+        rep_tok = replaced.select(*rep_cols).mapInPandas(
+            _make_tokenize_fn(b.content_col, b.lang_col, self.config.tokenizer,
+                              b.filter_stopwords, [], emit_tokens=True),
+            schema="doc_len INT, _term_arr ARRAY<STRING>, _tf_arr ARRAY<INT>")
         old_terms = {r["t"] for r in
-                     replaced.select(F.explode("_term_arr").alias("t"))
+                     rep_tok.select(F.explode("_term_arr").alias("t"))
                      .distinct().collect()}
         new_terms: set[str] = set()
         if changed is not None:
@@ -223,8 +241,9 @@ class IndexMutator:
                                  "dls ARRAY<BIGINT>")))
         partial_parts = [surviving_partials]
         if changed is not None:
-            new_partials = (self.spark.read.parquet(self.catalog.docs_path)
-                            .filter(F.col("doc_id").isin(changed_ids))
+            # the tokenized changed batch (persisted by upsert) already
+            # carries its token arrays
+            new_partials = (changed
                             .select("doc_id", "doc_len", "_term_arr", "_tf_arr")
                             .mapInPandas(_make_partials_fn(cfg.range_bits),
                                          schema=("term STRING, range_id BIGINT, "

@@ -41,7 +41,12 @@ class IndexConfig:
     # small corpus with one range = one task, while 10^12 docs cap at
     # 2**16-doc ranges as SURVEY.md §2.4 B5 describes).
     range_bits: int | None = None
-    n_term_buckets: int = 16  # hash(term) partition buckets of `postings`
+    # hash(term) partition buckets of `postings`. None = auto-resolved
+    # at build time to ~the build partition count (bounded [16, 256])
+    # so the final bucket-partitioned write parallelizes instead of
+    # being capped at 16 tasks; real deployments size this to the
+    # cluster (e.g. 1024-4096 buckets at 10^12 docs).
+    n_term_buckets: int | None = None
     store_content: bool = True  # keep raw content in docs table (R3 retrieve)
 
 

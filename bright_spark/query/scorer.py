@@ -77,6 +77,12 @@ class RangeBlocks:
         self.code_of = {t: c for c, t in enumerate(self.terms)}
         self.w = np.array([weights.get(t, 0.0) for t in self.terms],
                           dtype=np.float64)
+        # lexicographic rank per code: float accumulation always runs in
+        # (doc, term-rank) order, so scores are bit-identical regardless
+        # of row arrival order, range granularity, or pruning path
+        self.rank = np.empty(len(self.terms), dtype=np.int64)
+        self.rank[np.argsort(np.asarray(self.terms, dtype=object),
+                             kind="stable")] = np.arange(len(self.terms))
         self.df_of_code = np.zeros(len(self.terms), dtype=np.int64)
         np.add.at(self.df_of_code, codes,
                   pdf["df_chunk"].to_numpy(dtype=np.int64))
@@ -150,13 +156,15 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
 
 def _accumulate_entries(d, tf, dl, eb, rb: "RangeBlocks",
                         avgdl: float, k1: float, b: float):
-    """Sum per-entry contributions into (unique docs, totals)."""
+    """Sum per-entry contributions into (unique docs, totals), in
+    deterministic (doc, term-rank) order (see RangeBlocks.rank)."""
     if d.size == 0:
         return _EMPTY_I, _EMPTY_F
     contrib = rb.w[rb.b_code[eb]] * tf_norm(tf, dl, avgdl, k1, b)
+    perm = np.lexsort((rb.rank[rb.b_code[eb]], d))
     uniq, inv = np.unique(d, return_inverse=True)
     totals = np.zeros(uniq.size, dtype=np.float64)
-    np.add.at(totals, inv, contrib)
+    np.add.at(totals, inv[perm], contrib[perm])
     return uniq, totals
 
 
@@ -229,7 +237,10 @@ def score_range_topk(
         hit = cand[pos_c] == d
         totals = np.zeros(cand.size, dtype=np.float64)
         contrib = rb.w[rb.b_code[eb]] * tf_norm(tf, dl, avgdl, k1, b)
-        np.add.at(totals, pos_c[hit], contrib[hit])
+        dh, ch = pos_c[hit], contrib[hit]
+        rh = rb.rank[rb.b_code[eb]][hit]
+        perm = np.lexsort((rh, dh))
+        np.add.at(totals, dh[perm], ch[perm])
         n_matched = int(cand.size)
         docs, scores = _topk(cand, totals, k)
         return docs, scores, n_matched

@@ -54,10 +54,19 @@ class StreamingIngestor:
         else:
             dels, ups = None, batch
         ups = ups.drop(DELETED_COL)
-        # cache: each mutation pass re-reads the batch
-        rows = ups.collect()
-        if rows:
-            mut.upsert(self.spark.createDataFrame(rows, ups.schema))
+        # pin the batch to disk before mutating: the mutation passes
+        # read the batch several times AND rewrite the docs dir the
+        # batch's doc_id join reads from — a parquet staging copy breaks
+        # that lineage without collecting the batch to the driver
+        staged = os.path.join(self.checkpoint_dir, f"_staged_batch_{batch_id}")
+        ups.write.mode("overwrite").parquet(staged)
+        try:
+            ups_pinned = self.spark.read.parquet(staged)
+            if ups_pinned.head(1):
+                mut.upsert(ups_pinned)
+        finally:
+            import shutil
+            shutil.rmtree(staged, ignore_errors=True)
         if dels is not None:
             extra = self.catalog.load_extra()
             keys = (["doc_id"] if extra.get("id_col")

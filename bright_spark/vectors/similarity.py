@@ -64,6 +64,33 @@ def lsh_signatures(df: DataFrame, dim: int, n_planes: int = 16,
     return df.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
 
 
+def near_duplicates_cosine(df: DataFrame, threshold: float = 0.3,
+                           n_planes: int = 6, dim: int | None = None,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs: candidates = vectors sharing an LSH
+    hyperplane-signature bucket (equi-join — the 100 TB path: no cross
+    product), verified by exact cosine >= threshold. Deterministic
+    (md5-derived planes) and engine-portable, so the SQL oracle
+    recomputes the identical bucket assignment from the same plane
+    constants. Returns (id_a, id_b, cosine), id_a < id_b."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sigs = lsh_signatures(df, dim, n_planes, id_col, vec_col)
+    v = df.select(F.col(id_col).alias("vec_id"),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"))
+    sv = v.join(sigs, "vec_id")
+    a = sv.select(F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"),
+                  F.col("sig").alias("sig_a"))
+    b = sv.select(F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"),
+                  F.col("sig").alias("sig_b"))
+    pairs = a.join(b, (F.col("sig_a") == F.col("sig_b"))
+                   & (F.col("id_a") < F.col("id_b")))
+    cos = _dot(F.col("e_a"), F.col("e_b")) / (_norm(F.col("e_a")) * _norm(F.col("e_b")))
+    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 def ann_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                     dim: int | None = None, n_planes: int = 12,
                     probe_hamming: int = 1,

@@ -33,10 +33,16 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--range-bits", type=int, default=None,
                     help="doc-range width (2**bits); default auto-sizes to the corpus")
-    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--buckets", type=int, default=None,
+                    help="postings term-hash buckets; default auto-sizes "
+                         "to the build partition count")
     ap.add_argument("--resumable", action="store_true")
     ap.add_argument("--n-shards", type=int, default=16)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--task-cpus", type=int, default=1,
+                    help="spark.task.cpus: cores claimed per task; with "
+                         "local[C] this caps concurrent tasks at C/task_cpus "
+                         "(the N vs 4N slot experiment on one machine)")
     ap.add_argument("--trials", type=int, default=1,
                     help="repeat the build, report the best (noisy hosts)")
     args = ap.parse_args()
@@ -45,9 +51,9 @@ def main() -> None:
     from bright_spark.session import get_spark
 
     spark = get_spark("build_index", master=args.master,
-                      shuffle_partitions=args.partitions)
+                      shuffle_partitions=args.partitions,
+                      extra_conf={"spark.task.cpus": str(args.task_cpus)})
     src = spark.read.parquet(args.source)
-    n_docs = src.count()
 
     # warm the python workers once (on a real cluster, a long-lived
     # app amortizes worker startup; exclude it from throughput)
@@ -85,6 +91,9 @@ def main() -> None:
         if trial > 0:
             import shutil
             shutil.rmtree(idx_dir, ignore_errors=True)
+
+    with open(os.path.join(args.index_dir, "meta.json")) as f:
+        n_docs = json.load(f)["n_docs"]
 
     print(json.dumps({
         "n_docs": n_docs,

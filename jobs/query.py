@@ -35,13 +35,15 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--master", default=None)
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--task-cpus", type=int, default=1)
     args = ap.parse_args()
 
     from bright_spark.query.engine import SearchEngine
     from bright_spark.session import get_spark
 
     spark = get_spark("query", master=args.master,
-                      shuffle_partitions=args.partitions)
+                      shuffle_partitions=args.partitions,
+                      extra_conf={"spark.task.cpus": str(args.task_cpus)})
     eng = SearchEngine(spark, args.index_dir)
 
     if args.bench:

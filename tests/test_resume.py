@@ -76,8 +76,8 @@ def test_checkpoint_lineage_metrics(spark, small_src, tmp_path_factory):
     # shard doc counts partition the corpus
     total = sum(rows[f"segment_{s:05d}"]["rows_in"] for s in range(3))
     from pyspark.sql import functions as F2
-    expect = (spark.read.parquet(rb.catalog.docs_path)
-              .agg(F2.sum(F2.size("_term_arr"))).collect()[0][0])
+    expect = (rb.catalog.term_stats(spark)
+              .agg(F2.sum("df")).collect()[0][0])
     # rows_in counts partial-run entries, i.e. distinct (term, doc)
     assert total == expect
 

@@ -68,3 +68,28 @@ def test_lsh_signature_deterministic(emb_df):
     b = {r["vec_id"]: r["sig"] for r in lsh_signatures(df, dim=16, n_planes=8).collect()}
     assert a == b
     assert all(0 <= s < 256 for s in a.values())
+
+
+def test_near_duplicates_cosine_vs_numpy(emb_df):
+    """Bucketed near-dup pairs == numpy recomputation of the same
+    definition (shared LSH bucket AND cosine >= threshold)."""
+    from bright_spark.vectors.similarity import _hyperplane, near_duplicates_cosine
+    df, vecs = emb_df
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in near_duplicates_cosine(df, threshold=0.2, n_planes=4,
+                                           dim=16).collect()}
+    v = vecs.astype(np.float64)
+    planes = np.array([[_hyperplane(j, d) for d in range(16)] for j in range(4)])
+    sigs = ((v @ planes.T) >= 0) @ (1 << np.arange(4))
+    norms = np.linalg.norm(v, axis=1)
+    expect = {}
+    for a in range(len(v)):
+        for b in range(a + 1, len(v)):
+            if sigs[a] != sigs[b]:
+                continue
+            cos = float(v[a] @ v[b] / (norms[a] * norms[b]))
+            if cos >= 0.2:
+                expect[(a, b)] = cos
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == pytest.approx(expect[k], abs=1e-9)
