@@ -131,19 +131,32 @@ def count_terms_batch(
     mode: str = "code",
     langs: list[str | None] | None = None,
     filter_stopwords: bool = False,
-) -> tuple[list[np.ndarray], list[np.ndarray], list[int]]:
+    positions: bool = False,
+):
     """Vectorized T1-T5 over a whole Arrow batch: for each doc, the
     sorted unique terms, their tfs, and doc_len. Semantically identical
     to per-doc :func:`count_terms` + ``sorted(counts.items())`` (pytest
     parity property), but the tallying is one factorize + lexsort over
     the batch instead of a Python ``Counter`` per document — the regex
     scan (C) is the only per-doc work left.
+
+    With ``positions=True`` returns a 4th list: per doc, the flat int64
+    base positions of every emission, ordered (term asc, position asc)
+    — i.e. segment t of the flat array (sliced by the doc's tfs) holds
+    the ascending positions of the doc's t-th term, exactly matching
+    :func:`tokenize_with_positions` semantics (sub-tokens of one
+    identifier share its base ordinal).
     """
     n = len(texts)
     empty_s = np.empty(0, dtype=object)
     empty_i = np.empty(0, dtype=np.int64)
     if n == 0:
-        return [], [], []
+        return ([], [], [], []) if positions else ([], [], [])
+
+    def _ret_empty():
+        base = ([empty_s] * n, [empty_i] * n, [0] * n)
+        return (*base, [empty_i] * n) if positions else base
+
     if mode == "simple":
         per_doc = [(t or "").lower().split() for t in texts]
         per_doc = [[w for w in ws if len(w) <= MAX_TOKEN_LEN] for ws in per_doc]
@@ -151,13 +164,18 @@ def count_terms_batch(
         flat_terms = np.array(
             [w for ws in per_doc for w in ws], dtype=object)
         flat_doc = np.repeat(np.arange(n, dtype=np.int64), doc_lens_arr)
+        # simple mode: position = index among KEPT tokens
+        # (tokenize_with_positions increments pos only on emission)
+        starts = np.concatenate(([0], np.cumsum(doc_lens_arr)[:-1]))
+        flat_pos = (np.arange(flat_doc.size, dtype=np.int64)
+                    - np.repeat(starts, doc_lens_arr))
     elif mode == "code":
         base_per_doc = [_BASE_TOKEN_RE.findall(t or "") for t in texts]
         base_lens = np.fromiter((len(b) for b in base_per_doc), np.int64, n)
         flat_base = [b if len(b) <= MAX_TOKEN_LEN else b[:MAX_TOKEN_LEN]
                      for bs in base_per_doc for b in bs]
         if not flat_base:
-            return ([empty_s] * n, [empty_i] * n, [0] * n)
+            return _ret_empty()
         codes, uniq = pd.factorize(np.array(flat_base, dtype=object), sort=False)
         # expand each unique base token ONCE (lru-cached across batches)
         exp_lists = [_expand_identifier(u) for u in uniq]
@@ -166,6 +184,10 @@ def count_terms_batch(
         exp_start = np.concatenate(([0], np.cumsum(exp_len)[:-1]))
         # ragged gather: occurrence j (base code c) emits exp_lists[c]
         occ_doc = np.repeat(np.arange(n, dtype=np.int64), base_lens)
+        occ_starts = np.concatenate(([0], np.cumsum(base_lens)[:-1]))
+        # base ordinal of each occurrence within its doc
+        occ_pos = (np.arange(occ_doc.size, dtype=np.int64)
+                   - np.repeat(occ_starts, base_lens))
         L = exp_len[codes]
         total = int(L.sum())
         offs = np.concatenate(([0], np.cumsum(L)[:-1]))
@@ -173,11 +195,12 @@ def count_terms_batch(
               + np.repeat(exp_start[codes], L))
         flat_terms = exp_flat[ar]
         flat_doc = np.repeat(occ_doc, L)
+        flat_pos = np.repeat(occ_pos, L)
     else:
         raise ValueError(f"unknown tokenizer mode: {mode!r}")
 
     if flat_terms.size == 0:
-        return ([empty_s] * n, [empty_i] * n, [0] * n)
+        return _ret_empty()
 
     tids, term_dict = pd.factorize(flat_terms, sort=False)
     keep = None
@@ -201,14 +224,20 @@ def count_terms_batch(
         keep = ~stop_hit if keep is None else (keep & ~stop_hit)
     if keep is not None:
         flat_doc, tids = flat_doc[keep], tids[keep]
+        if positions:
+            flat_pos = flat_pos[keep]
     if flat_doc.size == 0:
-        return ([empty_s] * n, [empty_i] * n, [0] * n)
+        return _ret_empty()
 
     doc_len_out = np.bincount(flat_doc, minlength=n).astype(np.int64)
     # lexicographic rank so per-doc output order == sorted(counts.items())
     rank = np.empty(len(term_dict), dtype=np.int64)
     rank[np.argsort(term_dict, kind="stable")] = np.arange(len(term_dict))
-    order = np.lexsort((rank[tids], flat_doc))
+    if positions:
+        order = np.lexsort((flat_pos, rank[tids], flat_doc))
+        flat_pos = flat_pos[order]
+    else:
+        order = np.lexsort((rank[tids], flat_doc))
     flat_doc, tids = flat_doc[order], tids[order]
     boundary = np.flatnonzero(
         np.diff(flat_doc).astype(bool) | np.diff(tids).astype(bool)) + 1
@@ -221,7 +250,13 @@ def count_terms_batch(
     doc_bounds = np.searchsorted(g_doc, np.arange(n + 1))
     term_arrs = [g_terms[doc_bounds[d]:doc_bounds[d + 1]] for d in range(n)]
     tf_arrs = [g_tf[doc_bounds[d]:doc_bounds[d + 1]] for d in range(n)]
-    return term_arrs, tf_arrs, [int(x) for x in doc_len_out]
+    dls = [int(x) for x in doc_len_out]
+    if not positions:
+        return term_arrs, tf_arrs, dls
+    # flat_pos is already in (doc, term-rank, pos) order; slice per doc
+    emis_bounds = np.searchsorted(flat_doc, np.arange(n + 1))
+    pos_arrs = [flat_pos[emis_bounds[d]:emis_bounds[d + 1]] for d in range(n)]
+    return term_arrs, tf_arrs, dls, pos_arrs
 
 
 def analyze_query_term(term: str, mode: str = "code") -> list[str]:

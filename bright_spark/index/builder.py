@@ -48,7 +48,7 @@ from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog
 from bright_spark.models import IndexConfig
 
 PARTIALS_SCHEMA = ("term STRING, range_id BIGINT, doc_ids ARRAY<BIGINT>, "
-                   "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>")
+                   "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>, pos ARRAY<BIGINT>")
 
 
 # ------------------------------------------------------------ kernels
@@ -56,7 +56,8 @@ PARTIALS_SCHEMA = ("term STRING, range_id BIGINT, doc_ids ARRAY<BIGINT>, "
 def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
                       filter_stopwords: bool, passthrough_cols: list[str],
                       id_offsets: dict[int, int] | None = None,
-                      emit_tokens: bool = False):
+                      emit_tokens: bool = False,
+                      emit_positions: bool = False):
     """mapInPandas kernel: content -> doc_len (+ optionally the per-doc
     (term, tf) arrays, used only for small mutation batches — the bulk
     build never ships token arrays through Arrow).
@@ -81,8 +82,12 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
         for pdf in batches:
             texts = pdf[content_col].tolist()
             langs = pdf[lang_col].tolist() if lang_col else [None] * len(texts)
-            term_arr, tf_arr, dlens = count_terms_batch(
-                texts, mode, langs, filter_stopwords)
+            if emit_positions:
+                term_arr, tf_arr, dlens, pos_arr = count_terms_batch(
+                    texts, mode, langs, filter_stopwords, positions=True)
+            else:
+                term_arr, tf_arr, dlens = count_terms_batch(
+                    texts, mode, langs, filter_stopwords)
             out = pdf[passthrough_cols].copy()
             if next_id is not None:
                 out["doc_id"] = pd.Series(
@@ -93,16 +98,22 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
             if emit_tokens:
                 out["_term_arr"] = pd.Series(term_arr, index=pdf.index, dtype=object)
                 out["_tf_arr"] = pd.Series(tf_arr, index=pdf.index, dtype=object)
+            if emit_positions:
+                out["_pos_arr"] = pd.Series(pos_arr, index=pdf.index, dtype=object)
             yield out
 
     return fn
 
 
 def _emit_partials(doc_ids: np.ndarray, term_arrs: list, tf_arrs: list,
-                   range_bits: int) -> pd.DataFrame | None:
+                   range_bits: int,
+                   pos_arrs: list | None = None) -> pd.DataFrame | None:
     """(per-doc ids + token arrays) -> combined partial posting rows:
     vectorized explode + group via lexsort/slice — no per-entry Python.
-    doc_len is derived as Σ tf per doc (= emitted token count)."""
+    doc_len is derived as Σ tf per doc (= emitted token count). With
+    ``pos_arrs`` (per-doc flat positions in (term-rank, pos) order,
+    segment lengths = tfs) each row also carries the flat positions of
+    its entries; otherwise ``pos`` is empty."""
     lens = np.fromiter((len(t) for t in term_arrs), np.int64, len(term_arrs))
     if lens.sum() == 0:
         return None
@@ -121,42 +132,64 @@ def _emit_partials(doc_ids: np.ndarray, term_arrs: list, tf_arrs: list,
     codes, uniq_terms = pd.factorize(terms, sort=False)
     order = np.lexsort((doc_ids_flat, ranges, codes))
     codes, ranges = codes[order], ranges[order]
-    doc_ids_flat, tfs, dls = doc_ids_flat[order], tfs[order], dls[order]
+    tfs_o, dls_o = tfs[order], dls[order]
+    doc_ids_flat = doc_ids_flat[order]
     boundary = np.flatnonzero(
         np.diff(codes).astype(bool) | np.diff(ranges).astype(bool)
     ) + 1
     starts = np.concatenate(([0], boundary))
     ends = np.concatenate((boundary, [len(codes)]))
-    return pd.DataFrame({
+    out = {
         "term": uniq_terms[codes[starts]],
         "range_id": ranges[starts],
         "doc_ids": [doc_ids_flat[s:e] for s, e in zip(starts, ends)],
-        "tfs": [tfs[s:e] for s, e in zip(starts, ends)],
-        "dls": [dls[s:e] for s, e in zip(starts, ends)],
-    })
+        "tfs": [tfs_o[s:e] for s, e in zip(starts, ends)],
+        "dls": [dls_o[s:e] for s, e in zip(starts, ends)],
+    }
+    empty = np.empty(0, dtype=np.int64)
+    if pos_arrs is None:
+        out["pos"] = [empty] * starts.size
+    else:
+        # ragged gather of per-pair position segments into sorted order
+        P = (np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_arrs])
+             if len(pos_arrs) else empty)
+        pair_start = tf_cum[:-1]  # value offset of each pair (input order)
+        L = tfs[order]
+        total = int(L.sum())
+        offs = np.concatenate(([0], np.cumsum(L)[:-1]))
+        ar = (np.arange(total, dtype=np.int64) - np.repeat(offs, L)
+              + np.repeat(pair_start[order], L))
+        pos_sorted = P[ar]
+        v = np.concatenate(([0], np.cumsum(L)))
+        out["pos"] = [pos_sorted[v[s]:v[e]] for s, e in zip(starts, ends)]
+    return pd.DataFrame(out)
 
 
-def _make_partials_fn(range_bits: int, flush_docs: int = 32768):
-    """mapInPandas kernel: tokenized rows (with ``_term_arr/_tf_arr``)
-    -> partial posting rows (B1). Used by the mutation path, whose
-    small changed-batches already carry token arrays. Input Arrow
-    batches are accumulated to ~``flush_docs`` docs before grouping:
-    bigger map-side combines mean ~8x fewer partial rows into the
-    merge shuffle."""
+def _make_partials_fn(range_bits: int, flush_docs: int = 32768,
+                      store_positions: bool = False):
+    """mapInPandas kernel: tokenized rows (with ``_term_arr/_tf_arr``
+    and, when positions are stored, ``_pos_arr``) -> partial posting
+    rows (B1). Used by the mutation path, whose small changed-batches
+    already carry token arrays. Input Arrow batches are accumulated to
+    ~``flush_docs`` docs before grouping: bigger map-side combines mean
+    ~8x fewer partial rows into the merge shuffle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids: list[np.ndarray] = []
         terms: list = []
         tfs: list = []
+        poss: list = []
         n_acc = 0
 
         def flush():
             out = _emit_partials(
                 np.concatenate(ids) if ids else np.empty(0, dtype=np.int64),
-                terms, tfs, range_bits)
+                terms, tfs, range_bits,
+                pos_arrs=poss if store_positions else None)
             ids.clear()
             terms.clear()
             tfs.clear()
+            poss.clear()
             return out
 
         for pdf in batches:
@@ -165,6 +198,8 @@ def _make_partials_fn(range_bits: int, flush_docs: int = 32768):
             ids.append(pdf["doc_id"].to_numpy(dtype=np.int64))
             terms.extend(pdf["_term_arr"].tolist())
             tfs.extend(pdf["_tf_arr"].tolist())
+            if store_positions:
+                poss.extend(pdf["_pos_arr"].tolist())
             n_acc += len(pdf)
             if n_acc >= flush_docs:
                 out = flush()
@@ -183,7 +218,8 @@ def _make_tokenize_partials_fn(content_col: str, lang_col: str | None,
                                mode: str, filter_stopwords: bool,
                                range_bits: int,
                                id_offsets: dict[int, int] | None = None,
-                               flush_docs: int = 32768):
+                               flush_docs: int = 32768,
+                               store_positions: bool = False):
     """FUSED mapInPandas kernel: source rows -> partial posting rows in
     one pass (B1). Token arrays are produced AND combined inside the
     same Python worker — they never cross the Arrow boundary or touch
@@ -200,15 +236,18 @@ def _make_tokenize_partials_fn(content_col: str, lang_col: str | None,
         ids: list[np.ndarray] = []
         terms: list = []
         tfs: list = []
+        poss: list = []
         n_acc = 0
 
         def flush():
             out = _emit_partials(
                 np.concatenate(ids) if ids else np.empty(0, dtype=np.int64),
-                terms, tfs, range_bits)
+                terms, tfs, range_bits,
+                pos_arrs=poss if store_positions else None)
             ids.clear()
             terms.clear()
             tfs.clear()
+            poss.clear()
             return out
 
         for pdf in batches:
@@ -216,8 +255,13 @@ def _make_tokenize_partials_fn(content_col: str, lang_col: str | None,
                 continue
             texts = pdf[content_col].tolist()
             langs = pdf[lang_col].tolist() if lang_col else [None] * len(texts)
-            term_arr, tf_arr, _ = count_terms_batch(
-                texts, mode, langs, filter_stopwords)
+            if store_positions:
+                term_arr, tf_arr, _, pos_arr = count_terms_batch(
+                    texts, mode, langs, filter_stopwords, positions=True)
+                poss.extend(pos_arr)
+            else:
+                term_arr, tf_arr, _ = count_terms_batch(
+                    texts, mode, langs, filter_stopwords)
             if next_id is not None:
                 ids.append(np.arange(next_id, next_id + len(pdf), dtype=np.int64))
                 next_id += len(pdf)
@@ -239,7 +283,8 @@ def _make_tokenize_partials_fn(content_col: str, lang_col: str | None,
     return fn
 
 
-def _make_merge_fn(block_size: int, n_buckets: int):
+def _make_merge_fn(block_size: int, n_buckets: int,
+                   store_positions: bool = False):
     """mapInPandas kernel that merges ALL partial posting runs in its
     partition (the preceding ``repartition(n, term, range_id)`` shuffle
     colocates every run of a group). Partition-level merging instead of
@@ -261,6 +306,17 @@ def _make_merge_fn(block_size: int, n_buckets: int):
         flat_dl = np.concatenate(pdf["dls"].to_numpy()).astype(np.int64)
         order = np.lexsort((flat_doc, flat_range, flat_code))
         flat_code, flat_range = flat_code[order], flat_range[order]
+        positions = None
+        if store_positions:
+            # per-entry position segments, gathered into sorted order
+            P = np.concatenate(pdf["pos"].to_numpy()).astype(np.int64)
+            ent_start = np.concatenate(([0], np.cumsum(flat_tf)[:-1]))
+            L = flat_tf[order]
+            total = int(L.sum())
+            offs = np.concatenate(([0], np.cumsum(L)[:-1]))
+            ar = (np.arange(total, dtype=np.int64) - np.repeat(offs, L)
+                  + np.repeat(ent_start[order], L))
+            positions = P[ar]
         flat_doc, flat_tf, flat_dl = flat_doc[order], flat_tf[order], flat_dl[order]
         boundary = np.flatnonzero(
             np.diff(flat_code).astype(bool) | np.diff(flat_range).astype(bool)
@@ -268,7 +324,8 @@ def _make_merge_fn(block_size: int, n_buckets: int):
         starts = np.concatenate(([0], boundary))
         ends = np.concatenate((boundary, [flat_code.size]))
         blocks, block_group = codec.encode_blocks_bulk(
-            flat_doc, flat_tf, flat_dl, starts, block_size)
+            flat_doc, flat_tf, flat_dl, starts, block_size,
+            positions=positions)
         n_groups = starts.size
         # block index range per group (block_group ascending)
         gb = np.searchsorted(block_group, np.arange(n_groups + 1))
@@ -288,6 +345,8 @@ def _make_merge_fn(block_size: int, n_buckets: int):
             "docs": [blocks["docs"][gb[g]:gb[g + 1]] for g in range(n_groups)],
             "tfs": [blocks["tfs"][gb[g]:gb[g + 1]] for g in range(n_groups)],
             "dls": [blocks["dls"][gb[g]:gb[g + 1]] for g in range(n_groups)],
+            "pos": ([blocks["pos"][gb[g]:gb[g + 1]] for g in range(n_groups)]
+                    if store_positions else [[] for _ in range(n_groups)]),
         })
 
     return fn
@@ -422,13 +481,15 @@ class IndexBuilder:
         partials = scan.mapInPandas(
             _make_tokenize_partials_fn(
                 self.content_col, self.lang_col, cfg.tokenizer,
-                self.filter_stopwords, cfg.range_bits, id_offsets),
+                self.filter_stopwords, cfg.range_bits, id_offsets,
+                store_positions=cfg.store_positions),
             schema=PARTIALS_SCHEMA,
         )
         n_merge = self.n_build_partitions
         merged = (partials
                   .repartition(n_merge, "term", "range_id")
-                  .mapInPandas(_make_merge_fn(cfg.block_size, cfg.n_term_buckets),
+                  .mapInPandas(_make_merge_fn(cfg.block_size, cfg.n_term_buckets,
+                                              cfg.store_positions),
                                schema=POSTINGS_SCHEMA))
         (merged.repartition(cfg.n_term_buckets, "bucket")
                .sortWithinPartitions("term", "range_id")
@@ -469,6 +530,7 @@ class IndexBuilder:
             "k1": cfg.k1,
             "b": cfg.b,
             "tokenizer": cfg.tokenizer,
+            "store_positions": cfg.store_positions,
             "filter_stopwords": self.filter_stopwords,
             "range_bits": cfg.range_bits,
             "block_size": cfg.block_size,

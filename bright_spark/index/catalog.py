@@ -40,7 +40,10 @@ POSTINGS_SCHEMA = (
     "bucket INT, term STRING, range_id BIGINT, df_chunk INT, cf_chunk BIGINT, "
     "first_doc ARRAY<BIGINT>, max_doc ARRAY<BIGINT>, n ARRAY<INT>, "
     "max_tf ARRAY<INT>, min_dl ARRAY<INT>, "
-    "docs ARRAY<BINARY>, tfs ARRAY<BINARY>, dls ARRAY<BINARY>"
+    "docs ARRAY<BINARY>, tfs ARRAY<BINARY>, dls ARRAY<BINARY>, "
+    # per-block absolute-varint positions (empty when the index was
+    # built with store_positions=False)
+    "pos ARRAY<BINARY>"
 )
 
 

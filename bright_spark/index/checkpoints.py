@@ -159,7 +159,8 @@ class ResumableIndexBuilder:
             partials = part.mapInPandas(
                 _make_tokenize_partials_fn(
                     b.content_col, b.lang_col, self.config.tokenizer,
-                    b.filter_stopwords, self.config.range_bits),
+                    b.filter_stopwords, self.config.range_bits,
+                    store_positions=self.config.store_positions),
                 schema=PARTIALS_SCHEMA)
             partials.write.mode("overwrite").parquet(self._seg_path(shard))
             seg = self.spark.read.parquet(self._seg_path(shard))
@@ -184,7 +185,8 @@ class ResumableIndexBuilder:
                        or self.spark.sparkContext.defaultParallelism)
             merged = (partials.repartition(n_merge, "term", "range_id")
                       .mapInPandas(_make_merge_fn(self.config.block_size,
-                                                  self.config.n_term_buckets),
+                                                  self.config.n_term_buckets,
+                                                  self.config.store_positions),
                                    schema=POSTINGS_SCHEMA))
             (merged.repartition(self.config.n_term_buckets, "bucket")
                    .sortWithinPartitions("term", "range_id")

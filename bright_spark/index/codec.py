@@ -147,6 +147,7 @@ def encode_blocks_bulk(
     dls: np.ndarray,
     group_starts: np.ndarray,
     block_size: int = DEFAULT_BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ):
     """Encode MANY posting runs (concatenated, with ``group_starts``
     marking run boundaries) in three bulk varint passes — identical
@@ -156,6 +157,13 @@ def encode_blocks_bulk(
 
     Returns (per-block dict of numpy/bytes lists, block_group array
     mapping each block to its run index).
+
+    ``positions`` (optional): flat absolute base positions, entry i
+    owning the ``tfs[i]`` values at offset ``Σ tfs[:i]`` (ascending
+    within an entry). Encoded as absolute varints per block under key
+    ``pos`` — positions are small ordinals, so delta gains little and
+    absolute keeps entry slicing trivial (the entry's value count IS
+    its tf).
     """
     n = doc_ids.size
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
@@ -204,6 +212,22 @@ def encode_blocks_bulk(
     out["docs"] = encode_all(deltas.astype(np.uint64))
     out["tfs"] = encode_all(tfs)
     out["dls"] = encode_all(dls)
+    if positions is not None:
+        # value index space: entry i owns values [pv_start[i], pv_end[i])
+        pv_end = np.cumsum(tfs)
+        pv_start = pv_end - tfs
+        buf, nbytes = varint_encode_raw(positions)
+        vbyte_ends = np.cumsum(nbytes)
+        raw = buf.tobytes()
+        bs_val = pv_start[block_starts] if n else block_starts
+        be_val = pv_end[block_ends - 1] if n else block_starts
+        bs_byte = np.zeros(block_starts.size, dtype=np.int64)
+        nz = bs_val > 0
+        bs_byte[nz] = vbyte_ends[bs_val[nz] - 1]
+        be_byte = np.zeros(block_starts.size, dtype=np.int64)
+        nzv = be_val > 0
+        be_byte[nzv] = vbyte_ends[be_val[nzv] - 1]
+        out["pos"] = [raw[s:e] for s, e in zip(bs_byte, be_byte)]
     out["first_doc"] = doc_ids[block_starts].tolist() if n else []
     out["max_doc"] = doc_ids[block_ends - 1].tolist() if n else []
     out["n"] = (block_ends - block_starts).tolist()

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from bright_spark.index import codec
 from bright_spark.index.builder import (
+    PARTIALS_SCHEMA,
     IndexBuilder,
     _make_merge_fn,
     _make_partials_fn,
@@ -53,19 +54,24 @@ def _swap_dir(new: str, dst: str) -> None:
     shutil.rmtree(trash, ignore_errors=True)
 
 
-def _decode_to_partials(range_bits: int):
+def _decode_to_partials(range_bits: int, store_positions: bool = False):
     """Posting rows -> partial-run rows, dropping ``_drop_ids``."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = np.empty(0, dtype=np.int64)
         for pdf in batches:
-            terms, ranges, ds, ts, ls = [], [], [], [], []
+            terms, ranges, ds, ts, ls, ps = [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 d, t, l = codec.decode_all_blocks({
                     "first_doc": row.first_doc, "docs": row.docs,
                     "tfs": row.tfs, "dls": row.dls})
+                pos = (codec.decode_concat(list(row.pos)).astype(np.int64)
+                       if store_positions else empty)
                 drop = np.asarray(row.drop_ids, dtype=np.int64)
                 if drop.size:
                     keep = ~np.isin(d, drop)
+                    if store_positions and pos.size:
+                        pos = pos[np.repeat(keep, t)]
                     d, t, l = d[keep], t[keep], l[keep]
                 if d.size == 0:
                     continue
@@ -74,9 +80,11 @@ def _decode_to_partials(range_bits: int):
                 ds.append(d)
                 ts.append(t)
                 ls.append(l)
+                ps.append(pos)
             if terms:
                 yield pd.DataFrame({"term": terms, "range_id": ranges,
-                                    "doc_ids": ds, "tfs": ts, "dls": ls})
+                                    "doc_ids": ds, "tfs": ts, "dls": ls,
+                                    "pos": ps})
 
     return fn
 
@@ -120,11 +128,15 @@ class IndexMutator:
             "content_sha256", F.sha2(F.col(b.content_col), 256))
         in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                               for f in src.schema.fields)
+        pos_part = (", _pos_arr ARRAY<BIGINT>"
+                    if self.config.store_positions else "")
         tokenized = src.mapInPandas(
             _make_tokenize_fn(b.content_col, b.lang_col, self.config.tokenizer,
                               b.filter_stopwords, list(src.columns),
-                              emit_tokens=True),
-            schema=f"{in_schema}, doc_len INT, _term_arr ARRAY<STRING>, _tf_arr ARRAY<INT>")
+                              emit_tokens=True,
+                              emit_positions=self.config.store_positions),
+            schema=(f"{in_schema}, doc_len INT, _term_arr ARRAY<STRING>, "
+                    f"_tf_arr ARRAY<INT>{pos_part}"))
         if self.extra.get("id_col"):
             return tokenized
         docs = self.catalog.docs(self.spark).select(*keys, "doc_id")
@@ -234,28 +246,32 @@ class IndexMutator:
         surviving_partials = (
             touched.withColumn("drop_ids",
                                F.array(*[F.lit(i) for i in changed_ids]))
-            .select("term", "range_id", "first_doc", "docs", "tfs", "dls", "drop_ids")
-            .mapInPandas(_decode_to_partials(cfg.range_bits),
-                         schema=("term STRING, range_id BIGINT, "
-                                 "doc_ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, "
-                                 "dls ARRAY<BIGINT>")))
+            .select("term", "range_id", "first_doc", "docs", "tfs", "dls",
+                    "pos", "drop_ids")
+            .mapInPandas(_decode_to_partials(cfg.range_bits,
+                                             cfg.store_positions),
+                         schema=PARTIALS_SCHEMA))
         partial_parts = [surviving_partials]
         if changed is not None:
             # the tokenized changed batch (persisted by upsert) already
             # carries its token arrays
+            tok_cols = (["doc_id", "doc_len", "_term_arr", "_tf_arr"]
+                        + (["_pos_arr"] if cfg.store_positions else []))
             new_partials = (changed
-                            .select("doc_id", "doc_len", "_term_arr", "_tf_arr")
-                            .mapInPandas(_make_partials_fn(cfg.range_bits),
-                                         schema=("term STRING, range_id BIGINT, "
-                                                 "doc_ids ARRAY<BIGINT>, "
-                                                 "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>")))
+                            .select(*tok_cols)
+                            .mapInPandas(_make_partials_fn(
+                                cfg.range_bits,
+                                store_positions=cfg.store_positions),
+                                schema=PARTIALS_SCHEMA))
             partial_parts.append(new_partials)
         partials = partial_parts[0]
         for p in partial_parts[1:]:
             partials = partials.unionByName(p)
         n_merge = self.spark.sparkContext.defaultParallelism
         remerged = (partials.repartition(n_merge, "term", "range_id")
-                    .mapInPandas(_make_merge_fn(cfg.block_size, cfg.n_term_buckets),
+                    .mapInPandas(_make_merge_fn(cfg.block_size,
+                                                cfg.n_term_buckets,
+                                                cfg.store_positions),
                                  schema=POSTINGS_SCHEMA))
         rebuilt = untouched.unionByName(remerged)
         tmp_post = self.catalog.postings_path + "._new"

@@ -48,6 +48,10 @@ class IndexConfig:
     # cluster (e.g. 1024-4096 buckets at 10^12 docs).
     n_term_buckets: int | None = None
     store_content: bool = True  # keep raw content in docs table (R3 retrieve)
+    # store per-emission base positions in postings (Q4 phrase queries
+    # verified from the index alone — required for phrases when content
+    # is not stored; ~doubles posting payload, hence opt-in)
+    store_positions: bool = False
 
 
 @dataclass

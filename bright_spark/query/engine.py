@@ -52,17 +52,29 @@ class SearchEngine:
         self.planner = Planner(spark, self.catalog)
         self.meta = self.planner.meta
         self.extra = self.planner.extra
+        self._df_cache: dict[str, int] = {}
 
     # ----------------------------------------------------------- utils
+
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """df per term, via a driver-side dictionary cache (the hot
+        term-dictionary an engine keeps resident; absent terms cache as
+        0 so repeated misses don't re-scan). The fetch itself is the
+        bucket-pruned term_stats lookup."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = self.catalog.term_stats_for_terms(self.spark, missing).collect()
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = got.get(t, 0)
+        return {t: self._df_cache[t] for t in terms}
 
     def _term_weights(self, aq: AnalyzedQuery) -> dict[str, float]:
         """boost * idf per scoring term (driver-side: k small rows)."""
         specs = aq.scoring_terms
         if not specs:
             return {}
-        terms = [s.term for s in specs]
-        rows = self.catalog.term_stats_for_terms(self.spark, terms).collect()
-        dfs = {r["term"]: int(r["df"]) for r in rows}
+        dfs = self._term_dfs([s.term for s in specs])
         n = int(self.meta["n_docs"])
         out = {}
         for s in specs:
@@ -119,7 +131,7 @@ class SearchEngine:
             # (every member has df=0) -> no hits (Q6)
             return empty
 
-        rows = self.catalog.postings_for_terms(self.spark, needed)
+        rows = self.catalog.postings_for_terms(self.spark, needed).drop("pos")
 
         def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             docs, scores, n_matched = scorer.score_range_topk(
@@ -253,11 +265,79 @@ class SearchEngine:
             cand = cand.join(keep, "doc_id", "left_semi")
         return cand
 
+    def _exploded_positions(self, terms: list[str]) -> DataFrame:
+        """(term, doc_id, pos ARRAY<BIGINT>) decoded from positional
+        postings (store_positions indexes only)."""
+        rows = self.catalog.postings_for_terms(self.spark, terms)
+        sel = rows.select("term", "first_doc", "n", "docs", "tfs", "pos")
+
+        def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from bright_spark.index import codec
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out_t, out_d, out_p = [], [], []
+                for row in pdf.itertuples(index=False):
+                    ns = np.asarray(row.n, dtype=np.int64)
+                    d = codec.decode_doc_blocks_bulk(
+                        np.asarray(row.first_doc, dtype=np.int64), ns,
+                        list(row.docs))
+                    tf = codec.decode_concat(list(row.tfs)).astype(np.int64)
+                    pos = codec.decode_concat(list(row.pos)).astype(np.int64)
+                    bounds = np.concatenate(([0], np.cumsum(tf)))
+                    out_t.extend([row.term] * d.size)
+                    out_d.extend(d.tolist())
+                    out_p.extend(pos[bounds[i]:bounds[i + 1]]
+                                 for i in range(d.size))
+                if out_t:
+                    yield pd.DataFrame({"term": out_t, "doc_id": out_d,
+                                        "pos": out_p})
+
+        return sel.mapInPandas(decode_fn,
+                               "term STRING, doc_id BIGINT, pos ARRAY<BIGINT>")
+
+    def _verify_phrases_positional(self, cand: DataFrame,
+                                   aq: AnalyzedQuery) -> DataFrame:
+        """Q4 adjacency from the positional index alone (no content
+        scan): fetch phrase tokens' positions for candidate docs, check
+        consecutive base ordinals per doc (Arrow-batched)."""
+        phrases = [list(ph.tokens) for ph in aq.phrases]
+        tokens = sorted({t for ph in phrases for t in ph})
+        pos_df = (self._exploded_positions(tokens)
+                  .join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi"))
+        grouped = (pos_df.groupBy("doc_id")
+                   .agg(F.map_from_entries(
+                        F.collect_list(F.struct("term", "pos"))).alias("m")))
+
+        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ok_ids = []
+                for row in pdf.itertuples(index=False):
+                    m = {k: set(int(x) for x in v) for k, v in row.m.items()}
+                    good = True
+                    for ph in phrases:
+                        starts = m.get(ph[0], set())
+                        hit = any(all((s + i) in m.get(t, ())
+                                      for i, t in enumerate(ph[1:], 1))
+                                  for s in starts)
+                        if not hit:
+                            good = False
+                            break
+                    if good:
+                        ok_ids.append(row.doc_id)
+                yield pd.DataFrame({"doc_id": pd.Series(ok_ids, dtype="int64")})
+
+        ok = grouped.mapInPandas(verify, "doc_id BIGINT")
+        return cand.join(ok, "doc_id", "left_semi")
+
     def _verify_phrases(self, cand: DataFrame, aq: AnalyzedQuery,
                         docs_df: DataFrame) -> DataFrame:
-        """Q4 positional adjacency: v1 stores no positions, so re-run
-        the analyzer over only the AND-candidate docs' content and
-        check consecutive base positions (Arrow-batched)."""
+        """Q4 positional adjacency. Positional indexes verify from the
+        postings alone (:meth:`_verify_phrases_positional`); otherwise
+        re-run the analyzer over only the AND-candidate docs' content
+        and check consecutive base positions (Arrow-batched)."""
+        if self.meta.get("store_positions"):
+            return self._verify_phrases_positional(cand, aq)
         content_col = self.extra.get("content_col", "content")
         lang_col = self.extra.get("lang_col")
         mode = self.meta.get("tokenizer", "code")

@@ -36,6 +36,13 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=None,
                     help="postings term-hash buckets; default auto-sizes "
                          "to the build partition count")
+    ap.add_argument("--store-positions", action="store_true",
+                    help="store per-emission positions (phrase queries "
+                         "answered from the index alone)")
+    ap.add_argument("--no-store-content", action="store_true",
+                    help="omit raw content from the docs table")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsoneachrow", "msgpack"])
     ap.add_argument("--resumable", action="store_true")
     ap.add_argument("--n-shards", type=int, default=16)
     ap.add_argument("--master", default=None)
@@ -53,7 +60,8 @@ def main() -> None:
     spark = get_spark("build_index", master=args.master,
                       shuffle_partitions=args.partitions,
                       extra_conf={"spark.task.cpus": str(args.task_cpus)})
-    src = spark.read.parquet(args.source)
+    from bright_spark.sources import read_documents
+    src = read_documents(spark, args.source, args.format)
 
     # warm the python workers once (on a real cluster, a long-lived
     # app amortizes worker startup; exclude it from throughput)
@@ -65,7 +73,9 @@ def main() -> None:
 
     cfg = IndexConfig(id=os.path.basename(args.index_dir.rstrip("/")),
                       tokenizer=args.tokenizer, range_bits=args.range_bits,
-                      n_term_buckets=args.buckets)
+                      n_term_buckets=args.buckets,
+                      store_positions=args.store_positions,
+                      store_content=not args.no_store_content)
     kwargs = dict(
         content_col=args.content_col,
         key_cols=tuple(c for c in args.key_cols.split(",") if c),
