@@ -77,12 +77,17 @@ def main() -> None:
               lambda: near_duplicates_minhash(docs, threshold=0.5).count())
         timed("dedup_simhash", lambda: simhash(docs).count())
         timed("text_quality", lambda: quality_scores(docs).count())
+        from bright_spark.text.quality import language_id
+        timed("text_lang_id", lambda: language_id(docs).count())
 
         qvec = [float(x) for x in
                 emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
         timed("ann_brute", lambda: cosine_topk(emb, qvec, k=10).collect())
         timed("ann_lsh", lambda: ann_cosine_topk(emb, qvec, k=10, n_planes=6,
                                                  probe_hamming=2).collect())
+        from bright_spark.vectors.similarity import near_duplicates_cosine
+        timed("ann_near_dup", lambda: near_duplicates_cosine(
+            emb, threshold=0.3, n_planes=6, dim=64).count())
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
