@@ -42,7 +42,11 @@ from bright_spark.index.builder import (
     _make_partials_fn,
     _make_tokenize_fn,
 )
-from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog, term_bucket
+from bright_spark.index.catalog import (
+    POSTINGS_SCHEMA,
+    IndexCatalog,
+    term_bucket_col,
+)
 
 
 def _swap_dir(new: str, dst: str) -> None:
@@ -54,11 +58,17 @@ def _swap_dir(new: str, dst: str) -> None:
     shutil.rmtree(trash, ignore_errors=True)
 
 
-def _decode_to_partials(range_bits: int, store_positions: bool = False):
-    """Posting rows -> partial-run rows, dropping ``_drop_ids``."""
+def _decode_to_partials(range_bits: int, store_positions: bool = False,
+                        drop_bc=None):
+    """Posting rows -> partial-run rows, dropping the doc ids in the
+    ``drop_bc`` broadcast (a sorted int64 numpy array: broadcast, not a
+    plan-literal array, so million-row change sets don't explode the
+    query plan)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         empty = np.empty(0, dtype=np.int64)
+        drop = (np.asarray(drop_bc.value, dtype=np.int64)
+                if drop_bc is not None else empty)
         for pdf in batches:
             terms, ranges, ds, ts, ls, ps = [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
@@ -67,7 +77,6 @@ def _decode_to_partials(range_bits: int, store_positions: bool = False):
                     "tfs": row.tfs, "dls": row.dls})
                 pos = (codec.decode_concat(list(row.pos)).astype(np.int64)
                        if store_positions else empty)
-                drop = np.asarray(row.drop_ids, dtype=np.int64)
                 if drop.size:
                     keep = ~np.isin(d, drop)
                     if store_positions and pos.size:
@@ -195,42 +204,64 @@ class IndexMutator:
 
     def _apply(self, changed: DataFrame | None = None,
                deleted_ids: list[int] | None = None) -> None:
-        cfg = self.config
-        docs_all = self.catalog.docs(self.spark, include_build_cols=True)
-
+        """Change sets travel as DataFrames/joins and one numpy
+        broadcast — never as plan-literal IN-lists — so a
+        million-document sync batch plans the same as a 10-document
+        one. (A change set too large to broadcast to executors would
+        switch the posting drop to an explode + anti-join; that regime
+        means most of the index changed, where a rebuild wins anyway.)"""
+        spark = self.spark
         if changed is not None:
-            changed_ids = [r["doc_id"] for r in changed.select("doc_id").collect()]
+            ids_df = changed.select("doc_id").distinct()
         else:
-            changed_ids = list(deleted_ids or [])
-        if not changed_ids:
-            return
-        # the docs table stores no token arrays (build module doc) —
-        # re-tokenize the (small) replaced set from stored content
-        replaced = docs_all.filter(F.col("doc_id").isin(changed_ids))
+            ids_df = spark.createDataFrame(
+                [(int(i),) for i in (deleted_ids or [])], "doc_id BIGINT")
+        ids_df.persist()
+        try:
+            changed_id_arr = np.unique(np.array(
+                [r["doc_id"] for r in ids_df.collect()], dtype=np.int64))
+            if changed_id_arr.size == 0:
+                return
+            drop_bc = spark.sparkContext.broadcast(changed_id_arr)
+            self._apply_inner(changed, ids_df, drop_bc)
+            drop_bc.unpersist()
+        finally:
+            ids_df.unpersist()
+
+    def _apply_inner(self, changed: DataFrame | None, ids_df: DataFrame,
+                     drop_bc) -> None:
+        cfg = self.config
+        spark = self.spark
+        docs_all = self.catalog.docs(spark, include_build_cols=True)
         b = self._builder()
         if not self.config.store_content:
             raise ValueError("mutations re-tokenize replaced docs from "
                              "stored content; store_content=False is not "
                              "supported")
+        # the docs table stores no token arrays (build module doc) —
+        # re-tokenize the replaced set from stored content
+        replaced = docs_all.join(ids_df, "doc_id", "left_semi")
         rep_cols = [b.content_col] + ([b.lang_col] if b.lang_col else [])
         rep_tok = replaced.select(*rep_cols).mapInPandas(
             _make_tokenize_fn(b.content_col, b.lang_col, self.config.tokenizer,
                               b.filter_stopwords, [], emit_tokens=True),
             schema="doc_len INT, _term_arr ARRAY<STRING>, _tf_arr ARRAY<INT>")
-        old_terms = {r["t"] for r in
-                     rep_tok.select(F.explode("_term_arr").alias("t"))
-                     .distinct().collect()}
-        new_terms: set[str] = set()
+        terms_df = rep_tok.select(F.explode("_term_arr").alias("term"))
         if changed is not None:
-            new_terms = {r["t"] for r in
-                         changed.select(F.explode("_term_arr").alias("t"))
-                         .distinct().collect()}
-        affected_terms = sorted(old_terms | new_terms)
-        affected_buckets = sorted({term_bucket(t, cfg.n_term_buckets)
-                                   for t in affected_terms})
+            terms_df = terms_df.unionByName(
+                changed.select(F.explode("_term_arr").alias("term")))
+        terms_df = terms_df.distinct()
+        terms_df.persist()
+        # bucket set is tiny (<= n_term_buckets) — the only collect
+        affected_buckets = sorted(
+            r["b"] for r in terms_df.select(
+                term_bucket_col(F.col("term"), cfg.n_term_buckets).alias("b"))
+            .distinct().collect())
+        if not affected_buckets:
+            affected_buckets = []
 
         # ---- docs table rewrite (tmp + atomic dir swap)
-        survivors = docs_all.filter(~F.col("doc_id").isin(changed_ids))
+        survivors = docs_all.join(ids_df, "doc_id", "left_anti")
         new_docs = survivors
         if changed is not None:
             new_docs = survivors.unionByName(changed.select(*survivors.columns))
@@ -239,17 +270,16 @@ class IndexMutator:
         _swap_dir(tmp_docs, self.catalog.docs_path)
 
         # ---- postings: rewrite only affected buckets
-        post = self.catalog.postings(self.spark)
+        post = self.catalog.postings(spark)
         in_buckets = post.filter(F.col("bucket").isin(affected_buckets))
-        untouched = in_buckets.filter(~F.col("term").isin(affected_terms))
-        touched = in_buckets.filter(F.col("term").isin(affected_terms))
+        untouched = in_buckets.join(terms_df, "term", "left_anti")
+        touched = in_buckets.join(terms_df, "term", "left_semi")
         surviving_partials = (
-            touched.withColumn("drop_ids",
-                               F.array(*[F.lit(i) for i in changed_ids]))
-            .select("term", "range_id", "first_doc", "docs", "tfs", "dls",
-                    "pos", "drop_ids")
+            touched
+            .select("term", "range_id", "first_doc", "docs", "tfs", "dls", "pos")
             .mapInPandas(_decode_to_partials(cfg.range_bits,
-                                             cfg.store_positions),
+                                             cfg.store_positions,
+                                             drop_bc=drop_bc),
                          schema=PARTIALS_SCHEMA))
         partial_parts = [surviving_partials]
         if changed is not None:
@@ -288,5 +318,6 @@ class IndexMutator:
                 shutil.rmtree(dst, ignore_errors=True)  # bucket emptied
         shutil.rmtree(tmp_post, ignore_errors=True)
 
+        terms_df.unpersist()
         # ---- term_stats + meta recompute (stats pass reuses builder)
         self._builder().build_stats()

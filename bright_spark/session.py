@@ -21,19 +21,27 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the session.
 
-    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]``. On a real
-    cluster callers pass ``master=None`` and let spark-submit decide.
+    ``master=None`` respects a spark-submit-provided master (cluster
+    deployments MUST win over the local default); only when no master
+    is configured anywhere does it fall back to
+    ``local[$SPARK_GRAFT_CPUS or *]``.
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+        submit_decided = any(
+            os.environ.get(v) for v in
+            ("SPARK_MASTER", "MASTER", "PYSPARK_SUBMIT_ARGS"))
+        if not submit_decided:
+            from pyspark import SparkConf
+            submit_decided = SparkConf().contains("spark.master")
+        if not submit_decided:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else (os.cpu_count() or 8)
 
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -45,6 +53,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("BRIGHT_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    if master:
+        builder = builder.master(master)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
