@@ -48,7 +48,8 @@ def _engine(spark: SparkSession, sf_dir: str):
     if not os.path.exists(os.path.join(idx_dir, "meta.json")):
         build_index(
             spark, _docs(spark, sf_dir), idx_dir,
-            IndexConfig(id="documents", tokenizer="simple", n_term_buckets=8),
+            IndexConfig(id="documents", tokenizer="simple", n_term_buckets=8,
+                        store_positions=True),
             content_col="text", id_col="doc_id", lang_col="lang",
             attr_cols=("source", "n_chars"), n_build_partitions=8)
     eng = SearchEngine(spark, idx_dir)

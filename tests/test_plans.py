@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the scale properties SURVEY.md §4
+claims must be visible in `.explain()` output, not just intended —
+a silent regression to full scans or global sorts would still pass the
+correctness suite on 150 docs but die at 10^12.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bright_spark.query.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built_index):
+    return SearchEngine(spark, built_index.index_dir)
+
+
+def _plan(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode)
+
+
+def test_postings_lookup_pushes_filters(spark, engine):
+    """Term lookup must reach the parquet scan as partition +
+    row-group predicates (the FST-seek analog): bucket filters prune
+    directories, term filters prune via min/max."""
+    df = engine.catalog.postings_for_terms(spark, ["user", "config"])
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters")[1][:400]
+    # bucket is a directory-partition column -> PartitionFilters
+    assert "bucket" in plan
+
+
+def test_docs_attr_predicate_pushdown(spark, engine):
+    """Q11-style attribute ranges must push to the docs scan."""
+    docs = engine.catalog.docs(spark).filter(F.col("doc_len") > 200)
+    plan = _plan(docs)
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "GreaterThan(doc_len" in pushed
+
+
+def test_docs_scan_prunes_columns(spark, engine):
+    """A 2-column projection must not read the whole docs schema."""
+    docs = engine.catalog.docs(spark).select("doc_id", "doc_len")
+    plan = _plan(docs)
+    schema_part = plan.split("ReadSchema")[1][:300]
+    assert "doc_id" in schema_part and "doc_len" in schema_part
+    assert "content" not in schema_part
+
+
+def test_topk_is_take_ordered_not_global_sort(spark, engine):
+    """search_df's final stage must be TakeOrderedAndProject (per-
+    partition partial top-k), never a full Sort + Limit."""
+    df = engine.search_df("user config", k=10)
+    plan = _plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_wand_fetch_drops_positions(spark, engine):
+    """The scoring path must not ship position payloads (only the
+    phrase verifier reads them)."""
+    aq = engine.planner.analyze(__import__(
+        "bright_spark.query.parser", fromlist=["parse_query"]
+    ).parse_query("user config"))
+    hits = engine._wand_hits(aq, k=10, need_total=False)
+    plan = _plan(hits)
+    read_schema = plan.split("ReadSchema")[1][:500]
+    assert "docs" in read_schema  # posting payloads travel
+    assert "pos" not in read_schema.replace("positions", "")
+
+
+def test_exploded_postings_prunes_dls_free_columns(spark, engine):
+    """The relational decode reads exactly the posting columns it
+    needs (no max_tf/min_dl skip metadata)."""
+    df = engine._exploded_postings(["user"])
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema")[1][:500]
+    assert "max_tf" not in read_schema
