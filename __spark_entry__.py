@@ -145,6 +145,13 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("simhash").cast("bigint").alias("simhash"))
 
 
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.dedup import near_duplicates_simhash
+    pairs = near_duplicates_simhash(_docs(spark, sf_dir), max_hamming=3)
+    return pairs.select("id_a", "id_b",
+                        F.col("hamming").cast("bigint").alias("hamming"))
+
+
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.quality import token_stats
     s = token_stats(_docs(spark, sf_dir))
@@ -243,6 +250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
@@ -427,6 +435,28 @@ c AS (SELECT doc_id, bit,
 SELECT doc_id,
        sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM c GROUP BY doc_id""",
+        "dedup_simhash_pairs": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, tf, h, unnest(range(0, 32)) AS bit FROM h),
+c AS (SELECT doc_id, bit,
+             sum(CASE WHEN (h >> bit) % 2 = 1 THEN tf ELSE -tf END) AS s
+      FROM bits GROUP BY 1, 2),
+sg AS (SELECT doc_id,
+              sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+                AS simhash
+       FROM c GROUP BY doc_id),
+bands AS (SELECT doc_id, simhash, b.band,
+                 (simhash >> (8 * b.band)) & 255 AS key
+          FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS sa, b.simhash AS sb
+          FROM bands a JOIN bands b USING (band, key)
+          WHERE a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
 e AS (SELECT doc_id, unnest(t) AS term FROM t)

@@ -77,6 +77,57 @@ def image_features(
         kernel, "media_id BIGINT, feature ARRAY<FLOAT>, mean_luma DOUBLE")
 
 
+def fake_decode_audio(payload: bytes, duration_ms: int,
+                      sample_rate: int = 8000) -> np.ndarray:
+    """Deterministic stand-in for an audio decoder: float32 PCM in
+    [-1, 1) derived from the payload's sha256 keystream. Real codecs
+    (soundfile/ffmpeg) are not in this container; production swaps
+    this hook."""
+    if payload is None:
+        raise NotImplementedError("real audio decode requires soundfile/ffmpeg")
+    n = max(1, int(duration_ms * sample_rate / 1000))
+    need = n * 2
+    out = bytearray()
+    block = hashlib.sha256(payload).digest()
+    while len(out) < need:
+        block = hashlib.sha256(block).digest()
+        out.extend(block)
+    raw = np.frombuffer(bytes(out[:need]), dtype=np.uint16)
+    return (raw.astype(np.float32) / 32768.0) - 1.0
+
+
+def audio_features(
+    df: DataFrame,
+    decoder: Callable[[bytes, int], np.ndarray] = fake_decode_audio,
+    n_windows: int = 8,
+) -> DataFrame:
+    """Decode -> fixed-window RMS energy profile + overall stats.
+    Output: (media_id, rms ARRAY<FLOAT>, peak DOUBLE, duration_ms INT).
+    Same Arrow-batch shape as image_features; only the decode hook is
+    environment-specific."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rms_out, peaks, durs = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                pcm = decoder(bytes(row.payload), int(row.duration_ms))
+                bounds = (np.arange(n_windows + 1) * pcm.size) // n_windows
+                rms = np.array([
+                    float(np.sqrt(np.mean(np.square(
+                        pcm[bounds[i]:max(bounds[i + 1], bounds[i] + 1)]))))
+                    for i in range(n_windows)], dtype=np.float32)
+                ids.append(row.media_id)
+                rms_out.append(rms)
+                peaks.append(float(np.abs(pcm).max()))
+                durs.append(int(row.duration_ms))
+            yield pd.DataFrame({"media_id": ids, "rms": rms_out,
+                                "peak": peaks, "duration_ms": durs})
+
+    payload = df.select("media_id", "payload", "duration_ms")
+    return payload.mapInPandas(
+        kernel, "media_id BIGINT, rms ARRAY<FLOAT>, peak DOUBLE, duration_ms INT")
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled
     timestamp (payload decode stubbed — emits frame offsets only).

@@ -127,6 +127,38 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= threshold))
 
 
+def near_duplicates_simhash(df: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one of four
+    8-bit signature bands (pigeonhole: hamming <= 3 over 32 bits forces
+    an identical band), verified by exact ``bit_count(xor)``. The band
+    equi-join is the 100 TB path — no cross product. Returns
+    (id_a, id_b, hamming), id_a < id_b."""
+    if max_hamming >= 4:
+        raise ValueError("4 bands of 8 bits guarantee recall only for "
+                         "max_hamming <= 3")
+    sig = simhash(df, id_col, text_col)
+    bands = []
+    for b in range(4):
+        bands.append(sig.select(
+            "doc_id", "simhash", F.lit(b).alias("band"),
+            F.expr(f"(simhash >> {8 * b}) & 255").alias("key")))
+    bdf = bands[0]
+    for p in bands[1:]:
+        bdf = bdf.unionByName(p)
+    a = bdf.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"),
+                   "band", "key")
+    b2 = bdf.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"),
+                    "band", "key")
+    pairs = (a.join(b2, ["band", "key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sig_a", "sig_b").distinct())
+    ham = F.expr("bit_count(sig_a ^ sig_b)")
+    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """32-bit SimHash per doc: bit j set iff

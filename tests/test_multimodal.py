@@ -62,3 +62,17 @@ def test_repartition_by_bytes(media):
     out = repartition_by_bytes(media, target_bytes=2048)
     assert out.rdd.getNumPartitions() >= 2
     assert out.count() == 48
+
+
+def test_audio_features_deterministic_shape(spark):
+    from bright_spark.multimodal import audio_features, make_media_fixture
+    media = make_media_fixture(spark, 24, seed=3).filter("kind = 'audio'")
+    out = audio_features(media, n_windows=8).collect()
+    assert len(out) == media.count() > 0
+    for r in out:
+        assert len(r["rms"]) == 8
+        assert all(0.0 <= x <= 1.01 for x in r["rms"])
+        assert 0.0 <= r["peak"] <= 1.0
+    # determinism: same payload -> same features
+    again = audio_features(media, n_windows=8).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))

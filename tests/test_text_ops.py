@@ -100,3 +100,28 @@ def test_lang_profile(tiny_docs):
     out = {r["lang"]: r for r in lang_profile(tiny_docs).collect()}
     assert out["en"]["n_docs"] == 4
     assert out["de"]["n_docs"] == 1
+
+
+def test_near_duplicates_simhash_vs_bruteforce(spark, tiny_docs):
+    """Band-join pairs == brute-force recompute of the same definition
+    (hamming(simhash) <= 3; 4x8-bit pigeonhole guarantees recall)."""
+    from bright_spark.text.dedup import near_duplicates_simhash, simhash
+    sigs = {r["doc_id"]: int(r["simhash"]) for r in simhash(tiny_docs).collect()}
+    expect = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in near_duplicates_simhash(tiny_docs, max_hamming=3).collect()}
+    assert got == expect
+    assert expect  # tiny_docs has exact dup docs -> hamming 0 pairs
+
+
+def test_near_duplicates_simhash_rejects_wide_radius(tiny_docs):
+    import pytest as _pytest
+    from bright_spark.text.dedup import near_duplicates_simhash
+    with _pytest.raises(ValueError):
+        near_duplicates_simhash(tiny_docs, max_hamming=4)
