@@ -591,6 +591,19 @@ class IndexBuilder:
         return self.catalog
 
 
+def detect_primary_key(source: DataFrame) -> str:
+    """U5 auto-detection (store/store.go:559-594): the single column
+    whose name ends with 'id' (case-insensitive). Errors on zero or
+    multiple candidates, exactly like the reference."""
+    candidates = sorted(c for c in source.columns if c.lower().endswith("id"))
+    if not candidates:
+        raise ValueError("no primary key candidate found "
+                         "(no attribute ending with 'id')")
+    if len(candidates) > 1:
+        raise ValueError(f"multiple primary key candidates found: {candidates}")
+    return candidates[0]
+
+
 def build_index(spark: SparkSession, source: DataFrame, index_dir: str,
                 config: IndexConfig | None = None, **kwargs) -> IndexCatalog:
     cfg = config or IndexConfig(id=os.path.basename(index_dir.rstrip("/")))

@@ -61,6 +61,10 @@ class AnalyzedQuery:
     must_not_terms: list[str] = field(default_factory=list)
     phrases: list[PhraseSpec] = field(default_factory=list)
     attr_preds: list[AttrPred] = field(default_factory=list)
+    # a positive clause existed but analyzed to no terms (unknown field,
+    # pure-punctuation token, ...): the query is NOT match-all — Bleve's
+    # disjunction over zero matching subqueries returns zero hits
+    has_unmatchable_positive: bool = False
 
     @property
     def scoring_terms(self) -> list[TermSpec]:
@@ -84,11 +88,12 @@ class AnalyzedQuery:
     @property
     def is_match_all(self) -> bool:
         return not (self.must_groups or self.should_terms or self.must_not_terms
-                    or self.phrases)
+                    or self.phrases or self.has_unmatchable_positive)
 
     @property
     def has_positive(self) -> bool:
-        return bool(self.must_groups or self.should_terms or self.phrases)
+        return bool(self.must_groups or self.should_terms or self.phrases
+                    or self.has_unmatchable_positive)
 
 
 def _wildcard_to_like(pattern: str) -> str:
@@ -162,7 +167,24 @@ class Planner:
                 self._analyze_clause(aq, cl, role, mode)
         return aq
 
+    def _is_unknown_field(self, field_name: str | None) -> bool:
+        if field_name is None:
+            return False
+        content_col = self.extra.get("content_col", "content")
+        return (field_name not in (content_col, "content", "_all")
+                and field_name not in self.doc_columns())
+
     def _analyze_clause(self, aq: AnalyzedQuery, cl: Clause, role: str, mode: str) -> None:
+        # Q5: a term scoped to a field that exists nowhere matches
+        # nothing (Bleve: a term query on a missing field has no
+        # postings) — as a must it kills the conjunction, as a should
+        # it contributes nothing, as a must_not it excludes nothing
+        if cl.kind != "range" and self._is_unknown_field(cl.field_name):
+            if role == "must":
+                aq.must_groups.append([])
+            elif role == "should":
+                aq.has_unmatchable_positive = True
+            return
         # attribute predicates (Q5 on filter columns, Q11/Q12 ranges)
         if cl.kind == "range" or self._is_attr(cl.field_name):
             if cl.kind == "range" and not self._is_attr(cl.field_name):
@@ -200,6 +222,8 @@ class Planner:
             if role == "must":
                 # unsatisfiable conjunct -> empty group kills the query
                 aq.must_groups.append([])
+            elif role == "should":
+                aq.has_unmatchable_positive = True
             return
         specs = [TermSpec(t, cl.boost) for t in terms]
         if role == "must":

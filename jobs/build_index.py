@@ -26,7 +26,9 @@ def main() -> None:
     ap.add_argument("--index-dir", required=True)
     ap.add_argument("--tokenizer", default="code", choices=["code", "simple"])
     ap.add_argument("--content-col", default="content")
-    ap.add_argument("--id-col", default=None)
+    ap.add_argument("--id-col", default=None,
+                    help="numeric PK column; 'auto' detects the single "
+                         "column ending in 'id' (reference U5 semantics)")
     ap.add_argument("--key-cols", default="repo,path,commit")
     ap.add_argument("--lang-col", default="lang")
     ap.add_argument("--attr-cols", default="")
@@ -76,10 +78,14 @@ def main() -> None:
                       n_term_buckets=args.buckets,
                       store_positions=args.store_positions,
                       store_content=not args.no_store_content)
+    id_col = args.id_col
+    if id_col == "auto":
+        from bright_spark.index.builder import detect_primary_key
+        id_col = detect_primary_key(src)
     kwargs = dict(
         content_col=args.content_col,
         key_cols=tuple(c for c in args.key_cols.split(",") if c),
-        id_col=args.id_col,
+        id_col=id_col,
         lang_col=args.lang_col or None,
         attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
         n_build_partitions=args.partitions,

@@ -83,3 +83,20 @@ def test_mixed_and_not():
     pq = parse_query("parser AND config NOT test -legacy +core")
     assert [c.value for c in pq.must] == ["parser", "config", "core"]
     assert [c.value for c in pq.must_not] == ["test", "legacy"]
+
+
+def test_detect_primary_key():
+    """U5 auto-detection parity (store/store.go:559-594)."""
+    import pytest as _pytest
+    from bright_spark.index.builder import detect_primary_key
+
+    class _FakeDF:
+        def __init__(self, cols):
+            self.columns = cols
+
+    assert detect_primary_key(_FakeDF(["name", "userId", "price"])) == "userId"
+    assert detect_primary_key(_FakeDF(["ID", "name"])) == "ID"
+    with _pytest.raises(ValueError, match="no primary key"):
+        detect_primary_key(_FakeDF(["name", "price"]))
+    with _pytest.raises(ValueError, match="multiple"):
+        detect_primary_key(_FakeDF(["id", "user_id"]))

@@ -102,3 +102,21 @@ def test_match_all(engine, oracle):
     # Q1: every doc, score 1
     assert all(h["_score"] == 1.0 for h in resp.hits)
     assert [h["doc_id"] for h in resp.hits] == [0, 1, 2, 3, 4]
+
+
+def test_unknown_field_matches_nothing(spark, built_index):
+    """Q5: Bleve semantics — a term scoped to a nonexistent field has
+    no postings; as a should-clause it contributes nothing."""
+    from bright_spark.query.engine import SearchEngine
+    eng = SearchEngine(spark, built_index.index_dir)
+    assert eng.search_df("nosuchfield:user", k=5).collect() == []
+    assert eng.search_df("user AND nosuchfield:user", k=5).collect() == []
+    with_unknown = [(r["doc_id"], round(r["score"], 9))
+                    for r in eng.search_df("user nosuchfield:zzz", k=5).collect()]
+    plain = [(r["doc_id"], round(r["score"], 9))
+             for r in eng.search_df("user", k=5).collect()]
+    assert with_unknown == plain
+    # NOT on an unknown field excludes nothing
+    neg = [(r["doc_id"], round(r["score"], 9))
+           for r in eng.search_df("user NOT nosuchfield:zzz", k=5).collect()]
+    assert neg == plain
