@@ -21,6 +21,13 @@ all Arrow-batched. Corpus stats (N, avgdl) are recomputed; block
 evaluated against current stats at query time (see codec.py).
 
 Invariant (tested): mutate-then-query == full-rebuild-then-query.
+
+No background compaction is needed (the reference's Bleve scorch runs
+a background segment merger): every write — initial build and every
+mutation — repartitions on ``bucket`` before a partitionBy write, so
+each bucket directory always holds exactly ONE term-sorted file
+(tested in test_mutations.py); there is no segment accumulation to
+merge away.
 """
 
 from __future__ import annotations

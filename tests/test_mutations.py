@@ -138,3 +138,33 @@ def test_patch_single_doc(spark, mut_env):
     new_pdf.loc[sel, "content"] = "class PatchedOnlyDoc: pass"
     rebuild = _rebuild(spark, new_pdf, base)
     _assert_equiv(spark, idx, rebuild, QUERIES + ["patchedonlydoc"])
+
+
+def test_every_write_keeps_one_file_per_bucket(spark, repos_parquet,
+                                               tmp_path_factory):
+    """The reference needs a background segment merger (Bleve scorch);
+    here every build/mutation write repartitions on bucket before the
+    partitionBy write, so bucket dirs never fragment — one term-sorted
+    file each, always (best row-group min/max pruning, no compaction
+    operator required)."""
+    import os
+    from bright_spark.index.builder import build_index
+    from bright_spark.index.mutations import IndexMutator
+    from bright_spark.models import IndexConfig
+
+    idx = str(tmp_path_factory.mktemp("nofrag") / "idx")
+    src = spark.read.parquet(repos_parquet)
+    build_index(spark, src, idx, IndexConfig(id="c"), n_build_partitions=4)
+
+    def bucket_file_counts():
+        root = os.path.join(idx, "postings")
+        return {d: len([f for f in os.listdir(os.path.join(root, d))
+                        if f.endswith(".parquet")])
+                for d in os.listdir(root) if d.startswith("bucket=")}
+
+    assert all(n == 1 for n in bucket_file_counts().values())
+    for i in range(2):
+        IndexMutator(spark, idx).upsert(spark.createDataFrame([{
+            "repo": "zz/c", "path": f"src/c{i}.py", "commit": str(i) * 40,
+            "lang": "python", "content": f"marker_{i} user config"}]))
+    assert all(n == 1 for n in bucket_file_counts().values())
