@@ -79,12 +79,22 @@ def main() -> None:
                       store_positions=args.store_positions,
                       store_content=not args.no_store_content)
     id_col = args.id_col
+    key_cols = tuple(c for c in args.key_cols.split(",") if c)
     if id_col == "auto":
         from bright_spark.index.builder import detect_primary_key
-        id_col = detect_primary_key(src)
+        pk = detect_primary_key(src)
+        dtype = dict(src.dtypes)[pk]
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            id_col = pk  # numeric PK -> doc_id directly
+        else:
+            # non-numeric PK (the reference stringifies any PK value,
+            # store/store.go:409-414): keep it as the natural key and
+            # assign deterministic dense BIGINT doc_ids over it
+            id_col = None
+            key_cols = (pk,)
     kwargs = dict(
         content_col=args.content_col,
-        key_cols=tuple(c for c in args.key_cols.split(",") if c),
+        key_cols=key_cols,
         id_col=id_col,
         lang_col=args.lang_col or None,
         attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
