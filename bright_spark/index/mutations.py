@@ -168,26 +168,29 @@ class IndexMutator:
     # ------------------------------------------------------ operations
 
     def upsert(self, updates: DataFrame) -> None:
-        """U1/U4: replace-or-insert documents from source-shaped rows."""
-        tok = self._tokenize_updates(updates)
-        tok.persist()
-        try:
-            self._apply(changed=tok)
-        finally:
-            tok.unpersist()
+        """U1/U4: replace-or-insert documents from source-shaped rows.
+        The tokenized batch joins the current docs table for id
+        assignment, so its lineage is truncated (localCheckpoint)
+        before _apply rewrites that table."""
+        tok = self._tokenize_updates(updates).localCheckpoint(eager=True)
+        self._apply(changed=tok)
 
     def delete_ids(self, doc_ids: list[int]) -> None:
         """U2: delete by id list."""
         self._apply(deleted_ids=[int(i) for i in doc_ids])
 
+    def delete_where(self, ids_df: DataFrame) -> None:
+        """U2/U3 bulk form: delete every doc_id in a DataFrame — the
+        change set never passes through the driver as a Python list."""
+        self._apply(deleted_df=ids_df.select("doc_id"))
+
     def delete_by_query(self, q: str) -> None:
         """U3: delete every doc matching a query-string filter — the
-        same evaluator as search (store/store.go:450-512)."""
+        same evaluator as search (store/store.go:450-512); the match
+        set flows as a DataFrame."""
         from bright_spark.query.engine import SearchEngine
         eng = SearchEngine(self.spark, self.catalog.index_dir)
-        ids = [r["doc_id"] for r in eng.match_df(q).select("doc_id").collect()]
-        if ids:
-            self.delete_ids(ids)
+        self.delete_where(eng.match_df(q))
 
     def patch(self, doc_id: int, fields: dict) -> None:
         """U4: fetch stored doc, merge fields, re-index whole doc."""
@@ -210,7 +213,8 @@ class IndexMutator:
     # ------------------------------------------------------- the apply
 
     def _apply(self, changed: DataFrame | None = None,
-               deleted_ids: list[int] | None = None) -> None:
+               deleted_ids: list[int] | None = None,
+               deleted_df: DataFrame | None = None) -> None:
         """Change sets travel as DataFrames/joins and one numpy
         broadcast — never as plan-literal IN-lists — so a
         million-document sync batch plans the same as a 10-document
@@ -220,20 +224,25 @@ class IndexMutator:
         spark = self.spark
         if changed is not None:
             ids_df = changed.select("doc_id").distinct()
+        elif deleted_df is not None:
+            ids_df = deleted_df.select("doc_id").distinct()
         else:
             ids_df = spark.createDataFrame(
                 [(int(i),) for i in (deleted_ids or [])], "doc_id BIGINT")
-        ids_df.persist()
+        # eager localCheckpoint truncates lineage: a delete-by-query id
+        # set reads the very dirs this apply rewrites, so it must never
+        # be recomputable from them afterwards (persist alone can evict
+        # and silently recompute against rewritten data)
+        ids_df = ids_df.localCheckpoint(eager=True)
+        changed_id_arr = np.unique(np.array(
+            [r["doc_id"] for r in ids_df.collect()], dtype=np.int64))
+        if changed_id_arr.size == 0:
+            return
+        drop_bc = spark.sparkContext.broadcast(changed_id_arr)
         try:
-            changed_id_arr = np.unique(np.array(
-                [r["doc_id"] for r in ids_df.collect()], dtype=np.int64))
-            if changed_id_arr.size == 0:
-                return
-            drop_bc = spark.sparkContext.broadcast(changed_id_arr)
             self._apply_inner(changed, ids_df, drop_bc)
-            drop_bc.unpersist()
         finally:
-            ids_df.unpersist()
+            drop_bc.unpersist()
 
     def _apply_inner(self, changed: DataFrame | None, ids_df: DataFrame,
                      drop_bc) -> None:
@@ -257,8 +266,10 @@ class IndexMutator:
         if changed is not None:
             terms_df = terms_df.unionByName(
                 changed.select(F.explode("_term_arr").alias("term")))
-        terms_df = terms_df.distinct()
-        terms_df.persist()
+        # eager lineage truncation, not persist: terms_df reads the
+        # docs dir that gets swapped below, and an evicted cache would
+        # otherwise silently recompute from the rewritten table
+        terms_df = terms_df.distinct().localCheckpoint(eager=True)
         # bucket set is tiny (<= n_term_buckets) — the only collect
         affected_buckets = sorted(
             r["b"] for r in terms_df.select(
@@ -325,6 +336,5 @@ class IndexMutator:
                 shutil.rmtree(dst, ignore_errors=True)  # bucket emptied
         shutil.rmtree(tmp_post, ignore_errors=True)
 
-        terms_df.unpersist()
         # ---- term_stats + meta recompute (stats pass reuses builder)
         self._builder().build_stats()
