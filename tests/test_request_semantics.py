@@ -134,3 +134,38 @@ def test_invalid_requests():
         SearchRequest(q="x", offset=-1).validate()
     with pytest.raises(SearchRequestError):
         SearchRequest(q="x", page=0).validate()
+
+
+def test_date_range_query_end_to_end(spark, tmp_path_factory):
+    """Q12: `field:[a TO b]` on a DATE attribute column filters hits
+    via pushed-down BETWEEN (reference: Bleve datetime range over doc
+    values)."""
+    import datetime as dt
+    from bright_spark.index.builder import build_index
+    from bright_spark.models import IndexConfig
+    from bright_spark.query.engine import SearchEngine
+
+    rows = [
+        {"id": i, "created": dt.date(2021, 1 + (i % 12), 3),
+         "body": "release notes update" if i % 2 == 0 else "misc text entry"}
+        for i in range(48)
+    ]
+    src = spark.createDataFrame(rows)
+    idx = str(tmp_path_factory.mktemp("dates") / "idx")
+    build_index(spark, src, idx,
+                IndexConfig(id="dates", tokenizer="simple"),
+                content_col="body", id_col="id", lang_col=None,
+                attr_cols=("created",), n_build_partitions=2)
+    eng = SearchEngine(spark, idx)
+    got = {r["doc_id"] for r in
+           eng.search_df("created:[2021-03-01 TO 2021-05-31] update",
+                         k=50).collect()}
+    expect = {r["id"] for r in rows
+              if dt.date(2021, 3, 1) <= r["created"] <= dt.date(2021, 5, 31)
+              and "update" in r["body"]}
+    assert got == expect and got
+    # negated range (NOT date-range) excludes the window
+    neg = {r["doc_id"] for r in
+           eng.search_df("update NOT created:[2021-03-01 TO 2021-05-31]",
+                         k=50).collect()}
+    assert neg == {r["id"] for r in rows if "update" in r["body"]} - expect
