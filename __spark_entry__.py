@@ -45,13 +45,23 @@ def _engine(spark: SparkSession, sf_dir: str):
     if eng is not None:
         return eng
     idx_dir = os.path.join(_GATE_DIR, key.strip("/").replace("/", "_") + "_docs_idx")
-    if not os.path.exists(os.path.join(idx_dir, "meta.json")):
+    meta_file = os.path.join(idx_dir, "meta.json")
+    if os.path.exists(meta_file):
+        # invalidate gate caches from older index layouts (v2 added the
+        # per-field postings namespace)
+        import json
+        import shutil
+        with open(meta_file) as f:
+            if json.load(f).get("version") != 2:
+                shutil.rmtree(idx_dir, ignore_errors=True)
+    if not os.path.exists(meta_file):
         build_index(
             spark, _docs(spark, sf_dir), idx_dir,
             IndexConfig(id="documents", tokenizer="simple", n_term_buckets=8,
                         store_positions=True),
             content_col="text", id_col="doc_id", lang_col="lang",
-            attr_cols=("source", "n_chars"), n_build_partitions=8)
+            attr_cols=("source", "n_chars"), text_cols=("source",),
+            n_build_partitions=8)
     eng = SearchEngine(spark, idx_dir)
     _ENGINES[key] = eng
     return eng
@@ -82,7 +92,7 @@ def _q_bm25(q: str, k: int = 10):
 def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
     ts = eng.catalog.term_stats(spark)
-    return (ts.filter(F.col("term").like("b%"))
+    return (ts.filter((F.col("field") == "text") & F.col("term").like("b%"))
             .select("term", F.col("df").cast("bigint").alias("df"),
                     F.col("cf").cast("bigint").alias("cf")))
 
@@ -97,7 +107,7 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_posting_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark, sf_dir)
-    return (eng._exploded_postings(["spark"])
+    return (eng._exploded_postings([("text", "spark")])
             .select("doc_id", F.col("tf").cast("bigint").alias("tf"),
                     F.col("dl").cast("bigint").alias("dl")))
 
@@ -240,6 +250,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy": _q_bm25("spark~1"),
         "ft_boost": _q_bm25("spark^2 join"),
         "ft_phrase": _q_bm25('"the fast"'),
+        # Q5 per-field namespace: `source` is an analyzed text field
+        # with its own postings + BM25 stats (df/avgdl over source)
+        "ft_field_scoped": _q_bm25("source:src3 spark"),
+        # Q8 NOT phrase: score `spark`, exclude adjacent "the fast"
+        "ft_phrase_not": _q_bm25('spark -"the fast"'),
         "ft_term_stats": _q_term_stats,
         "ft_corpus_stats": _q_corpus_stats,
         "ft_posting_list": _q_posting_list,
@@ -299,6 +314,22 @@ ORDER BY round(s.s, 6) DESC, s.doc_id
 LIMIT {k}"""
 
 
+def _adj_sql(t1: str, t2: str) -> str:
+    """DuckDB subquery: doc_ids where token ``t2`` directly follows
+    ``t1`` (phrase adjacency over whitespace positions)."""
+    return f"""(
+  SELECT DISTINCT a.doc_id FROM
+    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+            unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS p
+     FROM documents) a
+    JOIN
+    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
+            unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS p
+     FROM documents) b
+    ON a.doc_id = b.doc_id AND b.p = a.p + 1
+  WHERE a.term = '{t1}' AND b.term = '{t2}')"""
+
+
 def _lang_marker_values() -> str:
     rows = [(lang, kw) for lang, kws in sorted(_LANG_MARKERS.items())
             for kw in sorted(kws)]
@@ -351,17 +382,38 @@ def oracle_sql() -> dict[str, str]:
             boost="CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 1.0 END"),
         "ft_phrase": _bm25_sql(
             "tf.term IN ('the', 'fast')",
-            final_join="""JOIN (
-  SELECT DISTINCT a.doc_id FROM
-    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
-            unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS p
-     FROM documents) a
-    JOIN
-    (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term,
-            unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS p
-     FROM documents) b
-    ON a.doc_id = b.doc_id AND b.p = a.p + 1
-  WHERE a.term = 'the' AND b.term = 'fast') adj ON adj.doc_id = s.doc_id"""),
+            final_join=f"JOIN {_adj_sql('the', 'fast')} adj "
+                       f"ON adj.doc_id = s.doc_id"),
+        "ft_phrase_not": _bm25_sql(
+            "tf.term IN ('spark')",
+            final_join=f"LEFT JOIN {_adj_sql('the', 'fast')} adj "
+                       f"ON adj.doc_id = s.doc_id WHERE adj.doc_id IS NULL"),
+        "ft_field_scoped": f"""{_BM25_CTE},
+stoks AS (
+  SELECT doc_id, unnest(string_split(lower(source), ' ')) AS term FROM documents),
+stf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM stoks GROUP BY 1, 2),
+sdl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM stoks GROUP BY 1),
+smeta AS (SELECT (SELECT count(*) FROM stoks)::DOUBLE
+                 / (SELECT count(*) FROM documents) AS savgdl),
+sdfreq AS (SELECT term, count(*)::DOUBLE AS sdf FROM stf GROUP BY 1),
+cpart AS (
+  SELECT tf.doc_id, sum({_score()}) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN meta
+  WHERE tf.term IN ('spark')
+  GROUP BY tf.doc_id),
+spart AS (
+  SELECT stf.doc_id,
+         sum(ln(1 + (n - sdf + 0.5) / (sdf + 0.5))
+             * (tf * (1.2 + 1.0))
+             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / savgdl))) AS s
+  FROM stf JOIN sdl USING (doc_id) JOIN sdfreq USING (term)
+       CROSS JOIN meta CROSS JOIN smeta
+  WHERE stf.term IN ('src3')
+  GROUP BY stf.doc_id),
+u AS (SELECT doc_id, sum(s) AS s FROM
+      (SELECT * FROM cpart UNION ALL SELECT * FROM spart) GROUP BY doc_id)
+SELECT doc_id, round(s, 6) AS score FROM u
+ORDER BY round(s, 6) DESC, doc_id LIMIT 10""",
         "ft_term_stats": f"""{_BM25_CTE}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
 FROM tf WHERE term LIKE 'b%' GROUP BY term""",

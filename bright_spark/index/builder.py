@@ -47,20 +47,18 @@ from bright_spark.index import codec
 from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog
 from bright_spark.models import IndexConfig
 
-PARTIALS_SCHEMA = ("term STRING, range_id BIGINT, doc_ids ARRAY<BIGINT>, "
-                   "tfs ARRAY<BIGINT>, dls ARRAY<BIGINT>, pos ARRAY<BIGINT>")
+PARTIALS_SCHEMA = ("field STRING, term STRING, range_id BIGINT, "
+                   "doc_ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, "
+                   "dls ARRAY<BIGINT>, pos ARRAY<BIGINT>")
 
 
 # ------------------------------------------------------------ kernels
 
 def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
                       filter_stopwords: bool, passthrough_cols: list[str],
-                      id_offsets: dict[int, int] | None = None,
-                      emit_tokens: bool = False,
-                      emit_positions: bool = False):
-    """mapInPandas kernel: content -> doc_len (+ optionally the per-doc
-    (term, tf) arrays, used only for small mutation batches — the bulk
-    build never ships token arrays through Arrow).
+                      id_offsets: dict[int, int] | None = None):
+    """mapInPandas kernel: content -> doc_len (token arrays never cross
+    the Arrow boundary — postings come from the fused partials kernel).
 
     Tallying is one factorize + lexsort over the whole record batch
     (count_terms_batch) — the per-doc regex scan is the only
@@ -82,12 +80,7 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
         for pdf in batches:
             texts = pdf[content_col].tolist()
             langs = pdf[lang_col].tolist() if lang_col else [None] * len(texts)
-            if emit_positions:
-                term_arr, tf_arr, dlens, pos_arr = count_terms_batch(
-                    texts, mode, langs, filter_stopwords, positions=True)
-            else:
-                term_arr, tf_arr, dlens = count_terms_batch(
-                    texts, mode, langs, filter_stopwords)
+            _, _, dlens = count_terms_batch(texts, mode, langs, filter_stopwords)
             out = pdf[passthrough_cols].copy()
             if next_id is not None:
                 out["doc_id"] = pd.Series(
@@ -95,11 +88,6 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
                     dtype="int64")
                 next_id += len(pdf)
             out["doc_len"] = pd.Series(dlens, index=pdf.index, dtype="int32")
-            if emit_tokens:
-                out["_term_arr"] = pd.Series(term_arr, index=pdf.index, dtype=object)
-                out["_tf_arr"] = pd.Series(tf_arr, index=pdf.index, dtype=object)
-            if emit_positions:
-                out["_pos_arr"] = pd.Series(pos_arr, index=pdf.index, dtype=object)
             yield out
 
     return fn
@@ -165,56 +153,7 @@ def _emit_partials(doc_ids: np.ndarray, term_arrs: list, tf_arrs: list,
     return pd.DataFrame(out)
 
 
-def _make_partials_fn(range_bits: int, flush_docs: int = 32768,
-                      store_positions: bool = False):
-    """mapInPandas kernel: tokenized rows (with ``_term_arr/_tf_arr``
-    and, when positions are stored, ``_pos_arr``) -> partial posting
-    rows (B1). Used by the mutation path, whose small changed-batches
-    already carry token arrays. Input Arrow batches are accumulated to
-    ~``flush_docs`` docs before grouping: bigger map-side combines mean
-    ~8x fewer partial rows into the merge shuffle."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids: list[np.ndarray] = []
-        terms: list = []
-        tfs: list = []
-        poss: list = []
-        n_acc = 0
-
-        def flush():
-            out = _emit_partials(
-                np.concatenate(ids) if ids else np.empty(0, dtype=np.int64),
-                terms, tfs, range_bits,
-                pos_arrs=poss if store_positions else None)
-            ids.clear()
-            terms.clear()
-            tfs.clear()
-            poss.clear()
-            return out
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ids.append(pdf["doc_id"].to_numpy(dtype=np.int64))
-            terms.extend(pdf["_term_arr"].tolist())
-            tfs.extend(pdf["_tf_arr"].tolist())
-            if store_positions:
-                poss.extend(pdf["_pos_arr"].tolist())
-            n_acc += len(pdf)
-            if n_acc >= flush_docs:
-                out = flush()
-                n_acc = 0
-                if out is not None:
-                    yield out
-        if n_acc:
-            out = flush()
-            if out is not None:
-                yield out
-
-    return fn
-
-
-def _make_tokenize_partials_fn(content_col: str, lang_col: str | None,
+def _make_tokenize_partials_fn(field_cols: list[str], lang_col: str | None,
                                mode: str, filter_stopwords: bool,
                                range_bits: int,
                                id_offsets: dict[int, int] | None = None,
@@ -223,8 +162,16 @@ def _make_tokenize_partials_fn(content_col: str, lang_col: str | None,
     """FUSED mapInPandas kernel: source rows -> partial posting rows in
     one pass (B1). Token arrays are produced AND combined inside the
     same Python worker — they never cross the Arrow boundary or touch
-    parquet, which removes the build's largest data movement. With
-    ``id_offsets`` the kernel assigns the same deterministic dense
+    parquet, which removes the build's largest data movement.
+
+    Every column in ``field_cols`` is analyzed into its OWN postings
+    namespace (Q5 per-field term indexing — Bleve's default mapping
+    analyzes each string field, store/store.go:126): one tokenize pass
+    per field over the same batch, partial rows tagged with ``field``.
+    Per-field doc lengths (Σtf within that field) ride along in the
+    partials, so BM25 normalizes against the field's own length.
+
+    With ``id_offsets`` the kernel assigns the same deterministic dense
     doc_ids as the docs stage (same partitioning + sort => same ids);
     without it, input rows carry ``doc_id``."""
 
@@ -234,51 +181,52 @@ def _make_tokenize_partials_fn(content_col: str, lang_col: str | None,
             from pyspark import TaskContext
             next_id = id_offsets.get(TaskContext.get().partitionId(), 0)
         ids: list[np.ndarray] = []
-        terms: list = []
-        tfs: list = []
-        poss: list = []
+        acc = {f: ([], [], []) for f in field_cols}  # terms, tfs, poss
         n_acc = 0
 
-        def flush():
-            out = _emit_partials(
-                np.concatenate(ids) if ids else np.empty(0, dtype=np.int64),
-                terms, tfs, range_bits,
-                pos_arrs=poss if store_positions else None)
+        def flush() -> Iterator[pd.DataFrame]:
+            all_ids = (np.concatenate(ids) if ids
+                       else np.empty(0, dtype=np.int64))
+            for f in field_cols:
+                terms, tfs, poss = acc[f]
+                out = _emit_partials(
+                    all_ids, terms, tfs, range_bits,
+                    pos_arrs=poss if store_positions else None)
+                if out is not None:
+                    out.insert(0, "field", f)
+                    yield out
             ids.clear()
-            terms.clear()
-            tfs.clear()
-            poss.clear()
-            return out
+            for f in field_cols:
+                acc[f] = ([], [], [])
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            texts = pdf[content_col].tolist()
-            langs = pdf[lang_col].tolist() if lang_col else [None] * len(texts)
-            if store_positions:
-                term_arr, tf_arr, _, pos_arr = count_terms_batch(
-                    texts, mode, langs, filter_stopwords, positions=True)
-                poss.extend(pos_arr)
-            else:
-                term_arr, tf_arr, _ = count_terms_batch(
-                    texts, mode, langs, filter_stopwords)
+            langs = (pdf[lang_col].tolist() if lang_col
+                     else [None] * len(pdf))
+            for f in field_cols:
+                texts = pdf[f].tolist()
+                terms, tfs, poss = acc[f]
+                if store_positions:
+                    term_arr, tf_arr, _, pos_arr = count_terms_batch(
+                        texts, mode, langs, filter_stopwords, positions=True)
+                    poss.extend(pos_arr)
+                else:
+                    term_arr, tf_arr, _ = count_terms_batch(
+                        texts, mode, langs, filter_stopwords)
+                terms.extend(term_arr)
+                tfs.extend(tf_arr)
             if next_id is not None:
                 ids.append(np.arange(next_id, next_id + len(pdf), dtype=np.int64))
                 next_id += len(pdf)
             else:
                 ids.append(pdf["doc_id"].to_numpy(dtype=np.int64))
-            terms.extend(term_arr)
-            tfs.extend(tf_arr)
             n_acc += len(pdf)
             if n_acc >= flush_docs:
-                out = flush()
+                yield from flush()
                 n_acc = 0
-                if out is not None:
-                    yield out
         if n_acc:
-            out = flush()
-            if out is not None:
-                yield out
+            yield from flush()
 
     return fn
 
@@ -299,13 +247,16 @@ def _make_merge_fn(block_size: int, n_buckets: int,
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         lens = pdf["doc_ids"].str.len().to_numpy(dtype=np.int64)
         codes, uniq_terms = pd.factorize(pdf["term"].to_numpy(), sort=False)
+        fcodes, uniq_fields = pd.factorize(pdf["field"].to_numpy(), sort=False)
         flat_code = np.repeat(codes, lens)
+        flat_fcode = np.repeat(fcodes, lens)
         flat_range = np.repeat(pdf["range_id"].to_numpy(dtype=np.int64), lens)
         flat_doc = np.concatenate(pdf["doc_ids"].to_numpy()).astype(np.int64)
         flat_tf = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
         flat_dl = np.concatenate(pdf["dls"].to_numpy()).astype(np.int64)
-        order = np.lexsort((flat_doc, flat_range, flat_code))
+        order = np.lexsort((flat_doc, flat_range, flat_code, flat_fcode))
         flat_code, flat_range = flat_code[order], flat_range[order]
+        flat_fcode = flat_fcode[order]
         positions = None
         if store_positions:
             # per-entry position segments, gathered into sorted order
@@ -320,6 +271,7 @@ def _make_merge_fn(block_size: int, n_buckets: int,
         flat_doc, flat_tf, flat_dl = flat_doc[order], flat_tf[order], flat_dl[order]
         boundary = np.flatnonzero(
             np.diff(flat_code).astype(bool) | np.diff(flat_range).astype(bool)
+            | np.diff(flat_fcode).astype(bool)
         ) + 1
         starts = np.concatenate(([0], boundary))
         ends = np.concatenate((boundary, [flat_code.size]))
@@ -333,6 +285,7 @@ def _make_merge_fn(block_size: int, n_buckets: int,
         cf = np.add.reduceat(flat_tf, starts)
         yield pd.DataFrame({
             "bucket": [zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms],
+            "field": [str(uniq_fields[c]) for c in flat_fcode[starts]],
             "term": terms,
             "range_id": flat_range[starts],
             "df_chunk": (ends - starts).astype(np.int32),
@@ -368,6 +321,7 @@ class IndexBuilder:
         id_col: str | None = None,
         lang_col: str | None = "lang",
         attr_cols: tuple[str, ...] = (),
+        text_cols: tuple[str, ...] = (),
         n_build_partitions: int | None = None,
         filter_stopwords: bool = False,
     ):
@@ -378,12 +332,34 @@ class IndexBuilder:
         self.key_cols = key_cols
         self.id_col = id_col
         self.lang_col = lang_col
-        self.attr_cols = attr_cols
+        # excludeAttributes (models/index.go:6, applied as a disabled
+        # field mapping at store/store.go:127-133): excluded columns are
+        # neither indexed nor stored — `field:value` on one behaves like
+        # an unknown field (no match) and hits never carry it
+        excl = set(config.exclude_attributes or ())
+        reserved = {content_col, id_col, lang_col, *key_cols} - {None}
+        bad = excl & reserved
+        if bad:
+            raise ValueError(
+                f"exclude_attributes cannot cover key/content/lang "
+                f"columns: {sorted(bad)}")
+        self.attr_cols = tuple(c for c in attr_cols if c not in excl)
+        # Q5: extra analyzed text fields, each with its own postings
+        # namespace + BM25 stats (Bleve's default mapping analyzes
+        # every string field, store/store.go:126; `title:hello` then
+        # searches that field's postings, README.md:46)
+        self.text_cols = tuple(c for c in text_cols
+                               if c != content_col and c not in excl)
         self.n_build_partitions = (n_build_partitions
                                    or spark.sparkContext.defaultParallelism)
         self.filter_stopwords = filter_stopwords
         self._id_offsets: dict[int, int] | None = None
         self._n_docs: int | None = None
+
+    @property
+    def field_cols(self) -> list[str]:
+        """All analyzed fields; the first is the default search field."""
+        return [self.content_col, *self.text_cols]
 
     # -------------------------------------------------------- stage 1
 
@@ -433,7 +409,8 @@ class IndexBuilder:
         cols = list(dict.fromkeys(
             ([self.id_col] if self.id_col else list(self.key_cols))
             + ([self.lang_col] if self.lang_col else [])
-            + list(self.attr_cols) + [self.content_col]
+            + list(self.attr_cols) + list(self.text_cols)
+            + [self.content_col]
         ))
         keyed, id_offsets = self._keyed(source, cols)
         keyed = keyed.withColumn("content_sha256", F.sha2(F.col(self.content_col), 256))
@@ -467,20 +444,21 @@ class IndexBuilder:
         it re-derives the same deterministic doc_ids from the source
         (one extra key shuffle)."""
         cfg = self.config
+        fields = self.field_cols
         if cfg.store_content:
-            cols = ["doc_id", self.content_col] + (
+            cols = ["doc_id"] + fields + (
                 [self.lang_col] if self.lang_col else [])
             scan = self.spark.read.parquet(self.catalog.docs_path).select(*cols)
             id_offsets = None
         else:
             cols = list(dict.fromkeys(
                 ([self.id_col] if self.id_col else list(self.key_cols))
-                + ([self.lang_col] if self.lang_col else []) + [self.content_col]
+                + ([self.lang_col] if self.lang_col else []) + fields
             ))
             scan, id_offsets = self._keyed(source, cols)
         partials = scan.mapInPandas(
             _make_tokenize_partials_fn(
-                self.content_col, self.lang_col, cfg.tokenizer,
+                fields, self.lang_col, cfg.tokenizer,
                 self.filter_stopwords, cfg.range_bits, id_offsets,
                 store_positions=cfg.store_positions),
             schema=PARTIALS_SCHEMA,
@@ -491,8 +469,10 @@ class IndexBuilder:
                   .mapInPandas(_make_merge_fn(cfg.block_size, cfg.n_term_buckets,
                                               cfg.store_positions),
                                schema=POSTINGS_SCHEMA))
+        # term leads the sort so parquet row-group min/max prunes term
+        # lookups; field is a low-cardinality secondary key
         (merged.repartition(cfg.n_term_buckets, "bucket")
-               .sortWithinPartitions("term", "range_id")
+               .sortWithinPartitions("term", "field", "range_id")
                .write.mode("overwrite")
                .partitionBy("bucket")
                .parquet(self.catalog.postings_path))
@@ -501,32 +481,42 @@ class IndexBuilder:
 
     def build_stats(self) -> None:
         cfg = self.config
-        # column-pruned read: only (bucket, term, df_chunk, cf_chunk)
-        # leave the parquet scan
+        # column-pruned read: only (bucket, field, term, df_chunk,
+        # cf_chunk) leave the parquet scan
         post = self.spark.read.parquet(self.catalog.postings_path)
-        ts = (post.groupBy("bucket", "term")
+        ts = (post.groupBy("bucket", "field", "term")
                   .agg(F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf")))
         ts.persist()
         try:
             (ts.repartition(cfg.n_term_buckets, "bucket")
-               .sortWithinPartitions("term")
+               .sortWithinPartitions("term", "field")
                .write.mode("overwrite").partitionBy("bucket")
                .parquet(self.catalog.term_stats_path))
-            # total_tokens = Σ cf (every emitted token lands in exactly
-            # one posting run); n_docs is tracked during doc_id
+            # per-field totals: Σ cf (every emitted token lands in
+            # exactly one posting run); n_docs is tracked during doc_id
             # assignment — no extra docs-table scan
-            trow = ts.agg(F.sum("cf").alias("t")).collect()[0]
+            frows = ts.groupBy("field").agg(F.sum("cf").alias("t")).collect()
         finally:
             ts.unpersist()
-        total_tokens = int(trow["t"] or 0)
+        field_tokens = {r["field"]: int(r["t"] or 0) for r in frows}
+        total_tokens = field_tokens.get(self.content_col, 0)
         n_docs = getattr(self, "_n_docs", None)
         if n_docs is None:
             n_docs = int(self.spark.read.parquet(self.catalog.docs_path).count())
             self._n_docs = n_docs
+        # per-field BM25 stats: a field absent from a doc contributes
+        # length 0, so avgdl_f = Σ dl_f / N over ALL docs
+        field_stats = {
+            f: {"total_tokens": field_tokens.get(f, 0),
+                "avgdl": (field_tokens.get(f, 0) / n_docs) if n_docs else 0.0}
+            for f in self.field_cols
+        }
         meta = {
             "n_docs": n_docs,
+            # top-level stats are the default (content) field's
             "total_tokens": total_tokens,
             "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "field_stats": field_stats,
             "k1": cfg.k1,
             "b": cfg.b,
             "tokenizer": cfg.tokenizer,
@@ -535,19 +525,21 @@ class IndexBuilder:
             "range_bits": cfg.range_bits,
             "block_size": cfg.block_size,
             "n_term_buckets": cfg.n_term_buckets,
-            "version": 1,
+            "version": 2,  # v2: per-field postings namespace (Q5)
         }
         self.catalog.save_meta(meta)
         # single-row table: driver-side pyarrow write (a whole Spark job
-        # for one row is pure fixed overhead)
+        # for one row is pure fixed overhead); nested field_stats stays
+        # in meta.json only
         import shutil
 
         import pyarrow as pa
         import pyarrow.parquet as pq
         shutil.rmtree(self.catalog.index_meta_path, ignore_errors=True)
         os.makedirs(self.catalog.index_meta_path, exist_ok=True)
+        flat = {k: v for k, v in meta.items() if not isinstance(v, dict)}
         pq.write_table(
-            pa.Table.from_pylist([meta]),
+            pa.Table.from_pylist([flat]),
             os.path.join(self.catalog.index_meta_path, "part-0.parquet"))
 
     # ----------------------------------------------------------- main
@@ -582,6 +574,7 @@ class IndexBuilder:
             "id_col": self.id_col,
             "lang_col": self.lang_col,
             "attr_cols": list(self.attr_cols),
+            "text_cols": list(self.text_cols),
             "filter_stopwords": self.filter_stopwords,
             "n_build_partitions": self.n_build_partitions,
         })

@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 from bright_spark.models import IndexConfig
 
 POSTINGS_SCHEMA = (
-    "bucket INT, term STRING, range_id BIGINT, df_chunk INT, cf_chunk BIGINT, "
+    "bucket INT, field STRING, term STRING, range_id BIGINT, "
+    "df_chunk INT, cf_chunk BIGINT, "
     "first_doc ARRAY<BIGINT>, max_doc ARRAY<BIGINT>, n ARRAY<INT>, "
     "max_tf ARRAY<INT>, min_dl ARRAY<INT>, "
     "docs ARRAY<BINARY>, tfs ARRAY<BINARY>, dls ARRAY<BINARY>, "
@@ -114,21 +115,37 @@ class IndexCatalog:
     def postings(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.postings_path)
 
-    def postings_for_terms(self, spark: SparkSession, terms: list[str]) -> DataFrame:
-        """Partition-pruned posting lookup: explicit bucket predicate
-        prunes directories; the term IN-list prunes row groups via
-        parquet min/max (rows are term-sorted within files). This is
-        the FST term-dictionary-seek analog (SURVEY.md §4)."""
+    @staticmethod
+    def _pair_filter(pairs: list[tuple[str, str]]):
+        """(field, term) pairs -> a pushable predicate: one term
+        IN-list per field (field count is tiny), OR-ed together."""
+        by_field: dict[str, list[str]] = {}
+        for f, t in pairs:
+            by_field.setdefault(f, []).append(t)
+        cond = None
+        for f in sorted(by_field):
+            c = (F.col("field") == f) & F.col("term").isin(sorted(set(by_field[f])))
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    def postings_for_terms(self, spark: SparkSession,
+                           pairs: list[tuple[str, str]]) -> DataFrame:
+        """Partition-pruned posting lookup for (field, term) pairs:
+        explicit bucket predicate prunes directories; the term IN-list
+        prunes row groups via parquet min/max (rows are term-sorted
+        within files; field is a secondary sort key). This is the FST
+        term-dictionary-seek analog (SURVEY.md §4)."""
         cfg = self.load_config()
-        buckets = sorted({term_bucket(t, cfg.n_term_buckets) for t in terms})
+        buckets = sorted({term_bucket(t, cfg.n_term_buckets) for _, t in pairs})
         df = self.postings(spark)
-        return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        return df.filter(F.col("bucket").isin(buckets) & self._pair_filter(pairs))
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.term_stats_path)
 
-    def term_stats_for_terms(self, spark: SparkSession, terms: list[str]) -> DataFrame:
+    def term_stats_for_terms(self, spark: SparkSession,
+                             pairs: list[tuple[str, str]]) -> DataFrame:
         cfg = self.load_config()
-        buckets = sorted({term_bucket(t, cfg.n_term_buckets) for t in terms})
+        buckets = sorted({term_bucket(t, cfg.n_term_buckets) for _, t in pairs})
         df = self.term_stats(spark)
-        return df.filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        return df.filter(F.col("bucket").isin(buckets) & self._pair_filter(pairs))

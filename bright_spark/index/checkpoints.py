@@ -125,6 +125,7 @@ class ResumableIndexBuilder:
             "id_col": self.builder.id_col,
             "lang_col": self.builder.lang_col,
             "attr_cols": list(self.builder.attr_cols),
+            "text_cols": list(self.builder.text_cols),
             "filter_stopwords": self.builder.filter_stopwords,
             "n_build_partitions": self.builder.n_build_partitions,
             "n_shards": self.n_shards,
@@ -147,7 +148,7 @@ class ResumableIndexBuilder:
                 "resumable shard builds re-tokenize from stored content; "
                 "store_content=False is not supported")
         b = self.builder
-        cols = ["doc_id", b.content_col] + ([b.lang_col] if b.lang_col else [])
+        cols = ["doc_id"] + b.field_cols + ([b.lang_col] if b.lang_col else [])
         docs = self.spark.read.parquet(self.catalog.docs_path).select(*cols)
         for shard in range(self.n_shards):
             key = f"segment_{shard:05d}"
@@ -158,7 +159,7 @@ class ResumableIndexBuilder:
             part = docs.filter(F.col("doc_id") % self.n_shards == shard)
             partials = part.mapInPandas(
                 _make_tokenize_partials_fn(
-                    b.content_col, b.lang_col, self.config.tokenizer,
+                    b.field_cols, b.lang_col, self.config.tokenizer,
                     b.filter_stopwords, self.config.range_bits,
                     store_positions=self.config.store_positions),
                 schema=PARTIALS_SCHEMA)
@@ -189,7 +190,7 @@ class ResumableIndexBuilder:
                                                   self.config.store_positions),
                                    schema=POSTINGS_SCHEMA))
             (merged.repartition(self.config.n_term_buckets, "bucket")
-                   .sortWithinPartitions("term", "range_id")
+                   .sortWithinPartitions("term", "field", "range_id")
                    .write.mode("overwrite").partitionBy("bucket")
                    .parquet(self.catalog.postings_path))
             self.builder.build_stats()

@@ -46,8 +46,8 @@ from bright_spark.index.builder import (
     PARTIALS_SCHEMA,
     IndexBuilder,
     _make_merge_fn,
-    _make_partials_fn,
     _make_tokenize_fn,
+    _make_tokenize_partials_fn,
 )
 from bright_spark.index.catalog import (
     POSTINGS_SCHEMA,
@@ -77,7 +77,7 @@ def _decode_to_partials(range_bits: int, store_positions: bool = False,
         drop = (np.asarray(drop_bc.value, dtype=np.int64)
                 if drop_bc is not None else empty)
         for pdf in batches:
-            terms, ranges, ds, ts, ls, ps = [], [], [], [], [], []
+            fields, terms, ranges, ds, ts, ls, ps = [], [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
                 d, t, l = codec.decode_all_blocks({
                     "first_doc": row.first_doc, "docs": row.docs,
@@ -91,6 +91,7 @@ def _decode_to_partials(range_bits: int, store_positions: bool = False,
                     d, t, l = d[keep], t[keep], l[keep]
                 if d.size == 0:
                     continue
+                fields.append(row.field)
                 terms.append(row.term)
                 ranges.append(int(row.range_id))
                 ds.append(d)
@@ -98,7 +99,8 @@ def _decode_to_partials(range_bits: int, store_positions: bool = False,
                 ls.append(l)
                 ps.append(pos)
             if terms:
-                yield pd.DataFrame({"term": terms, "range_id": ranges,
+                yield pd.DataFrame({"field": fields, "term": terms,
+                                    "range_id": ranges,
                                     "doc_ids": ds, "tfs": ts, "dls": ls,
                                     "pos": ps})
 
@@ -122,8 +124,23 @@ class IndexMutator:
             id_col=self.extra.get("id_col"),
             lang_col=self.extra.get("lang_col"),
             attr_cols=tuple(self.extra.get("attr_cols") or ()),
+            text_cols=tuple(self.extra.get("text_cols") or ()),
             filter_stopwords=bool(self.extra.get("filter_stopwords")),
         )
+
+    def _field_partials(self, rows: DataFrame) -> DataFrame:
+        """Per-field partial posting rows for ``rows`` (must carry
+        ``doc_id`` + every analyzed field column): the same fused
+        tokenize+combine kernel the bulk build uses (B1), one namespace
+        per field (Q5)."""
+        b = self._builder()
+        cols = ["doc_id"] + b.field_cols + ([b.lang_col] if b.lang_col else [])
+        return rows.select(*cols).mapInPandas(
+            _make_tokenize_partials_fn(
+                b.field_cols, b.lang_col, self.config.tokenizer,
+                b.filter_stopwords, self.config.range_bits,
+                store_positions=self.config.store_positions),
+            schema=PARTIALS_SCHEMA)
 
     def _key_cols(self) -> list[str]:
         if self.extra.get("id_col"):
@@ -131,10 +148,10 @@ class IndexMutator:
         return list(self.extra.get("key_cols") or ("repo", "path", "commit"))
 
     def _tokenize_updates(self, updates: DataFrame) -> DataFrame:
-        """Tokenize changed rows and assign doc_ids: existing natural
-        keys keep their id (upsert replaces, store.go:416); new keys get
-        ids above the current max, ranked by natural key."""
-        from bright_spark.index.builder import _make_tokenize_fn
+        """Compute doc_len/sha256 for changed rows and assign doc_ids:
+        existing natural keys keep their id (upsert replaces,
+        store.go:416); new keys get ids above the current max, ranked by
+        natural key."""
         b = self._builder()
         keys = self._key_cols()
         if self.extra.get("id_col"):
@@ -142,17 +159,11 @@ class IndexMutator:
                        .withColumn("doc_id", F.col("doc_id").cast("bigint")))
         src = updates.withColumn(
             "content_sha256", F.sha2(F.col(b.content_col), 256))
-        in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                              for f in src.schema.fields)
-        pos_part = (", _pos_arr ARRAY<BIGINT>"
-                    if self.config.store_positions else "")
         tokenized = src.mapInPandas(
             _make_tokenize_fn(b.content_col, b.lang_col, self.config.tokenizer,
-                              b.filter_stopwords, list(src.columns),
-                              emit_tokens=True,
-                              emit_positions=self.config.store_positions),
-            schema=(f"{in_schema}, doc_len INT, _term_arr ARRAY<STRING>, "
-                    f"_tf_arr ARRAY<INT>{pos_part}"))
+                              b.filter_stopwords, list(src.columns)),
+            schema=", ".join(f"{f.name} {f.dataType.simpleString()}"
+                             for f in src.schema.fields) + ", doc_len INT")
         if self.extra.get("id_col"):
             return tokenized
         docs = self.catalog.docs(self.spark).select(*keys, "doc_id")
@@ -249,23 +260,19 @@ class IndexMutator:
         cfg = self.config
         spark = self.spark
         docs_all = self.catalog.docs(spark, include_build_cols=True)
-        b = self._builder()
         if not self.config.store_content:
             raise ValueError("mutations re-tokenize replaced docs from "
                              "stored content; store_content=False is not "
                              "supported")
         # the docs table stores no token arrays (build module doc) —
-        # re-tokenize the replaced set from stored content
+        # re-tokenize the replaced set from stored field text, across
+        # EVERY analyzed field (their old entries must leave the index)
         replaced = docs_all.join(ids_df, "doc_id", "left_semi")
-        rep_cols = [b.content_col] + ([b.lang_col] if b.lang_col else [])
-        rep_tok = replaced.select(*rep_cols).mapInPandas(
-            _make_tokenize_fn(b.content_col, b.lang_col, self.config.tokenizer,
-                              b.filter_stopwords, [], emit_tokens=True),
-            schema="doc_len INT, _term_arr ARRAY<STRING>, _tf_arr ARRAY<INT>")
-        terms_df = rep_tok.select(F.explode("_term_arr").alias("term"))
-        if changed is not None:
-            terms_df = terms_df.unionByName(
-                changed.select(F.explode("_term_arr").alias("term")))
+        new_partials = (self._field_partials(changed)
+                        if changed is not None else None)
+        terms_df = self._field_partials(replaced).select("term")
+        if new_partials is not None:
+            terms_df = terms_df.unionByName(new_partials.select("term"))
         # eager lineage truncation, not persist: terms_df reads the
         # docs dir that gets swapped below, and an evicted cache would
         # otherwise silently recompute from the rewritten table
@@ -294,27 +301,15 @@ class IndexMutator:
         touched = in_buckets.join(terms_df, "term", "left_semi")
         surviving_partials = (
             touched
-            .select("term", "range_id", "first_doc", "docs", "tfs", "dls", "pos")
+            .select("field", "term", "range_id", "first_doc", "docs",
+                    "tfs", "dls", "pos")
             .mapInPandas(_decode_to_partials(cfg.range_bits,
                                              cfg.store_positions,
                                              drop_bc=drop_bc),
                          schema=PARTIALS_SCHEMA))
-        partial_parts = [surviving_partials]
-        if changed is not None:
-            # the tokenized changed batch (persisted by upsert) already
-            # carries its token arrays
-            tok_cols = (["doc_id", "doc_len", "_term_arr", "_tf_arr"]
-                        + (["_pos_arr"] if cfg.store_positions else []))
-            new_partials = (changed
-                            .select(*tok_cols)
-                            .mapInPandas(_make_partials_fn(
-                                cfg.range_bits,
-                                store_positions=cfg.store_positions),
-                                schema=PARTIALS_SCHEMA))
-            partial_parts.append(new_partials)
-        partials = partial_parts[0]
-        for p in partial_parts[1:]:
-            partials = partials.unionByName(p)
+        partials = surviving_partials
+        if new_partials is not None:
+            partials = partials.unionByName(new_partials)
         n_merge = self.spark.sparkContext.defaultParallelism
         remerged = (partials.repartition(n_merge, "term", "range_id")
                     .mapInPandas(_make_merge_fn(cfg.block_size,
@@ -324,7 +319,7 @@ class IndexMutator:
         rebuilt = untouched.unionByName(remerged)
         tmp_post = self.catalog.postings_path + "._new"
         (rebuilt.repartition(len(affected_buckets) or 1, "bucket")
-         .sortWithinPartitions("term", "range_id")
+         .sortWithinPartitions("term", "field", "range_id")
          .write.mode("overwrite").partitionBy("bucket").parquet(tmp_post))
         # swap only the rewritten bucket dirs
         for b in affected_buckets:

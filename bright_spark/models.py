@@ -58,10 +58,10 @@ class IndexConfig:
 class SearchRequest:
     """One search call (models/index.go:11-19).
 
-    Body params override query params in the reference
-    (handlers/search.go:39-63); callers here resolve that before
-    constructing the dataclass. ``page`` (1-based) overrides offset:
-    offset=(page-1)*limit (handlers/search.go:79-81).
+    ``page`` (1-based) overrides offset when > 1:
+    offset=(page-1)*limit (handlers/search.go:79-81). Query-param +
+    JSON-body resolution (body overrides, handlers/search.go:39-63) is
+    :meth:`from_params` (R7).
     """
 
     q: str = ""
@@ -71,6 +71,39 @@ class SearchRequest:
     sort: list[str] = field(default_factory=list)  # ["-_score"] default
     attributes_to_retrieve: list[str] = field(default_factory=list)
     attributes_to_exclude: list[str] = field(default_factory=list)
+
+    # wire name (models/index.go json tags) -> dataclass attribute
+    _WIRE = {
+        "q": "q", "offset": "offset", "limit": "limit", "page": "page",
+        "sort": "sort", "sort[]": "sort",
+        "attributesToRetrieve": "attributes_to_retrieve",
+        "attributesToRetrieve[]": "attributes_to_retrieve",
+        "attributesToExclude": "attributes_to_exclude",
+        "attributesToExclude[]": "attributes_to_exclude",
+    }
+
+    @classmethod
+    def from_params(cls, query_params: dict | None = None,
+                    body: dict | None = None) -> "SearchRequest":
+        """R7: resolve query-string params + JSON body exactly like the
+        reference handler (handlers/search.go:20-63): defaults limit=20
+        page=1, then each body value overrides its query param only when
+        non-empty / non-zero ("if provided"). Keys are the wire names
+        (camelCase, with or without the ``[]`` suffix)."""
+        resolved = {"q": "", "offset": 0, "limit": DEFAULT_LIMIT, "page": 1,
+                    "sort": [], "attributes_to_retrieve": [],
+                    "attributes_to_exclude": []}
+        for src in (query_params or {}), (body or {}):
+            for k, v in src.items():
+                attr = cls._WIRE.get(k)
+                if attr is None:
+                    continue
+                # zero-value body/query fields do NOT override
+                # (search.go:42-62: `if bodyParams.X > 0 / != "" / len>0`)
+                if v in (None, "", 0) or (isinstance(v, list) and not v):
+                    continue
+                resolved[attr] = v
+        return cls(**resolved)
 
     def validate(self) -> None:
         if self.attributes_to_retrieve and self.attributes_to_exclude:
@@ -87,8 +120,10 @@ class SearchRequest:
 
     @property
     def effective_offset(self) -> int:
-        if self.page is not None:
-            return (self.page - 1) * self.limit  # handlers/search.go:79-81
+        # `if page > 1` (handlers/search.go:79-81): page=1 — the wire
+        # default — leaves an explicit offset in force
+        if self.page is not None and self.page > 1:
+            return (self.page - 1) * self.limit
         return self.offset
 
 

@@ -44,6 +44,15 @@ from bright_spark.query.planner import AnalyzedQuery, AttrPred, Planner
 
 _KERNEL_SCHEMA = "doc_id BIGINT, score DOUBLE, range_id BIGINT, range_matched BIGINT"
 
+# (field, term) -> one flat kernel key. \x1f (ASCII unit separator) is
+# never produced by either tokenizer mode's emissions in practice; the
+# key only has to be unambiguous per query, not globally escaped.
+FIELD_SEP = "\x1f"
+
+
+def fkey(field: str, term: str) -> str:
+    return f"{field}{FIELD_SEP}{term}"
+
 
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str):
@@ -52,36 +61,44 @@ class SearchEngine:
         self.planner = Planner(spark, self.catalog)
         self.meta = self.planner.meta
         self.extra = self.planner.extra
-        self._df_cache: dict[str, int] = {}
+        self._df_cache: dict[tuple[str, str], int] = {}
 
     # ----------------------------------------------------------- utils
 
-    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
-        """df per term, via a driver-side dictionary cache (the hot
-        term-dictionary an engine keeps resident; absent terms cache as
-        0 so repeated misses don't re-scan). The fetch itself is the
+    def _field_avgdl(self, field: str) -> float:
+        fs = self.meta.get("field_stats") or {}
+        return float(fs.get(field, {}).get("avgdl", self.meta["avgdl"]))
+
+    def _term_dfs(self, pairs: list[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        """df per (field, term), via a driver-side dictionary cache (the
+        hot term-dictionary an engine keeps resident; absent terms cache
+        as 0 so repeated misses don't re-scan). The fetch itself is the
         bucket-pruned term_stats lookup."""
-        missing = [t for t in terms if t not in self._df_cache]
+        missing = [p for p in pairs if p not in self._df_cache]
         if missing:
             rows = self.catalog.term_stats_for_terms(self.spark, missing).collect()
-            got = {r["term"]: int(r["df"]) for r in rows}
-            for t in missing:
-                self._df_cache[t] = got.get(t, 0)
-        return {t: self._df_cache[t] for t in terms}
+            got = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            for p in missing:
+                self._df_cache[p] = got.get(p, 0)
+        return {p: self._df_cache[p] for p in pairs}
 
-    def _term_weights(self, aq: AnalyzedQuery) -> dict[str, float]:
-        """boost * idf per scoring term (driver-side: k small rows)."""
+    def _term_weights(self, aq: AnalyzedQuery) -> tuple[dict[str, float],
+                                                        dict[str, float]]:
+        """(boost * idf, field avgdl) per scoring term, both keyed by
+        the flat kernel key (driver-side: k small rows)."""
         specs = aq.scoring_terms
         if not specs:
-            return {}
-        dfs = self._term_dfs([s.term for s in specs])
+            return {}, {}
+        dfs = self._term_dfs([s.key for s in specs])
         n = int(self.meta["n_docs"])
-        out = {}
+        w, adl = {}, {}
         for s in specs:
-            df = dfs.get(s.term, 0)
+            df = dfs.get(s.key, 0)
             if df > 0:
-                out[s.term] = s.boost * float(scorer.idf(n, df))
-        return out
+                k = fkey(s.field, s.term)
+                w[k] = s.boost * float(scorer.idf(n, df))
+                adl[k] = self._field_avgdl(s.field)
+        return w, adl
 
     def _attr_filter(self, preds: list[AttrPred]):
         cond = None
@@ -115,12 +132,19 @@ class SearchEngine:
         """Per-range kernel -> (doc_id, score, range_id, range_matched).
         ``need_total=False`` lets the pruned kernel skip the exact
         match count (range_matched = -1) — top-k only callers."""
-        weights = self._term_weights(aq)
-        must_groups = [[s.term for s in g if s.term in weights] if any(s.term in weights for s in g) else []
+        weights, avgdls = self._term_weights(aq)
+        must_groups = [[fkey(s.field, s.term) for s in g
+                        if fkey(s.field, s.term) in weights]
+                       if any(fkey(s.field, s.term) in weights for s in g)
+                       else []
                        for g in aq.must_groups]
-        should = [s.term for s in aq.should_terms if s.term in weights]
-        must_not = sorted(set(aq.must_not_terms))
-        needed = sorted(set(weights) | set(must_not))
+        should = [fkey(s.field, s.term) for s in aq.should_terms
+                  if fkey(s.field, s.term) in weights]
+        must_not_pairs = sorted(set(aq.must_not_terms))
+        must_not = [fkey(f, t) for f, t in must_not_pairs]
+        scoring_pairs = sorted({s.key for s in aq.scoring_terms
+                                if fkey(*s.key) in weights})
+        needed = sorted(set(scoring_pairs) | set(must_not_pairs))
         avgdl = float(self.meta["avgdl"])
         k1 = float(self.meta["k1"])
         b = float(self.meta["b"])
@@ -131,13 +155,17 @@ class SearchEngine:
             # (every member has df=0) -> no hits (Q6)
             return empty
 
-        rows = self.catalog.postings_for_terms(self.spark, needed).drop("pos")
+        rows = (self.catalog.postings_for_terms(self.spark, needed)
+                .drop("pos")
+                .withColumn("term",
+                            F.concat_ws(FIELD_SEP, "field", "term"))
+                .drop("field"))
 
         def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             docs, scores, n_matched = scorer.score_range_topk(
                 pdf, weights, must_groups, should, must_not,
                 k=k, avgdl=avgdl, k1=k1, b=b, prune=prune,
-                need_total=need_total)
+                need_total=need_total, avgdl_by_term=avgdls)
             return pd.DataFrame({
                 "doc_id": docs, "score": scores,
                 "range_id": np.full(docs.size, int(key[0]), dtype=np.int64),
@@ -148,11 +176,12 @@ class SearchEngine:
 
     # ------------------------------------------------- relational path
 
-    def _exploded_postings(self, terms: list[str]) -> DataFrame:
-        """Decoded (term, doc_id, tf, dl) view — vectorized varint
-        decode in mapInPandas; everything downstream is built-in ops."""
-        rows = self.catalog.postings_for_terms(self.spark, terms)
-        sel = rows.select("term", "first_doc", "n", "docs", "tfs", "dls")
+    def _exploded_postings(self, pairs: list[tuple[str, str]]) -> DataFrame:
+        """Decoded (field, term, doc_id, tf, dl) view — vectorized
+        varint decode in mapInPandas; everything downstream is built-in
+        ops."""
+        rows = self.catalog.postings_for_terms(self.spark, pairs)
+        sel = rows.select("field", "term", "first_doc", "n", "docs", "tfs", "dls")
 
         def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from bright_spark.index import codec
@@ -171,46 +200,54 @@ class SearchEngine:
                 t = codec.decode_concat(bufs_t).astype(np.int64)
                 l = codec.decode_concat(bufs_l).astype(np.int64)
                 block_terms = np.repeat(pdf["term"].to_numpy(), nb)
+                block_fields = np.repeat(pdf["field"].to_numpy(), nb)
                 yield pd.DataFrame({
+                    "field": np.repeat(block_fields, ns),
                     "term": np.repeat(block_terms, ns),
                     "doc_id": d,
                     "tf": t,
                     "dl": l,
                 })
 
-        return sel.mapInPandas(decode_fn, "term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT")
+        return sel.mapInPandas(
+            decode_fn,
+            "field STRING, term STRING, doc_id BIGINT, tf BIGINT, dl BIGINT")
 
     def _relational_hits(self, aq: AnalyzedQuery) -> DataFrame:
         """Exhaustively scored match set: (doc_id, score). The pure-
         DataFrame execution (SURVEY.md §7 step 1) used for filters,
         phrases, custom sorts, and differential testing."""
-        weights = self._term_weights(aq)
-        avgdl = float(self.meta["avgdl"])
+        weights, avgdls = self._term_weights(aq)
         k1 = float(self.meta["k1"])
         b = float(self.meta["b"])
         docs_df = self.catalog.docs(self.spark)
 
-        pos_specs: list[tuple[str, float, int]] = []  # term, w, group_id
+        def known(s) -> bool:
+            return fkey(s.field, s.term) in weights
+
+        pos_specs: list[tuple[tuple[str, str], float, int]] = []  # key, w, group
         for gi, g in enumerate(aq.must_groups):
             for s in g:
-                if s.term in weights:
-                    pos_specs.append((s.term, weights[s.term], gi))
+                if known(s):
+                    pos_specs.append((s.key, weights[fkey(*s.key)], gi))
         for s in aq.should_terms:
-            if s.term in weights:
-                pos_specs.append((s.term, weights[s.term], -1))
+            if known(s):
+                pos_specs.append((s.key, weights[fkey(*s.key)], -1))
         # each phrase token is its own conjunctive group: adjacency
         # implies conjunction, so verification only scans the (small)
         # AND-candidate set instead of the union of hot terms
         gi = len(aq.must_groups)
         for ph in aq.phrases:
             for t in ph.tokens:
-                if t in weights:
-                    pos_specs.append((t, weights[t], gi))
+                if fkey(ph.field, t) in weights:
+                    pos_specs.append(((ph.field, t),
+                                      weights[fkey(ph.field, t)], gi))
                     gi += 1
         n_groups = gi
         unsatisfiable = any(
-            all(s.term not in weights for s in g) for g in aq.must_groups
-        ) or (aq.phrases and any(t not in weights for ph in aq.phrases for t in ph.tokens))
+            all(not known(s) for s in g) for g in aq.must_groups
+        ) or (aq.phrases and any(fkey(ph.field, t) not in weights
+                                 for ph in aq.phrases for t in ph.tokens))
 
         if aq.has_positive and (not pos_specs or unsatisfiable):
             return self.spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
@@ -223,26 +260,33 @@ class SearchEngine:
                 neg = (self._exploded_postings(sorted(set(aq.must_not_terms)))
                        .select("doc_id").distinct())
                 out = out.join(neg, "doc_id", "left_anti")
+            for ph in aq.must_not_phrases:
+                out = out.join(self._phrase_matches(ph, docs_df),
+                               "doc_id", "left_anti")
             cond = self._attr_filter(aq.attr_preds) if aq.attr_preds else None
             if cond is not None:
                 keep = docs_df.filter(cond).select("doc_id")
                 out = out.join(keep, "doc_id", "left_semi")
             return out
 
-        # term -> (weight, array of must-group ids it can satisfy)
-        agg: dict[str, tuple[float, set[int]]] = {}
-        for t, w, g in pos_specs:
-            prev = agg.get(t, (w, set()))
+        # (field, term) -> (weight, field avgdl, must-group ids it can
+        # satisfy)
+        agg: dict[tuple[str, str], tuple[float, set[int]]] = {}
+        for key, w, g in pos_specs:
+            prev = agg.get(key, (w, set()))
             groups = prev[1] | ({g} if g >= 0 else set())
-            agg[t] = (max(prev[0], w), groups)
+            agg[key] = (max(prev[0], w), groups)
         wdf = self.spark.createDataFrame(
-            [(t, w, sorted(gs)) for t, (w, gs) in sorted(agg.items())],
-            "term STRING, w DOUBLE, groups ARRAY<INT>",
+            [(f, t, w, sorted(gs), avgdls[fkey(f, t)])
+             for (f, t), (w, gs) in sorted(agg.items())],
+            "field STRING, term STRING, w DOUBLE, groups ARRAY<INT>, adl DOUBLE",
         )
         exploded = self._exploded_postings(sorted(agg))
         tfn = (F.col("tf") * (k1 + 1.0)) / (
-            F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / max(avgdl, 1e-9)))
-        contrib = (exploded.join(F.broadcast(wdf), "term")
+            F.col("tf") + k1 * (1.0 - b
+                                + b * F.col("dl") / F.greatest(F.col("adl"),
+                                                               F.lit(1e-9))))
+        contrib = (exploded.join(F.broadcast(wdf), ["field", "term"])
                    .withColumn("contrib", F.col("w") * tfn))
         per_doc = (contrib.groupBy("doc_id")
                    .agg(F.sum("contrib").alias("score"),
@@ -257,7 +301,11 @@ class SearchEngine:
             cand = cand.join(neg, "doc_id", "left_anti")
 
         if aq.phrases:
-            cand = self._verify_phrases(cand, aq, docs_df)
+            cand = self._verify_phrases(cand, aq.phrases, docs_df)
+
+        for ph in aq.must_not_phrases:
+            cand = cand.join(self._phrase_matches(ph, docs_df),
+                             "doc_id", "left_anti")
 
         if aq.attr_preds:
             cond = self._attr_filter(aq.attr_preds)
@@ -265,18 +313,18 @@ class SearchEngine:
             cand = cand.join(keep, "doc_id", "left_semi")
         return cand
 
-    def _exploded_positions(self, terms: list[str]) -> DataFrame:
-        """(term, doc_id, pos ARRAY<BIGINT>) decoded from positional
-        postings (store_positions indexes only)."""
-        rows = self.catalog.postings_for_terms(self.spark, terms)
-        sel = rows.select("term", "first_doc", "n", "docs", "tfs", "pos")
+    def _exploded_positions(self, pairs: list[tuple[str, str]]) -> DataFrame:
+        """(field, term, doc_id, pos ARRAY<BIGINT>) decoded from
+        positional postings (store_positions indexes only)."""
+        rows = self.catalog.postings_for_terms(self.spark, pairs)
+        sel = rows.select("field", "term", "first_doc", "n", "docs", "tfs", "pos")
 
         def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from bright_spark.index import codec
             for pdf in batches:
                 if not len(pdf):
                     continue
-                out_t, out_d, out_p = [], [], []
+                out_f, out_t, out_d, out_p = [], [], [], []
                 for row in pdf.itertuples(index=False):
                     ns = np.asarray(row.n, dtype=np.int64)
                     d = codec.decode_doc_blocks_bulk(
@@ -285,29 +333,35 @@ class SearchEngine:
                     tf = codec.decode_concat(list(row.tfs)).astype(np.int64)
                     pos = codec.decode_concat(list(row.pos)).astype(np.int64)
                     bounds = np.concatenate(([0], np.cumsum(tf)))
+                    out_f.extend([row.field] * d.size)
                     out_t.extend([row.term] * d.size)
                     out_d.extend(d.tolist())
                     out_p.extend(pos[bounds[i]:bounds[i + 1]]
                                  for i in range(d.size))
                 if out_t:
-                    yield pd.DataFrame({"term": out_t, "doc_id": out_d,
-                                        "pos": out_p})
+                    yield pd.DataFrame({"field": out_f, "term": out_t,
+                                        "doc_id": out_d, "pos": out_p})
 
-        return sel.mapInPandas(decode_fn,
-                               "term STRING, doc_id BIGINT, pos ARRAY<BIGINT>")
+        return sel.mapInPandas(
+            decode_fn,
+            "field STRING, term STRING, doc_id BIGINT, pos ARRAY<BIGINT>")
 
     def _verify_phrases_positional(self, cand: DataFrame,
-                                   aq: AnalyzedQuery) -> DataFrame:
+                                   phrases: list) -> DataFrame:
         """Q4 adjacency from the positional index alone (no content
         scan): fetch phrase tokens' positions for candidate docs, check
-        consecutive base ordinals per doc (Arrow-batched)."""
-        phrases = [list(ph.tokens) for ph in aq.phrases]
-        tokens = sorted({t for ph in phrases for t in ph})
-        pos_df = (self._exploded_positions(tokens)
+        consecutive base ordinals per doc (Arrow-batched). Each phrase
+        checks its own field's positions."""
+        keys = [(ph.field, [fkey(ph.field, t) for t in ph.tokens])
+                for ph in phrases]
+        pairs = sorted({(ph.field, t) for ph in phrases for t in ph.tokens})
+        pos_df = (self._exploded_positions(pairs)
                   .join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi"))
         grouped = (pos_df.groupBy("doc_id")
-                   .agg(F.map_from_entries(
-                        F.collect_list(F.struct("term", "pos"))).alias("m")))
+                   .agg(F.map_from_entries(F.collect_list(F.struct(
+                        F.concat_ws(FIELD_SEP, "field", "term").alias("k"),
+                        F.col("pos")))).alias("m")))
+        token_keys = [ks for _, ks in keys]
 
         def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -315,10 +369,10 @@ class SearchEngine:
                 for row in pdf.itertuples(index=False):
                     m = {k: set(int(x) for x in v) for k, v in row.m.items()}
                     good = True
-                    for ph in phrases:
-                        starts = m.get(ph[0], set())
+                    for ks in token_keys:
+                        starts = m.get(ks[0], set())
                         hit = any(all((s + i) in m.get(t, ())
-                                      for i, t in enumerate(ph[1:], 1))
+                                      for i, t in enumerate(ks[1:], 1))
                                   for s in starts)
                         if not hit:
                             good = False
@@ -330,45 +384,64 @@ class SearchEngine:
         ok = grouped.mapInPandas(verify, "doc_id BIGINT")
         return cand.join(ok, "doc_id", "left_semi")
 
-    def _verify_phrases(self, cand: DataFrame, aq: AnalyzedQuery,
+    def _verify_phrases(self, cand: DataFrame, phrases: list,
                         docs_df: DataFrame) -> DataFrame:
-        """Q4 positional adjacency. Positional indexes verify from the
-        postings alone (:meth:`_verify_phrases_positional`); otherwise
-        re-run the analyzer over only the AND-candidate docs' content
-        and check consecutive base positions (Arrow-batched)."""
+        """Q4 positional adjacency: keep only ``cand`` docs matching ALL
+        ``phrases``. Positional indexes verify from the postings alone
+        (:meth:`_verify_phrases_positional`); otherwise re-run the
+        analyzer over only the AND-candidate docs' own field text and
+        check consecutive base positions (Arrow-batched)."""
         if self.meta.get("store_positions"):
-            return self._verify_phrases_positional(cand, aq)
-        content_col = self.extra.get("content_col", "content")
+            return self._verify_phrases_positional(cand, phrases)
         lang_col = self.extra.get("lang_col")
         mode = self.meta.get("tokenizer", "code")
-        phrases = [list(ph.tokens) for ph in aq.phrases]
-        cols = ["doc_id", content_col] + ([lang_col] if lang_col else [])
-        joined = docs_df.select(*cols).join(F.broadcast(cand), "doc_id")
+        fields = sorted({ph.field for ph in phrases})
+        by_field = [(f, [list(ph.tokens) for ph in phrases if ph.field == f])
+                    for f in fields]
+        cols = ["doc_id"] + fields + ([lang_col] if lang_col else [])
+        joined = docs_df.select(*cols).join(
+            F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
 
         def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                ok = []
+                ok_ids = []
                 for row in pdf.itertuples(index=False):
-                    text = getattr(row, content_col) or ""
-                    toks = tokenize_with_positions(text, mode=mode)
-                    pos_by_term: dict[str, set[int]] = {}
-                    for t, p in toks:
-                        pos_by_term.setdefault(t, set()).add(p)
                     good = True
-                    for ph in phrases:
-                        starts = pos_by_term.get(ph[0], set())
-                        hit = any(all((s + i) in pos_by_term.get(t, ())
-                                      for i, t in enumerate(ph[1:], 1))
-                                  for s in starts)
-                        if not hit:
-                            good = False
+                    for f, phs in by_field:
+                        text = getattr(row, f) or ""
+                        toks = tokenize_with_positions(text, mode=mode)
+                        pos_by_term: dict[str, set[int]] = {}
+                        for t, p in toks:
+                            pos_by_term.setdefault(t, set()).add(p)
+                        for ph in phs:
+                            starts = pos_by_term.get(ph[0], set())
+                            hit = any(all((s + i) in pos_by_term.get(t, ())
+                                          for i, t in enumerate(ph[1:], 1))
+                                      for s in starts)
+                            if not hit:
+                                good = False
+                                break
+                        if not good:
                             break
-                    ok.append(good)
-                out = pdf[["doc_id", "score"]].copy()
-                out["ok"] = ok
-                yield out[out["ok"]][["doc_id", "score"]]
+                    if good:
+                        ok_ids.append(row.doc_id)
+                yield pd.DataFrame({"doc_id": pd.Series(ok_ids, dtype="int64")})
 
-        return joined.mapInPandas(verify, "doc_id BIGINT, score DOUBLE")
+        ok = joined.mapInPandas(verify, "doc_id BIGINT")
+        return cand.join(ok, "doc_id", "left_semi")
+
+    def _phrase_matches(self, ph, docs_df: DataFrame) -> DataFrame:
+        """All doc_ids matching one phrase (used for NOT-phrase
+        exclusion, Q8): AND-candidates from the phrase tokens' postings,
+        then the same adjacency verification as positive phrases."""
+        toks = sorted(set(ph.tokens))
+        pairs = [(ph.field, t) for t in toks]
+        ex = self._exploded_postings(pairs)
+        cand = (ex.groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("n_t"))
+                .filter(F.col("n_t") >= len(toks))
+                .select("doc_id"))
+        return self._verify_phrases(cand, [ph], docs_df).select("doc_id")
 
     # ------------------------------------------------------ public API
 
@@ -377,9 +450,10 @@ class SearchEngine:
         """Top-k hits as a DataFrame (doc_id, score), default sort
         (-_score, doc_id). ``mode``: auto | wand | relational."""
         aq = self.planner.analyze(parse_query(q))
-        use_wand = mode == "wand" or (
+        use_wand = (mode == "wand" or (
             mode == "auto" and aq.has_positive and not aq.attr_preds
             and not aq.phrases and not aq.is_match_all)
+        ) and not aq.must_not_phrases
         if use_wand:
             hits = (self._wand_hits(aq, k, prune=prune, need_total=False)
                     .select("doc_id", "score"))
@@ -403,7 +477,8 @@ class SearchEngine:
         aq = self.planner.analyze(parse_query(req.q))
         custom_sort = [s for s in (req.sort or []) if s.lstrip("-") != "_score"]
         use_wand = (mode != "relational" and aq.has_positive
-                    and not aq.attr_preds and not aq.phrases and not custom_sort)
+                    and not aq.attr_preds and not aq.phrases
+                    and not aq.must_not_phrases and not custom_sort)
 
         if use_wand:
             per_range = self._wand_hits(aq, k_eff)

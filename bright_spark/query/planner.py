@@ -36,6 +36,11 @@ MAX_EXPANSIONS = 1024  # deterministic cap for wildcard/fuzzy expansion
 class TermSpec:
     term: str
     boost: float = 1.0
+    field: str = "content"  # Q5: owning postings namespace
+
+    @property
+    def key(self) -> tuple[str, str]:
+        return (self.field, self.term)
 
 
 @dataclass
@@ -43,6 +48,7 @@ class PhraseSpec:
     tokens: list[str]
     boost: float = 1.0
     role: str = "must"
+    field: str = "content"
 
 
 @dataclass
@@ -58,8 +64,9 @@ class AttrPred:
 class AnalyzedQuery:
     must_groups: list[list[TermSpec]] = field(default_factory=list)
     should_terms: list[TermSpec] = field(default_factory=list)
-    must_not_terms: list[str] = field(default_factory=list)
+    must_not_terms: list[tuple[str, str]] = field(default_factory=list)  # (field, term)
     phrases: list[PhraseSpec] = field(default_factory=list)
+    must_not_phrases: list[PhraseSpec] = field(default_factory=list)
     attr_preds: list[AttrPred] = field(default_factory=list)
     # a positive clause existed but analyzed to no terms (unknown field,
     # pure-punctuation token, ...): the query is NOT match-all — Bleve's
@@ -68,27 +75,28 @@ class AnalyzedQuery:
 
     @property
     def scoring_terms(self) -> list[TermSpec]:
-        out: dict[str, TermSpec] = {}
+        out: dict[tuple[str, str], TermSpec] = {}
 
-        def add(term: str, boost: float) -> None:
-            prev = out.get(term)
-            if prev is None or boost > prev.boost:
-                out[term] = TermSpec(term, boost)
+        def add(spec: TermSpec) -> None:
+            prev = out.get(spec.key)
+            if prev is None or spec.boost > prev.boost:
+                out[spec.key] = spec
 
         for g in self.must_groups:
             for ts in g:
-                add(ts.term, ts.boost)
+                add(ts)
         for ts in self.should_terms:
-            add(ts.term, ts.boost)
+            add(ts)
         for ph in self.phrases:
             for t in ph.tokens:
-                add(t, ph.boost)
+                add(TermSpec(t, ph.boost, ph.field))
         return list(out.values())
 
     @property
     def is_match_all(self) -> bool:
         return not (self.must_groups or self.should_terms or self.must_not_terms
-                    or self.phrases or self.has_unmatchable_positive)
+                    or self.phrases or self.must_not_phrases
+                    or self.has_unmatchable_positive)
 
     @property
     def has_positive(self) -> bool:
@@ -126,21 +134,45 @@ class Planner:
             self._doc_columns = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         return self._doc_columns
 
+    # --------------------------------------------------- field routing
+
+    @property
+    def content_field(self) -> str:
+        return self.extra.get("content_col", "content")
+
+    @property
+    def text_fields(self) -> list[str]:
+        """Analyzed fields with their own postings namespace (Q5)."""
+        return [self.content_field, *(self.extra.get("text_cols") or ())]
+
+    def _text_field_of(self, field_name: str | None) -> str | None:
+        """The postings namespace a clause scores against, or None if
+        the clause is not a text clause (attribute / unknown field)."""
+        if field_name is None or field_name in (self.content_field,
+                                                "content", "_all"):
+            return self.content_field
+        if field_name in self.text_fields:
+            return field_name
+        return None
+
     # ------------------------------------------------------ expansion
 
-    def expand_wildcard(self, pattern: str) -> list[str]:
+    def expand_wildcard(self, pattern: str, text_field: str) -> list[str]:
         like = _wildcard_to_like(pattern)
         ts = self.catalog.term_stats(self.spark)
-        rows = (ts.filter(F.col("term").like(like))
+        rows = (ts.filter((F.col("field") == text_field)
+                          & F.col("term").like(like))
                   .select("term").orderBy("term")
                   .limit(MAX_EXPANSIONS).collect())
         return [r["term"] for r in rows]
 
-    def expand_fuzzy(self, term: str, fuzziness: int) -> list[str]:
+    def expand_fuzzy(self, term: str, fuzziness: int,
+                     text_field: str) -> list[str]:
         t = term.lower()
         ts = self.catalog.term_stats(self.spark)
         rows = (ts.filter(
-                    (F.length("term") >= len(t) - fuzziness)
+                    (F.col("field") == text_field)
+                    & (F.length("term") >= len(t) - fuzziness)
                     & (F.length("term") <= len(t) + fuzziness)
                     & (F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness))
                   .select("term").orderBy("term")
@@ -152,8 +184,7 @@ class Planner:
     def _is_attr(self, field_name: str | None) -> bool:
         if field_name is None:
             return False
-        content_col = self.extra.get("content_col", "content")
-        if field_name in (content_col, "content", "_all"):
+        if self._text_field_of(field_name) is not None:
             return False
         return field_name in self.doc_columns()
 
@@ -170,8 +201,7 @@ class Planner:
     def _is_unknown_field(self, field_name: str | None) -> bool:
         if field_name is None:
             return False
-        content_col = self.extra.get("content_col", "content")
-        return (field_name not in (content_col, "content", "_all")
+        return (self._text_field_of(field_name) is None
                 and field_name not in self.doc_columns())
 
     def _analyze_clause(self, aq: AnalyzedQuery, cl: Clause, role: str, mode: str) -> None:
@@ -185,9 +215,11 @@ class Planner:
             elif role == "should":
                 aq.has_unmatchable_positive = True
             return
-        # attribute predicates (Q5 on filter columns, Q11/Q12 ranges)
+        # attribute predicates (Q5 on filter columns, Q11/Q12 ranges).
+        # Ranges stay attribute predicates on ANY stored column — a
+        # numeric/date range never scores against analyzed postings.
         if cl.kind == "range" or self._is_attr(cl.field_name):
-            if cl.kind == "range" and not self._is_attr(cl.field_name):
+            if cl.kind == "range" and cl.field_name not in self.doc_columns():
                 raise ValueError(f"range on unknown attribute: {cl.field_name}")
             op = cl.op or ("like" if cl.kind == "wildcard" else "=")
             value = _wildcard_to_like(cl.value) if cl.kind == "wildcard" else cl.value
@@ -196,23 +228,31 @@ class Planner:
                 negated=(role == "must_not")))
             return
 
+        tfield = self._text_field_of(cl.field_name)
+
         if cl.kind == "phrase":
             tokens = tokenize(cl.value, mode=mode)
             if not tokens:
                 return
             if len(tokens) == 1:
-                cl = Clause(kind="term", value=tokens[0], boost=cl.boost)
+                cl = Clause(kind="term", value=tokens[0], boost=cl.boost,
+                            field_name=cl.field_name)
                 return self._analyze_clause(aq, cl, role, mode)
+            spec = PhraseSpec(tokens=tokens, boost=cl.boost, role=role,
+                              field=tfield)
+            # Q8 NOT phrase (-"hello world"): verified like a positive
+            # phrase, then anti-joined (handlers/search.go:94 accepts it
+            # via the query-string grammar)
             if role == "must_not":
-                raise ValueError("NOT phrase is not supported in v1")
-            aq.phrases.append(PhraseSpec(tokens=tokens, boost=cl.boost,
-                                         role=role))
+                aq.must_not_phrases.append(spec)
+            else:
+                aq.phrases.append(spec)
             return
 
         if cl.kind == "wildcard":
-            terms = self.expand_wildcard(cl.value)
+            terms = self.expand_wildcard(cl.value, tfield)
         elif cl.kind == "fuzzy":
-            terms = self.expand_fuzzy(cl.value, cl.fuzziness)
+            terms = self.expand_fuzzy(cl.value, cl.fuzziness, tfield)
         else:  # term
             terms = []
             for tok in analyze_query_term(cl.value, mode=mode):
@@ -225,10 +265,10 @@ class Planner:
             elif role == "should":
                 aq.has_unmatchable_positive = True
             return
-        specs = [TermSpec(t, cl.boost) for t in terms]
+        specs = [TermSpec(t, cl.boost, tfield) for t in terms]
         if role == "must":
             aq.must_groups.append(specs)
         elif role == "should":
             aq.should_terms.extend(specs)
         else:
-            aq.must_not_terms.extend(s.term for s in specs)
+            aq.must_not_terms.extend(s.key for s in specs)

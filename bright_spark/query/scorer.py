@@ -54,10 +54,13 @@ def idf(n_docs: int, df: np.ndarray | float):
     return np.log(1.0 + (n_docs - np.asarray(df, dtype=np.float64) + 0.5) / (np.asarray(df, dtype=np.float64) + 0.5))
 
 
-def tf_norm(tf, dl, avgdl: float, k1: float, b: float):
+def tf_norm(tf, dl, avgdl, k1: float, b: float):
+    """``avgdl`` may be a scalar or a per-entry array (per-field BM25
+    stats: each term normalizes against its own field's avgdl)."""
     tf = np.asarray(tf, dtype=np.float64)
     dl = np.asarray(dl, dtype=np.float64)
-    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / max(avgdl, 1e-9)))
+    adl = np.maximum(np.asarray(avgdl, dtype=np.float64), 1e-9)
+    return tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / adl))
 
 
 _EMPTY_I = np.empty(0, dtype=np.int64)
@@ -71,12 +74,18 @@ class RangeBlocks:
     bounds, (max_tf, min_dl) metadata, and the raw varint buffers.
     """
 
-    def __init__(self, pdf: pd.DataFrame, weights: dict[str, float]):
+    def __init__(self, pdf: pd.DataFrame, weights: dict[str, float],
+                 avgdl: float = 1.0,
+                 avgdl_by_term: dict[str, float] | None = None):
         codes, uniq = pd.factorize(pdf["term"].to_numpy(), sort=False)
         self.terms = [str(t) for t in uniq]
         self.code_of = {t: c for c, t in enumerate(self.terms)}
         self.w = np.array([weights.get(t, 0.0) for t in self.terms],
                           dtype=np.float64)
+        # per-code avgdl (per-field BM25 stats; scalar fallback)
+        adl_of = avgdl_by_term or {}
+        self.adl = np.array([adl_of.get(t, avgdl) for t in self.terms],
+                            dtype=np.float64)
         # lexicographic rank per code: float accumulation always runs in
         # (doc, term-rank) order, so scores are bit-identical regardless
         # of row arrival order, range granularity, or pruning path
@@ -116,10 +125,10 @@ class RangeBlocks:
             return _EMPTY_I
         return np.flatnonzero(np.isin(self.b_code, codes))
 
-    def bounds(self, avgdl: float, k1: float, b: float) -> np.ndarray:
+    def bounds(self, k1: float, b: float) -> np.ndarray:
         """Per-block score upper bound (sound under current stats)."""
         return self.w[self.b_code] * tf_norm(
-            self.b_maxtf, self.b_mindl, avgdl, k1, b)
+            self.b_maxtf, self.b_mindl, self.adl[self.b_code], k1, b)
 
     # ------------------------------------------------------ bulk decode
 
@@ -155,12 +164,12 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int):
 
 
 def _accumulate_entries(d, tf, dl, eb, rb: "RangeBlocks",
-                        avgdl: float, k1: float, b: float):
+                        k1: float, b: float):
     """Sum per-entry contributions into (unique docs, totals), in
     deterministic (doc, term-rank) order (see RangeBlocks.rank)."""
     if d.size == 0:
         return _EMPTY_I, _EMPTY_F
-    contrib = rb.w[rb.b_code[eb]] * tf_norm(tf, dl, avgdl, k1, b)
+    contrib = rb.w[rb.b_code[eb]] * tf_norm(tf, dl, rb.adl[rb.b_code[eb]], k1, b)
     perm = np.lexsort((rb.rank[rb.b_code[eb]], d))
     uniq, inv = np.unique(d, return_inverse=True)
     totals = np.zeros(uniq.size, dtype=np.float64)
@@ -180,6 +189,7 @@ def score_range_topk(
     b: float,
     prune: bool = True,
     need_total: bool = True,
+    avgdl_by_term: dict[str, float] | None = None,
 ):
     """Exact top-k for one doc-range chunk of posting rows.
 
@@ -189,8 +199,10 @@ def score_range_topk(
     (wildcard/fuzzy expansions); must_not terms exclude; scoring terms
     are all must-group members + should terms. ``n_matched`` is -1 when
     ``need_total`` is False and the pruned path skipped the exact count.
+    ``avgdl_by_term`` overrides the scalar avgdl per term key (per-field
+    BM25 stats, Q5).
     """
-    rb = RangeBlocks(pdf, weights)
+    rb = RangeBlocks(pdf, weights, avgdl, avgdl_by_term)
     must_groups = [sorted(set(g)) for g in must_groups]
     scoring_terms = sorted(
         {t for g in must_groups for t in g if weights.get(t)}
@@ -236,7 +248,7 @@ def score_range_topk(
         pos_c = np.clip(pos, 0, cand.size - 1)
         hit = cand[pos_c] == d
         totals = np.zeros(cand.size, dtype=np.float64)
-        contrib = rb.w[rb.b_code[eb]] * tf_norm(tf, dl, avgdl, k1, b)
+        contrib = rb.w[rb.b_code[eb]] * tf_norm(tf, dl, rb.adl[rb.b_code[eb]], k1, b)
         dh, ch = pos_c[hit], contrib[hit]
         rh = rb.rank[rb.b_code[eb]][hit]
         perm = np.lexsort((rh, dh))
@@ -260,7 +272,7 @@ def score_range_topk(
     total_entries = int(rb.b_n[score_bsel].sum())
     if not prune or total_entries <= 8 * max(k, 1) or scoring.size == 1:
         d, tf, dl, eb = rb.decode_full(score_bsel)
-        docs, totals = _accumulate_entries(d, tf, dl, eb, rb, avgdl, k1, b)
+        docs, totals = _accumulate_entries(d, tf, dl, eb, rb, k1, b)
         if excl is not None and docs.size:
             keep = ~np.isin(docs, excl, assume_unique=True)
             docs, totals = docs[keep], totals[keep]
@@ -269,7 +281,7 @@ def score_range_topk(
         docs, scores = _topk(docs, totals, k)
         return docs, scores, n_matched
 
-    ubs_all = rb.bounds(avgdl, k1, b)
+    ubs_all = rb.bounds(k1, b)
 
     # --- pass 1: upper-bound envelope over docID space (event sweep)
     starts = rb.b_first[score_bsel]
@@ -295,7 +307,7 @@ def score_range_topk(
     if excl is not None and sd.size:
         keep = ~np.isin(sd, excl)
         sd, stf, sdl = sd[keep], stf[keep], sdl[keep]
-    seed_contrib = rb.w[seed_code] * tf_norm(stf, sdl, avgdl, k1, b)
+    seed_contrib = rb.w[seed_code] * tf_norm(stf, sdl, rb.adl[seed_code], k1, b)
     if sd.size >= k:
         theta = float(np.partition(seed_contrib, sd.size - k)[sd.size - k])
     else:
@@ -313,7 +325,7 @@ def score_range_topk(
     j2 = np.searchsorted(hot_ends, rb.b_first[score_bsel], side="right")
     overlap = (j >= j2) & (j >= 0)
     d, tf, dl, eb = rb.decode_full(score_bsel[overlap])
-    docs, totals = _accumulate_entries(d, tf, dl, eb, rb, avgdl, k1, b)
+    docs, totals = _accumulate_entries(d, tf, dl, eb, rb, k1, b)
     if excl is not None and docs.size:
         keep = ~np.isin(docs, excl, assume_unique=True)
         docs, totals = docs[keep], totals[keep]

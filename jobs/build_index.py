@@ -32,6 +32,10 @@ def main() -> None:
     ap.add_argument("--key-cols", default="repo,path,commit")
     ap.add_argument("--lang-col", default="lang")
     ap.add_argument("--attr-cols", default="")
+    ap.add_argument("--text-cols", default="",
+                    help="extra analyzed text fields, each indexed into "
+                         "its own postings namespace (Q5 field-scoped "
+                         "search, e.g. --text-cols path)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--range-bits", type=int, default=None,
                     help="doc-range width (2**bits); default auto-sizes to the corpus")
@@ -98,6 +102,7 @@ def main() -> None:
         id_col=id_col,
         lang_col=args.lang_col or None,
         attr_cols=tuple(c for c in args.attr_cols.split(",") if c),
+        text_cols=tuple(c for c in args.text_cols.split(",") if c),
         n_build_partitions=args.partitions,
     )
 

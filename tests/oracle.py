@@ -55,11 +55,13 @@ def _wildcard_match(pattern: str, term: str) -> bool:
 class OracleIndex:
     def __init__(self, rows, *, content_col="content", key_cols=("repo", "path", "commit"),
                  id_col=None, lang_col="lang", mode="code", k1=1.2, b=0.75,
-                 filter_stopwords=False, n_partitions=8):
+                 filter_stopwords=False, n_partitions=8, text_cols=()):
         self.mode = mode
         self.k1 = k1
         self.b = b
         self.content_col = content_col
+        self.text_cols = tuple(c for c in text_cols if c != content_col)
+        self.fields = [content_col, *self.text_cols]
         if id_col is None:
             # engine doc_id order: (murmur3 hash partition, natural key)
             # — see builder.build_docs / index.hashing
@@ -68,43 +70,57 @@ class OracleIndex:
                 partition_id([r[c] for c in key_cols], n_partitions),
                 tuple(r[c] for c in key_cols)))
         self.docs = []
-        self.tfs: list[dict[str, int]] = []
-        self.dls: list[int] = []
+        # per-field postings stats (Q5); self.tfs/dls/df/avgdl stay the
+        # content field's view for existing callers
+        self.tf_f: dict[str, list[dict[str, int]]] = {f: [] for f in self.fields}
+        self.dl_f: dict[str, list[int]] = {f: [] for f in self.fields}
         for i, r in enumerate(rows):
             doc_id = int(r[id_col]) if id_col else i
             lang = r.get(lang_col) if lang_col else None
-            counts, dl = count_terms(r.get(content_col) or "", mode, lang, filter_stopwords)
-            self.docs.append({**r, "doc_id": doc_id, "doc_len": dl})
-            self.tfs.append(dict(counts))
-            self.dls.append(dl)
+            for f in self.fields:
+                counts, dl = count_terms(r.get(f) or "", mode, lang, filter_stopwords)
+                self.tf_f[f].append(dict(counts))
+                self.dl_f[f].append(dl)
+            self.docs.append({**r, "doc_id": doc_id,
+                              "doc_len": self.dl_f[content_col][-1]})
+        self.tfs = self.tf_f[content_col]
+        self.dls = self.dl_f[content_col]
         self.by_id = {d["doc_id"]: (d, tf, dl)
                       for d, tf, dl in zip(self.docs, self.tfs, self.dls)}
         self.n = len(self.docs)
         self.total_tokens = sum(self.dls)
         self.avgdl = self.total_tokens / self.n if self.n else 0.0
-        self.df: dict[str, int] = {}
-        for tf in self.tfs:
-            for t in tf:
-                self.df[t] = self.df.get(t, 0) + 1
+        self.df_f: dict[str, dict[str, int]] = {}
+        self.avgdl_f: dict[str, float] = {}
+        for f in self.fields:
+            dfd: dict[str, int] = {}
+            for tf in self.tf_f[f]:
+                for t in tf:
+                    dfd[t] = dfd.get(t, 0) + 1
+            self.df_f[f] = dfd
+            self.avgdl_f[f] = (sum(self.dl_f[f]) / self.n) if self.n else 0.0
+        self.df = self.df_f[content_col]
 
     # -------------------------------------------------------- scoring
 
-    def idf(self, term: str) -> float:
-        df = self.df.get(term, 0)
+    def idf(self, term: str, field: str | None = None) -> float:
+        df = self.df_f[field or self.content_col].get(term, 0)
         return math.log(1.0 + (self.n - df + 0.5) / (df + 0.5)) if df else 0.0
 
-    def tfn(self, tf: int, dl: int) -> float:
+    def tfn(self, tf: int, dl: int, field: str | None = None) -> float:
+        avgdl = self.avgdl_f[field or self.content_col]
         return tf * (self.k1 + 1.0) / (
-            tf + self.k1 * (1.0 - self.b + self.b * dl / max(self.avgdl, 1e-9)))
+            tf + self.k1 * (1.0 - self.b + self.b * dl / max(avgdl, 1e-9)))
 
-    def _expand(self, clause) -> list[str]:
+    def _expand(self, clause, field: str) -> list[str]:
         if clause.kind == "wildcard":
-            hits = sorted(t for t in self.df if _wildcard_match(clause.value, t))
+            hits = sorted(t for t in self.df_f[field]
+                          if _wildcard_match(clause.value, t))
             return hits[:MAX_EXPANSIONS]
         if clause.kind == "fuzzy":
             q = clause.value.lower()
             hits = sorted(
-                t for t in self.df
+                t for t in self.df_f[field]
                 if abs(len(t) - len(q)) <= clause.fuzziness
                 and _levenshtein(t, q) <= clause.fuzziness)
             return hits[:MAX_EXPANSIONS]
@@ -131,8 +147,10 @@ class OracleIndex:
             return ref <= val <= hi
         raise ValueError(clause.op)
 
-    def _phrase_ok(self, doc: dict, tokens: list[str]) -> bool:
-        toks = tokenize_with_positions(doc.get(self.content_col) or "", mode=self.mode)
+    def _phrase_ok(self, doc: dict, tokens: list[str],
+                   field: str | None = None) -> bool:
+        text = doc.get(field or self.content_col) or ""
+        toks = tokenize_with_positions(text, mode=self.mode)
         pos: dict[str, set[int]] = {}
         for t, p in toks:
             pos.setdefault(t, set()).add(p)
@@ -144,22 +162,36 @@ class OracleIndex:
 
     def search(self, q: str, k: int = 10):
         """Returns (hits [(doc_id, score)], total_hits). Exhaustive, no
-        pruning — semantics per SURVEY.md §2.5/§2.6."""
+        pruning — semantics per SURVEY.md §2.5/§2.6. Field-scoped
+        clauses (Q5) score against that field's own postings stats."""
         pq = parse_query(q)
-        is_attr = lambda c: c.kind == "range" or (
-            c.field_name is not None and c.field_name != self.content_col
-            and c.field_name in (self.docs[0].keys() if self.docs else ()))
+        doc_keys = self.docs[0].keys() if self.docs else ()
 
-        must_groups: list[list[str]] = []
-        should_terms: list[tuple[str, float]] = []
-        must_not_terms: set[str] = set()
-        phrases: list[tuple[list[str], float]] = []
+        def text_field_of(c):
+            fn = c.field_name
+            if fn is None or fn in (self.content_col, "content", "_all"):
+                return self.content_col
+            if fn in self.text_cols:
+                return fn
+            return None
+
+        def is_attr(c):
+            return c.kind == "range" or (
+                text_field_of(c) is None and c.field_name in doc_keys)
+
+        must_groups: list[list[tuple[str, str]]] = []
+        should_keys: list[tuple[str, str]] = []
+        must_not_keys: set[tuple[str, str]] = set()
+        phrases: list[tuple[str, list[str], float]] = []
+        neg_phrases: list[tuple[str, list[str]]] = []
         attr_must, attr_not = [], []
-        boosts: dict[str, float] = {}
+        boosts: dict[tuple[str, str], float] = {}
+        has_unmatchable = False
 
-        def record(terms, boost):
+        def record(field, terms, boost):
             for t in terms:
-                boosts[t] = max(boosts.get(t, 0.0), boost)
+                key = (field, t)
+                boosts[key] = max(boosts.get(key, 0.0), boost)
 
         for role, clauses in (("must", pq.must), ("should", pq.should),
                               ("must_not", pq.must_not)):
@@ -167,51 +199,73 @@ class OracleIndex:
                 if is_attr(cl):
                     (attr_not if role == "must_not" else attr_must).append(cl)
                     continue
+                field = text_field_of(cl)
+                if field is None:  # unknown field: matches nothing
+                    if role == "must":
+                        must_groups.append([])
+                    elif role == "should":
+                        has_unmatchable = True
+                    continue
                 if cl.kind == "phrase":
                     toks = tokenize(cl.value, mode=self.mode)
                     if len(toks) == 1:
-                        cl = type(cl)(kind="term", value=toks[0], boost=cl.boost)
+                        cl = type(cl)(kind="term", value=toks[0],
+                                      boost=cl.boost, field_name=cl.field_name)
+                    elif toks and role == "must_not":
+                        neg_phrases.append((field, toks))
+                        continue
                     elif toks:
-                        phrases.append((toks, cl.boost))
-                        record(toks, cl.boost)
+                        phrases.append((field, toks, cl.boost))
+                        record(field, toks, cl.boost)
                         continue
                     else:
                         continue
-                terms = self._expand(cl)
+                terms = self._expand(cl, field)
                 if role == "must":
-                    must_groups.append(sorted(set(terms)))
-                    record(terms, cl.boost)
+                    must_groups.append(sorted({(field, t) for t in terms}))
+                    record(field, terms, cl.boost)
                 elif role == "should":
-                    should_terms.extend((t, cl.boost) for t in terms)
-                    record(terms, cl.boost)
+                    should_keys.extend((field, t) for t in terms)
+                    record(field, terms, cl.boost)
                 else:
-                    must_not_terms.update(terms)
+                    must_not_keys.update((field, t) for t in terms)
+                if not terms:
+                    if role == "must":
+                        must_groups.append([])
+                    elif role == "should":
+                        has_unmatchable = True
 
-        has_positive = bool(must_groups or should_terms or phrases)
+        has_positive = bool(must_groups or should_keys or phrases
+                            or has_unmatchable)
         scoring = sorted(boosts)
 
         hits = []
         total = 0
-        for doc, tf, dl in zip(self.docs, self.tfs, self.dls):
+        for i, doc in enumerate(self.docs):
+            tf_of = lambda f: self.tf_f[f][i]
             if any(not self._attr_ok(doc, c) for c in attr_must):
                 continue
             if any(self._attr_ok(doc, c) for c in attr_not):
                 continue
-            if any(t in tf for t in must_not_terms):
+            if any(t in tf_of(f) for f, t in must_not_keys):
+                continue
+            if any(self._phrase_ok(doc, toks, f) for f, toks in neg_phrases):
                 continue
             if has_positive:
-                if any(not any(t in tf for t in g) for g in must_groups):
+                if any(not any(t in tf_of(f) for f, t in g)
+                       for g in must_groups):
                     continue
-                if must_groups and not any(g for g in must_groups):
+                if not any(t in tf_of(f) for f, t in scoring):
                     continue
-                if not any(t in tf for t in scoring):
-                    continue
-                if phrases and any(not self._phrase_ok(doc, toks) for toks, _ in phrases):
+                if phrases and any(not self._phrase_ok(doc, toks, f)
+                                   for f, toks, _ in phrases):
                     continue
                 score = 0.0
-                for t in scoring:
+                for f, t in scoring:
+                    tf = tf_of(f)
                     if t in tf:
-                        score += boosts[t] * self.idf(t) * self.tfn(tf[t], dl)
+                        score += (boosts[(f, t)] * self.idf(t, f)
+                                  * self.tfn(tf[t], self.dl_f[f][i], f))
             else:
                 score = 1.0
             total += 1

@@ -91,7 +91,7 @@ def test_postings_partition_pruning(spark, built_index):
     """Term lookup must read only the matching bucket directories
     (the FST-seek analog, SURVEY.md §4)."""
     terms = ["user", "quasar_flux_capacitor"]
-    df = built_index.postings_for_terms(spark, terms)
+    df = built_index.postings_for_terms(spark, [("content", t) for t in terms])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "bucket" in plan
     got = {r["term"] for r in df.select("term").distinct().collect()}

@@ -24,7 +24,8 @@ def test_postings_lookup_pushes_filters(spark, engine):
     """Term lookup must reach the parquet scan as partition +
     row-group predicates (the FST-seek analog): bucket filters prune
     directories, term filters prune via min/max."""
-    df = engine.catalog.postings_for_terms(spark, ["user", "config"])
+    df = engine.catalog.postings_for_terms(
+        spark, [("content", "user"), ("content", "config")])
     plan = _plan(df)
     assert "PushedFilters" in plan
     assert "term" in plan.split("PushedFilters")[1][:400]
@@ -73,7 +74,7 @@ def test_wand_fetch_drops_positions(spark, engine):
 def test_exploded_postings_prunes_dls_free_columns(spark, engine):
     """The relational decode reads exactly the posting columns it
     needs (no max_tf/min_dl skip metadata)."""
-    df = engine._exploded_postings(["user"])
+    df = engine._exploded_postings([("content", "user")])
     plan = _plan(df)
     read_schema = plan.split("ReadSchema")[1][:500]
     assert "max_tf" not in read_schema

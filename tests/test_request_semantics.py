@@ -169,3 +169,39 @@ def test_date_range_query_end_to_end(spark, tmp_path_factory):
            eng.search_df("update NOT created:[2021-03-01 TO 2021-05-31]",
                          k=50).collect()}
     assert neg == {r["id"] for r in rows if "update" in r["body"]} - expect
+
+
+# ---------------------------------------------------------------- R7
+
+def test_from_params_body_overrides_query():
+    """R7 (handlers/search.go:39-63): body params override query
+    params, but only when non-empty / non-zero."""
+    req = SearchRequest.from_params(
+        query_params={"q": "laptop", "limit": 5, "offset": 10,
+                      "sort[]": ["-price"]},
+        body={"q": "phone", "limit": 25,
+              "attributesToRetrieve": ["name"]})
+    assert req.q == "phone"            # body wins
+    assert req.limit == 25             # body wins
+    assert req.offset == 10            # body zero-value: query wins
+    assert req.sort == ["-price"]      # body empty list: query wins
+    assert req.attributes_to_retrieve == ["name"]
+
+
+def test_from_params_zero_values_do_not_override():
+    req = SearchRequest.from_params(
+        query_params={"q": "laptop", "offset": 7},
+        body={"q": "", "offset": 0, "limit": 0, "page": 0, "sort": []})
+    assert req.q == "laptop" and req.offset == 7
+    assert req.limit == 20 and req.page == 1  # reference defaults
+
+
+def test_from_params_page_one_keeps_offset():
+    """Reference computes offset from page only `if page > 1`
+    (handlers/search.go:79-81): the default page=1 must not clobber an
+    explicit offset."""
+    req = SearchRequest.from_params(query_params={"offset": 15})
+    assert req.page == 1 and req.effective_offset == 15
+    req2 = SearchRequest.from_params(query_params={"offset": 15,
+                                                   "page": 3, "limit": 10})
+    assert req2.effective_offset == 20
