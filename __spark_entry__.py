@@ -155,7 +155,16 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("simhash").cast("bigint").alias("simhash"))
 
 
+def _q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.dedup import simhash64
+    return simhash64(_docs(spark, sf_dir)).select(
+        "doc_id", F.col("simhash_hi").cast("bigint").alias("simhash_hi"),
+        F.col("simhash_lo").cast("bigint").alias("simhash_lo"))
+
+
 def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 64-bit signatures, 4x16-bit pigeonhole bands (web-scale bucket
+    # cardinality: 65536 keys/band vs 256 for 8-bit bands)
     from bright_spark.text.dedup import near_duplicates_simhash
     pairs = near_duplicates_simhash(_docs(spark, sf_dir), max_hamming=3)
     return pairs.select("id_a", "id_b",
@@ -228,12 +237,20 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # approximate ANN — no SQL oracle (rows-only check); recall vs the
-    # brute-force baseline is asserted in tests/test_vectors.py
-    from bright_spark.vectors.similarity import ann_cosine_topk
+    # brute-force baseline is asserted in tests/test_vectors.py.
+    # Queries run against the PERSISTED sig-partitioned index (built
+    # once per sf dir): probe sigs prune partition directories instead
+    # of recomputing signatures over the full table per query.
+    from bright_spark.vectors.similarity import ann_topk_indexed, build_ann_index
     emb = _emb(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    ann_dir = os.path.join(_GATE_DIR,
+                           key.strip("/").replace("/", "_") + "_ann_idx")
+    if not os.path.exists(os.path.join(ann_dir, "_ann_meta.json")):
+        build_ann_index(emb, ann_dir, dim=64, n_planes=6)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    top = ann_cosine_topk(emb, [float(x) for x in qvec], k=10, n_planes=6,
-                          probe_hamming=2)
+    top = ann_topk_indexed(spark, ann_dir, [float(x) for x in qvec], k=10,
+                           probe_hamming=2)
     return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
 
 
@@ -265,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
@@ -312,6 +330,24 @@ SELECT s.doc_id, round(s.s, 6) AS score
 FROM scores s {final_join}
 ORDER BY round(s.s, 6) DESC, s.doc_id
 LIMIT {k}"""
+
+
+_SIMHASH64_CTE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+h AS (SELECT doc_id, tf,
+             ('0x' || substr(md5(term), 1, 8))::BIGINT AS h_lo,
+             ('0x' || substr(md5(term), 9, 8))::BIGINT AS h_hi FROM tf),
+bits AS (SELECT doc_id, tf, h_lo, h_hi, unnest(range(0, 32)) AS bit FROM h),
+c AS (SELECT doc_id, bit,
+             sum(CASE WHEN (h_lo >> bit) % 2 = 1 THEN tf ELSE -tf END) AS s_lo,
+             sum(CASE WHEN (h_hi >> bit) % 2 = 1 THEN tf ELSE -tf END) AS s_hi
+      FROM bits GROUP BY 1, 2),
+sg AS (SELECT doc_id,
+              sum(CASE WHEN s_lo >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS lo,
+              sum(CASE WHEN s_hi >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS hi
+       FROM c GROUP BY doc_id)"""
 
 
 def _adj_sql(t1: str, t2: str) -> str:
@@ -487,28 +523,23 @@ c AS (SELECT doc_id, bit,
 SELECT doc_id,
        sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
 FROM c GROUP BY doc_id""",
-        "dedup_simhash_pairs": """
-WITH toks AS (
-  SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
-tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
-h AS (SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h FROM tf),
-bits AS (SELECT doc_id, tf, h, unnest(range(0, 32)) AS bit FROM h),
-c AS (SELECT doc_id, bit,
-             sum(CASE WHEN (h >> bit) % 2 = 1 THEN tf ELSE -tf END) AS s
-      FROM bits GROUP BY 1, 2),
-sg AS (SELECT doc_id,
-              sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
-                AS simhash
-       FROM c GROUP BY doc_id),
-bands AS (SELECT doc_id, simhash, b.band,
-                 (simhash >> (8 * b.band)) & 255 AS key
+        "dedup_simhash64": f"""{_SIMHASH64_CTE}
+SELECT doc_id, hi AS simhash_hi, lo AS simhash_lo FROM sg""",
+        "dedup_simhash_pairs": f"""{_SIMHASH64_CTE},
+bands AS (SELECT doc_id, lo, hi, b.band,
+                 CASE WHEN b.band = 0 THEN lo & 65535
+                      WHEN b.band = 1 THEN (lo >> 16) & 65535
+                      WHEN b.band = 2 THEN hi & 65535
+                      ELSE (hi >> 16) & 65535 END AS key
           FROM sg, (VALUES (0), (1), (2), (3)) b(band)),
 pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-                 a.simhash AS sa, b.simhash AS sb
+                 a.lo AS la, a.hi AS ha, b.lo AS lb, b.hi AS hb
           FROM bands a JOIN bands b USING (band, key)
           WHERE a.doc_id < b.doc_id)
-SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
-FROM pairs WHERE bit_count(xor(sa, sb)) <= 3""",
+SELECT id_a, id_b,
+       (bit_count(xor(la, lb)) + bit_count(xor(ha, hb)))::BIGINT AS hamming
+FROM pairs
+WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
 e AS (SELECT doc_id, unnest(t) AS term FROM t)

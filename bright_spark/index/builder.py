@@ -231,6 +231,33 @@ def _make_tokenize_partials_fn(field_cols: list[str], lang_col: str | None,
     return fn
 
 
+def _make_assign_ids_fn(id_offsets: dict[int, int]):
+    """mapInPandas kernel: dense deterministic doc_id assignment from
+    per-hash-bucket offsets (U6). Contract as in :meth:`IndexBuilder._keyed`:
+    the input carries a ``_pid`` column (pmod(hash(keys), P)), is
+    repartitioned on the same keys/P, and sorted by key within
+    partitions; doc_id = offset[_pid] + running row index within that
+    bucket. Keying on the explicit ``_pid`` column (NOT
+    TaskContext.partitionId()) keeps the assignment correct even when a
+    downstream union or AQE shifts physical partition indices."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        next_by_pid = dict(id_offsets)
+        for pdf in batches:
+            pids = pdf["_pid"].to_numpy()
+            ids = np.empty(len(pdf), dtype=np.int64)
+            for pid in np.unique(pids):
+                m = pids == pid
+                base = next_by_pid.get(int(pid), 0)
+                ids[m] = np.arange(base, base + int(m.sum()), dtype=np.int64)
+                next_by_pid[int(pid)] = base + int(m.sum())
+            out = pdf.drop(columns=["_pid"]).copy()
+            out["doc_id"] = ids
+            yield out
+
+    return fn
+
+
 def _make_merge_fn(block_size: int, n_buckets: int,
                    store_positions: bool = False):
     """mapInPandas kernel that merges ALL partial posting runs in its

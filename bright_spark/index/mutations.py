@@ -45,6 +45,7 @@ from bright_spark.index import codec
 from bright_spark.index.builder import (
     PARTIALS_SCHEMA,
     IndexBuilder,
+    _make_assign_ids_fn,
     _make_merge_fn,
     _make_tokenize_fn,
     _make_tokenize_partials_fn,
@@ -107,12 +108,57 @@ def _decode_to_partials(range_bits: int, store_positions: bool = False,
     return fn
 
 
+ENTRIES_SCHEMA = ("field STRING, term STRING, range_id BIGINT, "
+                  "doc_id BIGINT, tf BIGINT, dl BIGINT, pos ARRAY<BIGINT>")
+
+
+def _decode_to_entries(store_positions: bool = False):
+    """Posting rows -> one row per posting ENTRY (the exploded form the
+    huge-change-set path anti-joins against the changed-id DataFrame —
+    no driver collect, no executor broadcast)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            parts = []
+            for row in pdf.itertuples(index=False):
+                d, t, l = codec.decode_all_blocks({
+                    "first_doc": row.first_doc, "docs": row.docs,
+                    "tfs": row.tfs, "dls": row.dls})
+                if d.size == 0:
+                    continue
+                if store_positions:
+                    pos = codec.decode_concat(list(row.pos)).astype(np.int64)
+                    bounds = np.concatenate(([0], np.cumsum(t)))
+                    segs = [pos[bounds[i]:bounds[i + 1]]
+                            for i in range(d.size)]
+                else:
+                    segs = [empty] * d.size
+                parts.append(pd.DataFrame({
+                    "field": row.field, "term": row.term,
+                    "range_id": int(row.range_id),
+                    "doc_id": d, "tf": t, "dl": l, "pos": segs}))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    return fn
+
+
 class IndexMutator:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    # change sets up to this many ids travel as one numpy broadcast into
+    # the posting-drop kernel; above it (a driver-OOM regime at ~10^8
+    # ids) the drop switches to an entry-level anti-join
+    BROADCAST_THRESHOLD = 2_000_000
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 broadcast_threshold: int | None = None):
         self.spark = spark
         self.catalog = IndexCatalog(index_dir)
         self.config = self.catalog.load_config()
         self.extra = self.catalog.load_extra()
+        self.broadcast_threshold = (self.BROADCAST_THRESHOLD
+                                    if broadcast_threshold is None
+                                    else broadcast_threshold)
 
     # ------------------------------------------------------- internals
 
@@ -168,12 +214,35 @@ class IndexMutator:
             return tokenized
         docs = self.catalog.docs(self.spark).select(*keys, "doc_id")
         joined = tokenized.join(docs, keys, "left")
-        max_id = self.catalog.docs(self.spark).agg(F.max("doc_id")).collect()[0][0] or -1
-        from pyspark.sql import Window
-        w = Window.orderBy(*keys)  # new keys are few: single-partition rank OK
-        news = (joined.filter(F.col("doc_id").isNull())
-                .withColumn("doc_id", F.lit(max_id) + F.row_number().over(w)))
         olds = joined.filter(F.col("doc_id").isNotNull())
+        news_src = joined.filter(F.col("doc_id").isNull()).drop("doc_id")
+        # new keys get dense ids above the current max via the builder's
+        # per-partition offset scheme (builder._keyed): one key-only
+        # count pass fixes offsets, then each partition assigns locally.
+        # No global window — a first full sync through StreamingIngestor
+        # IS a large upsert batch, and a single-task rank would be its
+        # straggler at 10^12 docs.
+        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        max_id = -1 if max_id is None else int(max_id)
+        p = int(self.extra.get("n_build_partitions")
+                or self.spark.sparkContext.defaultParallelism)
+        counts = {int(r["_pid"]): int(r["cnt"]) for r in (
+            news_src.select(*keys)
+            .groupBy(F.pmod(F.hash(*keys), F.lit(p)).alias("_pid"))
+            .agg(F.count("*").alias("cnt")).collect())}
+        if not counts:
+            return olds
+        offsets, acc = {}, max_id + 1
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in news_src.schema.fields) + ", doc_id BIGINT"
+        news = (news_src
+                .withColumn("_pid", F.pmod(F.hash(*keys), F.lit(p)))
+                .repartition(p, *keys)
+                .sortWithinPartitions(*keys)
+                .mapInPandas(_make_assign_ids_fn(offsets), schema=schema))
         return olds.unionByName(news)
 
     # ------------------------------------------------------ operations
@@ -226,12 +295,13 @@ class IndexMutator:
     def _apply(self, changed: DataFrame | None = None,
                deleted_ids: list[int] | None = None,
                deleted_df: DataFrame | None = None) -> None:
-        """Change sets travel as DataFrames/joins and one numpy
-        broadcast — never as plan-literal IN-lists — so a
-        million-document sync batch plans the same as a 10-document
-        one. (A change set too large to broadcast to executors would
-        switch the posting drop to an explode + anti-join; that regime
-        means most of the index changed, where a rebuild wins anyway.)"""
+        """Change sets travel as DataFrames/joins — never as
+        plan-literal IN-lists — so a million-document sync batch plans
+        the same as a 10-document one. Up to ``broadcast_threshold``
+        ids the posting drop runs inside the decode kernel against one
+        numpy broadcast; above it (too large to ship to every executor,
+        yet far from rebuild territory at 10^12 docs) the drop becomes
+        an entry-level anti-join on the changed-id DataFrame."""
         spark = self.spark
         if changed is not None:
             ids_df = changed.select("doc_id").distinct()
@@ -245,10 +315,14 @@ class IndexMutator:
         # be recomputable from them afterwards (persist alone can evict
         # and silently recompute against rewritten data)
         ids_df = ids_df.localCheckpoint(eager=True)
+        n_changed = ids_df.count()
+        if n_changed == 0:
+            return
+        if n_changed > self.broadcast_threshold:
+            self._apply_inner(changed, ids_df, drop_bc=None)
+            return
         changed_id_arr = np.unique(np.array(
             [r["doc_id"] for r in ids_df.collect()], dtype=np.int64))
-        if changed_id_arr.size == 0:
-            return
         drop_bc = spark.sparkContext.broadcast(changed_id_arr)
         try:
             self._apply_inner(changed, ids_df, drop_bc)
@@ -299,14 +373,27 @@ class IndexMutator:
         in_buckets = post.filter(F.col("bucket").isin(affected_buckets))
         untouched = in_buckets.join(terms_df, "term", "left_anti")
         touched = in_buckets.join(terms_df, "term", "left_semi")
-        surviving_partials = (
-            touched
-            .select("field", "term", "range_id", "first_doc", "docs",
-                    "tfs", "dls", "pos")
-            .mapInPandas(_decode_to_partials(cfg.range_bits,
-                                             cfg.store_positions,
-                                             drop_bc=drop_bc),
-                         schema=PARTIALS_SCHEMA))
+        touched_sel = touched.select("field", "term", "range_id",
+                                     "first_doc", "docs", "tfs", "dls", "pos")
+        if drop_bc is not None:
+            surviving_partials = touched_sel.mapInPandas(
+                _decode_to_partials(cfg.range_bits, cfg.store_positions,
+                                    drop_bc=drop_bc),
+                schema=PARTIALS_SCHEMA)
+        else:
+            # huge change set: entry-level anti-join instead of a
+            # broadcast drop; survivors re-enter the merge as singleton
+            # partial runs (the merge kernel regroups them anyway)
+            entries = touched_sel.mapInPandas(
+                _decode_to_entries(cfg.store_positions),
+                schema=ENTRIES_SCHEMA)
+            surviving_partials = (
+                entries.join(ids_df, "doc_id", "left_anti")
+                .select("field", "term", "range_id",
+                        F.array("doc_id").alias("doc_ids"),
+                        F.array("tf").alias("tfs"),
+                        F.array("dl").alias("dls"),
+                        F.col("pos")))
         partials = surviving_partials
         if new_partials is not None:
             partials = partials.unionByName(new_partials)

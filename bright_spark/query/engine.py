@@ -349,39 +349,60 @@ class SearchEngine:
     def _verify_phrases_positional(self, cand: DataFrame,
                                    phrases: list) -> DataFrame:
         """Q4 adjacency from the positional index alone (no content
-        scan): fetch phrase tokens' positions for candidate docs, check
-        consecutive base ordinals per doc (Arrow-batched). Each phrase
-        checks its own field's positions."""
-        keys = [(ph.field, [fkey(ph.field, t) for t in ph.tokens])
-                for ph in phrases]
+        scan), fully vectorized: per doc-range group, each token's
+        (doc, position) pairs become one sorted int64 array of
+        ``doc_id << 32 | pos`` keys; a phrase survives via a chain of
+        ``isin(prev + 1, next_token_keys)`` filters (adjacency in key
+        space), and a doc matches iff every phrase leaves it a
+        surviving start. No per-document Python — the same flat-array
+        style as the WAND kernel."""
+        token_keys = [[fkey(ph.field, t) for t in ph.tokens]
+                      for ph in phrases]
         pairs = sorted({(ph.field, t) for ph in phrases for t in ph.tokens})
+        range_bits = int(self.meta["range_bits"])
         pos_df = (self._exploded_positions(pairs)
-                  .join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi"))
-        grouped = (pos_df.groupBy("doc_id")
-                   .agg(F.map_from_entries(F.collect_list(F.struct(
-                        F.concat_ws(FIELD_SEP, "field", "term").alias("k"),
-                        F.col("pos")))).alias("m")))
-        token_keys = [ks for _, ks in keys]
+                  .join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+                  .withColumn("k", F.concat_ws(FIELD_SEP, "field", "term"))
+                  .withColumn("range_id",
+                              F.shiftright("doc_id", range_bits))
+                  .select("range_id", "k", "doc_id", "pos"))
 
-        def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                ok_ids = []
-                for row in pdf.itertuples(index=False):
-                    m = {k: set(int(x) for x in v) for k, v in row.m.items()}
-                    good = True
-                    for ks in token_keys:
-                        starts = m.get(ks[0], set())
-                        hit = any(all((s + i) in m.get(t, ())
-                                      for i, t in enumerate(ks[1:], 1))
-                                  for s in starts)
-                        if not hit:
-                            good = False
-                            break
-                    if good:
-                        ok_ids.append(row.doc_id)
-                yield pd.DataFrame({"doc_id": pd.Series(ok_ids, dtype="int64")})
+        def verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = np.empty(0, dtype=np.int64)
+            # range-LOCAL doc offsets (< 2**range_bits) keep the packed
+            # doc|pos key inside int64 even at 10^12-scale doc ids
+            base = np.int64(int(key[0])) << np.int64(range_bits)
+            flat: dict[str, np.ndarray] = {}
+            for k, grp in pdf.groupby("k"):
+                docs = grp["doc_id"].to_numpy(dtype=np.int64) - base
+                lens = grp["pos"].str.len().to_numpy(dtype=np.int64)
+                if lens.sum() == 0:
+                    flat[k] = empty
+                    continue
+                pos = np.concatenate(grp["pos"].to_numpy()).astype(np.int64)
+                keys64 = (np.repeat(docs, lens) << np.int64(32)) | pos
+                keys64.sort()
+                flat[k] = keys64
+            ok: np.ndarray | None = None
+            for ks in token_keys:
+                cur = flat.get(ks[0], empty)
+                for i, t in enumerate(ks[1:], 1):
+                    if cur.size == 0:
+                        break
+                    nxt = flat.get(t, empty)
+                    # local<<32|p survives iff local<<32|(p+i) has token
+                    # i (positions fit 32 bits, so +i never crosses docs)
+                    cur = cur[np.isin(cur + np.int64(i), nxt,
+                                      assume_unique=False)]
+                docs_ph = np.unique(cur >> np.int64(32))
+                ok = docs_ph if ok is None else np.intersect1d(
+                    ok, docs_ph, assume_unique=True)
+                if ok.size == 0:
+                    break
+            out = (ok + base) if ok is not None and ok.size else empty
+            return pd.DataFrame({"doc_id": out})
 
-        ok = grouped.mapInPandas(verify, "doc_id BIGINT")
+        ok = pos_df.groupBy("range_id").applyInPandas(verify, "doc_id BIGINT")
         return cand.join(ok, "doc_id", "left_semi")
 
     def _verify_phrases(self, cand: DataFrame, phrases: list,

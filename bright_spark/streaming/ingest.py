@@ -68,20 +68,21 @@ class StreamingIngestor:
             import shutil
             shutil.rmtree(staged, ignore_errors=True)
         if dels is not None:
+            # tombstone keys resolve to doc_ids via a semi-join and flow
+            # into delete_where as a DataFrame — a CDC delete burst of
+            # millions of rows never funnels through the driver as a
+            # Python list (the _apply path checkpoints + counts it)
             extra = self.catalog.load_extra()
-            keys = (["doc_id"] if extra.get("id_col")
-                    else list(extra.get("key_cols") or ()))
             if extra.get("id_col"):
-                ids = [r[extra["id_col"]] for r in
-                       dels.select(extra["id_col"]).collect()]
+                ids_df = dels.select(
+                    F.col(extra["id_col"]).cast("bigint").alias("doc_id"))
             else:
+                keys = list(extra.get("key_cols") or ())
                 docs = self.catalog.docs(self.spark)
                 keyrows = dels.select(*keys).distinct()
-                ids = [r["doc_id"] for r in
-                       docs.join(keyrows, keys, "left_semi")
-                           .select("doc_id").collect()]
-            if ids:
-                mut.delete_ids(ids)
+                ids_df = (docs.join(keyrows, keys, "left_semi")
+                          .select("doc_id"))
+            mut.delete_where(ids_df)
 
     def run_available_now(self, source_dir: str, schema) -> None:
         """Catch-up sync: process every unseen file in ``source_dir``

@@ -130,44 +130,86 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
 def near_duplicates_simhash(df: DataFrame, max_hamming: int = 3,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
-    """SimHash near-dup pairs: candidates share at least one of four
-    8-bit signature bands (pigeonhole: hamming <= 3 over 32 bits forces
-    an identical band), verified by exact ``bit_count(xor)``. The band
-    equi-join is the 100 TB path — no cross product. Returns
+    """SimHash near-dup pairs over the 64-bit signature: candidates
+    share at least one of four 16-bit signature bands (pigeonhole:
+    hamming <= 3 over 64 bits forces an identical band), verified by
+    exact ``bit_count(xor)`` over both halves. The band equi-join is
+    the 100 TB path — no cross product, and 2^16 keys per band keep
+    bucket populations ~N/65536 (an 8-bit band's 256 keys would go
+    quadratic within buckets at billions of docs). Returns
     (id_a, id_b, hamming), id_a < id_b."""
     if max_hamming >= 4:
-        raise ValueError("4 bands of 8 bits guarantee recall only for "
+        raise ValueError("4 bands of 16 bits guarantee recall only for "
                          "max_hamming <= 3")
-    sig = simhash(df, id_col, text_col)
+    sig = simhash64(df, id_col, text_col)
     bands = []
     for b in range(4):
+        half = "simhash_lo" if b < 2 else "simhash_hi"
+        shift = 16 * (b % 2)
         bands.append(sig.select(
-            "doc_id", "simhash", F.lit(b).alias("band"),
-            F.expr(f"(simhash >> {8 * b}) & 255").alias("key")))
+            "doc_id", "simhash_lo", "simhash_hi", F.lit(b).alias("band"),
+            F.expr(f"({half} >> {shift}) & 65535").alias("key")))
     bdf = bands[0]
     for p in bands[1:]:
         bdf = bdf.unionByName(p)
-    a = bdf.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sig_a"),
-                   "band", "key")
-    b2 = bdf.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b"),
-                    "band", "key")
+    a = bdf.select(F.col("doc_id").alias("id_a"),
+                   F.col("simhash_lo").alias("lo_a"),
+                   F.col("simhash_hi").alias("hi_a"), "band", "key")
+    b2 = bdf.select(F.col("doc_id").alias("id_b"),
+                    F.col("simhash_lo").alias("lo_b"),
+                    F.col("simhash_hi").alias("hi_b"), "band", "key")
     pairs = (a.join(b2, ["band", "key"])
              .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "sig_a", "sig_b").distinct())
-    ham = F.expr("bit_count(sig_a ^ sig_b)")
+             .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
+             .distinct())
+    ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
     return (pairs.select("id_a", "id_b", ham.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming))
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc as two 32-bit halves (doc_id, simhash_hi,
+    simhash_lo): half-h bit j set iff sum over distinct terms of
+    tf * (+1 if bit j of the half's 32 md5 bits else -1) >= 0, with the
+    low half from md5 hex chars 1-8 and the high half from chars 9-16.
+
+    Two int64-safe halves (not one 64-bit value) keep every shift/xor
+    inside signed-int64 arithmetic, so the identical computation runs
+    on any ANSI SQL engine (oracle parity) — while the full 64 bits
+    support 4x16-bit LSH bands at web scale."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    h = tf.select(
+        "doc_id", "tf",
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h_lo"),
+        F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("bigint").alias("h_hi"))
+    bits = h.select(
+        "doc_id", "tf", "h_lo", "h_hi",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
+    c = bits.select(
+        "doc_id", "bit",
+        F.when(F.expr("shiftright(h_lo, bit) % 2") == 1,
+               F.col("tf")).otherwise(-F.col("tf")).alias("c_lo"),
+        F.when(F.expr("shiftright(h_hi, bit) % 2") == 1,
+               F.col("tf")).otherwise(-F.col("tf")).alias("c_hi"))
+    bit_sums = c.groupBy("doc_id", "bit").agg(
+        F.sum("c_lo").alias("s_lo"), F.sum("c_hi").alias("s_hi"))
+    one = F.expr("shiftleft(cast(1 as bigint), bit)")
+    return (bit_sums.groupBy("doc_id")
+            .agg(F.sum(F.when(F.col("s_lo") >= 0, one).otherwise(F.lit(0)))
+                 .alias("simhash_lo"),
+                 F.sum(F.when(F.col("s_hi") >= 0, one).otherwise(F.lit(0)))
+                 .alias("simhash_hi")))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """32-bit SimHash per doc: bit j set iff
     sum over distinct terms of tf * (+1 if bit j of
-    int(md5(term)[:8], 16) else -1) >= 0.
-
-    32 bits (not 64) keeps the hash inside signed-int64 arithmetic so
-    the identical computation runs on any ANSI SQL engine (oracle
-    parity)."""
+    int(md5(term)[:8], 16) else -1) >= 0 (the low half of
+    :func:`simhash64`; kept for compact signature use cases)."""
     toks = df.select(F.col(id_col).alias("doc_id"),
                      F.explode(tokens_col(text_col)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

@@ -168,3 +168,105 @@ def test_every_write_keeps_one_file_per_bucket(spark, repos_parquet,
             "repo": "zz/c", "path": f"src/c{i}.py", "commit": str(i) * 40,
             "lang": "python", "content": f"marker_{i} user config"}]))
     assert all(n == 1 for n in bucket_file_counts().values())
+
+
+def _tiny_rows(n, start=0):
+    return [{"repo": f"r{i % 7}", "path": f"p/{i}", "commit": f"c{i}",
+             "lang": "python",
+             "content": f"alpha tok{i % 97} beta common_{i % 13}"}
+            for i in range(start, start + n)]
+
+
+def test_bulk_upsert_matches_rebuild(spark, tmp_path_factory):
+    """A large first-sync-sized upsert (20k new keys) must equal a
+    rebuild, with id assignment running per-partition (dense ids above
+    the previous max; no global single-task window)."""
+    import pandas as pd
+    from bright_spark.index.catalog import IndexCatalog
+
+    base = tmp_path_factory.mktemp("bulk")
+    seed = pd.DataFrame(_tiny_rows(500))
+    idx = str(base / "idx")
+    build_index(spark, spark.createDataFrame(seed), idx,
+                IndexConfig(id="bulk"), n_build_partitions=4)
+    prev_max = IndexCatalog(idx).docs(spark).agg(
+        F.max("doc_id")).collect()[0][0]
+
+    news = pd.DataFrame(_tiny_rows(20_000, start=500))
+    IndexMutator(spark, idx).upsert(spark.createDataFrame(news))
+
+    # dense contiguous ids above the previous max (U6 offsets scheme)
+    got_ids = sorted(r["doc_id"] for r in IndexCatalog(idx).docs(spark)
+                     .filter(F.col("doc_id") > prev_max)
+                     .select("doc_id").collect())
+    assert got_ids == list(range(prev_max + 1, prev_max + 1 + 20_000))
+
+    # docs tables agree by natural key; FULL match sets agree by
+    # (natural key -> score) — ids differ between mutate and rebuild,
+    # and the synthetic corpus ties most scores, so top-k id order is
+    # not comparable here
+    rebuild = _rebuild(spark, pd.concat([seed, news], ignore_index=True), str(base))
+    ca, cb = IndexCatalog(idx), IndexCatalog(rebuild)
+    assert _docs_map(spark, ca) == _docs_map(spark, cb)
+    ea, eb = SearchEngine(spark, idx), SearchEngine(spark, rebuild)
+    assert ea.meta["n_docs"] == eb.meta["n_docs"]
+    assert ea.meta["avgdl"] == eb.meta["avgdl"]
+    ka = {r["doc_id"]: (r["repo"], r["path"], r["commit"])
+          for r in ca.docs(spark).collect()}
+    kb = {r["doc_id"]: (r["repo"], r["path"], r["commit"])
+          for r in cb.docs(spark).collect()}
+    for q in ["alpha", "tok13 AND beta", "common_5"]:
+        ma = {ka[r["doc_id"]]: round(r["score"], 9)
+              for r in ea.match_df(q).collect()}
+        mb = {kb[r["doc_id"]]: round(r["score"], 9)
+              for r in eb.match_df(q).collect()}
+        assert ma == mb, q
+
+
+def test_upsert_id_assignment_no_global_window(spark, tmp_path_factory):
+    """The new-key id path must not plan a single-partition window
+    (mutations used to rank all new keys in one task)."""
+    import pandas as pd
+
+    base = tmp_path_factory.mktemp("plan")
+    seed = pd.DataFrame(_tiny_rows(40))
+    idx = str(base / "idx")
+    build_index(spark, spark.createDataFrame(seed), idx,
+                IndexConfig(id="plan"), n_build_partitions=4)
+    mut = IndexMutator(spark, idx)
+    tok = mut._tokenize_updates(
+        spark.createDataFrame(pd.DataFrame(_tiny_rows(40, start=40))))
+    plan = tok._sc._jvm.PythonSQLUtils.explainString(
+        tok._jdf.queryExecution(), "formatted")
+    assert "Window" not in plan
+    # deterministic: a second evaluation assigns identical ids
+    a = sorted((r["path"], r["doc_id"]) for r in tok.collect())
+    b = sorted((r["path"], r["doc_id"]) for r in
+               mut._tokenize_updates(spark.createDataFrame(
+                   pd.DataFrame(_tiny_rows(40, start=40)))).collect())
+    assert a == b
+
+
+@pytest.mark.parametrize("store_positions", [False, True])
+def test_anti_join_fallback_matches_broadcast(spark, tmp_path_factory,
+                                              store_positions):
+    """broadcast_threshold=0 forces the entry-level anti-join drop;
+    both branches must produce identical indexes (upsert + delete)."""
+    import pandas as pd
+    pdf = make_repos(40, 13)
+    results = {}
+    for label, thresh in (("bc", None), ("aj", 0)):
+        base = tmp_path_factory.mktemp(f"fb_{label}_{store_positions}")
+        idx = str(base / "idx")
+        build_index(spark, spark.createDataFrame(pdf), idx,
+                    IndexConfig(id="fb", store_positions=store_positions),
+                    n_build_partitions=4)
+        mut = IndexMutator(spark, idx, broadcast_threshold=thresh)
+        row = pdf.iloc[7].to_dict()
+        row["content"] = "def fallback_marker(): return 1"
+        mut.upsert(spark.createDataFrame([row]))
+        mut.delete_by_query("lang:go")
+        results[label] = idx
+    _assert_equiv(spark, results["bc"], results["aj"],
+                  QUERIES + ["fallback_marker", '"def fallback_marker"'
+                             if store_positions else "fallback_marker"])

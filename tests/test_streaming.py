@@ -69,3 +69,35 @@ def test_streaming_incremental_sync(spark, tmp_path_factory):
     assert eng.search_df("streamedupdateddoc", k=5).count() == 0
     # untouched docs still searchable
     assert eng.search_df("user", k=5).count() > 0
+
+
+def test_streaming_bulk_tombstones_no_driver_ids(spark, tmp_path_factory):
+    """A tombstone burst far beyond driver-list comfort applies through
+    delete_where (DataFrame id flow) — and the batch apply must not
+    plan the delete ids as literals."""
+    base = tmp_path_factory.mktemp("bulkdel")
+    rows = [{"repo": f"r{i % 5}", "path": f"p/{i}", "commit": f"c{i}",
+             "lang": "python", "content": f"alpha tok{i % 31} beta"}
+            for i in range(3000)]
+    src = str(base / "src.parquet")
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(src)
+    idx = str(base / "idx")
+    build_index(spark, spark.read.parquet(src), idx, IndexConfig(id="bd"),
+                n_build_partitions=4)
+    ing = StreamingIngestor(spark, idx, checkpoint_dir=str(base / "ckpt"))
+
+    feed = str(base / "feed")
+    tombs = [{"repo": r["repo"], "path": r["path"], "commit": r["commit"],
+              "lang": None, "content": None, "_deleted": True}
+             for r in rows if int(r["path"].split("/")[1]) % 3 == 0]
+    assert len(tombs) == 1000
+    spark.createDataFrame(tombs, SCHEMA).write.mode("overwrite") \
+        .parquet(os.path.join(feed, "b1"))
+    ing.run_available_now(os.path.join(feed, "b1"), SCHEMA)
+
+    eng = SearchEngine(spark, idx)
+    assert eng.meta["n_docs"] == 2000
+    survivors = {r["path"] for r in
+                 eng.catalog.docs(spark).select("path").collect()}
+    assert survivors == {r["path"] for r in rows
+                         if int(r["path"].split("/")[1]) % 3 != 0}

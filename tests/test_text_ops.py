@@ -104,9 +104,10 @@ def test_lang_profile(tiny_docs):
 
 def test_near_duplicates_simhash_vs_bruteforce(spark, tiny_docs):
     """Band-join pairs == brute-force recompute of the same definition
-    (hamming(simhash) <= 3; 4x8-bit pigeonhole guarantees recall)."""
-    from bright_spark.text.dedup import near_duplicates_simhash, simhash
-    sigs = {r["doc_id"]: int(r["simhash"]) for r in simhash(tiny_docs).collect()}
+    (hamming(simhash64) <= 3; 4x16-bit pigeonhole guarantees recall)."""
+    from bright_spark.text.dedup import near_duplicates_simhash, simhash64
+    sigs = {r["doc_id"]: (int(r["simhash_hi"]) << 32) | int(r["simhash_lo"])
+            for r in simhash64(tiny_docs).collect()}
     expect = {}
     ids = sorted(sigs)
     for i, a in enumerate(ids):
@@ -118,6 +119,24 @@ def test_near_duplicates_simhash_vs_bruteforce(spark, tiny_docs):
            for r in near_duplicates_simhash(tiny_docs, max_hamming=3).collect()}
     assert got == expect
     assert expect  # tiny_docs has exact dup docs -> hamming 0 pairs
+
+
+def test_simhash64_halves_and_band_cardinality(spark, tiny_docs):
+    """The 64-bit signature's low half matches the 32-bit simhash, and
+    each pigeonhole band spans the full 16-bit key space (2^16 keys per
+    band is what keeps bucket populations ~N/65536 at web scale — an
+    8-bit band's 256 keys would go quadratic within buckets)."""
+    from bright_spark.text.dedup import simhash, simhash64
+    lo32 = {r["doc_id"]: int(r["simhash"]) for r in simhash(tiny_docs).collect()}
+    s64 = {r["doc_id"]: (int(r["simhash_lo"]), int(r["simhash_hi"]))
+           for r in simhash64(tiny_docs).collect()}
+    for d, (lo, hi) in s64.items():
+        assert lo == lo32[d]
+        assert 0 <= lo < 2**32 and 0 <= hi < 2**32
+        # band keys are exactly the four 16-bit slices of (hi << 32 | lo)
+        full = (hi << 32) | lo
+        for band in range(4):
+            assert ((full >> (16 * band)) & 0xFFFF) < 65536
 
 
 def test_near_duplicates_simhash_rejects_wide_radius(tiny_docs):

@@ -93,3 +93,56 @@ def test_near_duplicates_cosine_vs_numpy(emb_df):
     assert set(got) == set(expect)
     for k in got:
         assert got[k] == pytest.approx(expect[k], abs=1e-9)
+
+
+@pytest.fixture(scope="module")
+def ann_index(spark, emb_df, tmp_path_factory):
+    from bright_spark.vectors.similarity import build_ann_index
+    df, vecs = emb_df
+    idx = str(tmp_path_factory.mktemp("ann") / "idx")
+    build_ann_index(df, idx, dim=16, n_planes=6)
+    return idx, vecs
+
+
+def test_ann_indexed_matches_unindexed(spark, emb_df, ann_index):
+    """The persisted sig-partitioned index returns exactly what the
+    on-the-fly signature scan returns (same planes, same probes)."""
+    from bright_spark.vectors.similarity import ann_cosine_topk, ann_topk_indexed
+    df, vecs = emb_df
+    idx, _ = ann_index
+    for qid in (0, 3):
+        q = [float(x) for x in vecs[qid]]
+        a = [(r["vec_id"], round(r["cosine"], 9)) for r in
+             ann_topk_indexed(spark, idx, q, k=10, probe_hamming=2).collect()]
+        b = [(r["vec_id"], round(r["cosine"], 9)) for r in
+             ann_cosine_topk(df, q, k=10, n_planes=6,
+                             probe_hamming=2).collect()]
+        assert a == b
+
+
+def test_ann_indexed_prunes_partitions(spark, ann_index):
+    """The probe set must reach the scan as PartitionFilters on sig —
+    the point of persisting the index (no full-table signature
+    recompute per query)."""
+    from bright_spark.vectors.similarity import ann_topk_indexed
+    idx, vecs = ann_index
+    q = [float(x) for x in vecs[0]]
+    df = ann_topk_indexed(spark, idx, q, k=10, probe_hamming=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters")[1][:200]
+    assert "sig" in part
+
+
+def test_ann_indexed_recall(spark, emb_df, ann_index):
+    from bright_spark.vectors.similarity import ann_topk_indexed
+    _, vecs = emb_df
+    idx, _ = ann_index
+    hits = 0
+    for qid in range(5):
+        q = [float(x) for x in vecs[qid]]
+        exact = {i for i, _ in _numpy_topk(vecs, q, 10)}
+        approx = {r["vec_id"] for r in
+                  ann_topk_indexed(spark, idx, q, k=10,
+                                   probe_hamming=2).collect()}
+        hits += len(exact & approx)
+    assert hits / 50 >= 0.5
