@@ -236,11 +236,11 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate ANN — no SQL oracle (rows-only check); recall vs the
-    # brute-force baseline is asserted in tests/test_vectors.py.
-    # Queries run against the PERSISTED sig-partitioned index (built
-    # once per sf dir): probe sigs prune partition directories instead
-    # of recomputing signatures over the full table per query.
+    # LSH ANN over the PERSISTED sig-partitioned index (built once per
+    # sf dir): probe sigs prune partition directories instead of
+    # recomputing signatures over the full table per query. The LSH
+    # probe is deterministic (md5-derived planes), so the result IS
+    # SQL-expressible — the oracle recomputes the same bucket filter.
     from bright_spark.vectors.similarity import ann_topk_indexed, build_ann_index
     emb = _emb(spark, sf_dir)
     key = os.path.abspath(sf_dir)
@@ -249,9 +249,10 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(ann_dir, "_ann_meta.json")):
         build_ann_index(emb, ann_dir, dim=64, n_planes=6)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    top = ann_topk_indexed(spark, ann_dir, [float(x) for x in qvec], k=10,
+    top = ann_topk_indexed(spark, ann_dir, [float(x) for x in qvec], k=60,
                            probe_hamming=2)
-    return top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    return (top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -291,7 +292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         # --- similarity search
         "ann_cosine_topk": _q_ann_cosine,
-        "ann_lsh_topk": _q_ann_lsh,  # rows-only (approximate)
+        "ann_lsh_topk": _q_ann_lsh,  # deterministic LSH -> full oracle
         "ann_near_dup_cosine": _q_near_dup_cosine,
     }
 
@@ -364,6 +365,33 @@ def _adj_sql(t1: str, t2: str) -> str:
      FROM documents) b
     ON a.doc_id = b.doc_id AND b.p = a.p + 1
   WHERE a.term = '{t1}' AND b.term = '{t2}')"""
+
+
+def _ann_lsh_sql(n_planes: int, dim: int, probe_hamming: int, k: int) -> str:
+    """Oracle for the LSH-indexed ANN top-k: same md5-derived planes,
+    candidate set = signatures within ``probe_hamming`` bits of the
+    query vector's signature, exact cosine on candidates."""
+    from bright_spark.vectors.similarity import _hyperplane
+    sig_terms = []
+    for j in range(n_planes):
+        coeffs = ", ".join(repr(_hyperplane(j, d)) for d in range(dim))
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{coeffs}]) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)")
+    sig_expr = " + ".join(sig_terms)
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {sig_expr} AS sig FROM v),
+q AS (SELECT e AS qv, sig AS qsig FROM sig WHERE vec_id = 0),
+cand AS (SELECT s.vec_id, s.e, q.qv FROM sig s, q
+         WHERE bit_count(xor(s.sig, q.qsig)) <= {probe_hamming}),
+c AS (SELECT vec_id,
+             list_dot_product(e, qv)
+               / (sqrt(list_dot_product(e, e))
+                  * sqrt(list_dot_product(qv, qv))) AS cos
+      FROM cand)
+SELECT vec_id, round(cos, 4) AS cosine FROM c
+ORDER BY round(cos, 4) DESC, vec_id LIMIT {k}"""
 
 
 def _lang_marker_values() -> str:
@@ -599,6 +627,8 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p USING (doc_id)""",
         "ann_near_dup_cosine": _near_dup_cosine_sql(threshold=0.3, n_planes=6,
                                                     dim=64),
+        "ann_lsh_topk": _ann_lsh_sql(n_planes=6, dim=64, probe_hamming=2,
+                                     k=10),
         "ann_cosine_topk": """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 c AS (SELECT vec_id,

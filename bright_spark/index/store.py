@@ -1,0 +1,162 @@
+"""Multi-index store lifecycle — the `configs.json` registry that lets
+one data directory hold many indexes and re-open them all at boot
+(reference store/store.go:33-60 Initialize, 78-124 CreateIndex,
+142-153 GetIndex, 156-183 DeleteIndex, 185-199 UpdateIndex,
+201-224 ListIndexes, 226-273 loadConfigs).
+
+Differences from the reference forced by the engines' natures:
+- Bleve creates an empty index at CreateIndex time; a Spark index
+  materializes on the first document batch. ``create_index`` therefore
+  only registers the config (and adopts an existing valid index dir,
+  like store.go:96-101); ``add_documents`` builds on first use and
+  upserts afterwards (documents.go:181-198 semantics).
+- Searching a registered-but-never-written index returns zero hits
+  (what an empty Bleve index does) instead of erroring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import shutil
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bright_spark.index.catalog import IndexCatalog
+from bright_spark.models import IndexConfig, SearchRequest, SearchResponse
+
+
+class IndexStore:
+    """One data dir holding ``<data_dir>/<index_id>`` index dirs plus a
+    ``configs.json`` registry; the constructor is the boot-time
+    loadConfigs analog (re-registers every persisted index)."""
+
+    def __init__(self, spark: SparkSession, data_dir: str):
+        self.spark = spark
+        self.data_dir = data_dir
+        self.config_file = os.path.join(data_dir, "configs.json")
+        os.makedirs(data_dir, exist_ok=True)
+        self.configs: dict[str, IndexConfig] = {}
+        self._engines: dict[str, object] = {}
+        self._load_configs()
+
+    # ------------------------------------------------------- registry
+
+    def _load_configs(self) -> None:
+        if not os.path.exists(self.config_file):
+            return
+        try:
+            with open(self.config_file) as f:
+                raw = json.load(f)
+        except (OSError, ValueError):
+            return  # no configs to load (store.go:231-238)
+        for idx_id, c in raw.items():
+            c["exclude_attributes"] = tuple(c.get("exclude_attributes") or ())
+            self.configs[idx_id] = IndexConfig(**c)
+
+    def _save_configs(self) -> None:
+        with open(self.config_file, "w") as f:
+            json.dump({i: asdict(c) for i, c in self.configs.items()},
+                      f, indent=2, default=list)
+
+    def _index_dir(self, idx_id: str) -> str:
+        return os.path.join(self.data_dir, idx_id)
+
+    def is_built(self, idx_id: str) -> bool:
+        return os.path.exists(
+            os.path.join(self._index_dir(idx_id), "meta.json"))
+
+    # ------------------------------------------------------ lifecycle
+
+    def create_index(self, config: IndexConfig) -> None:
+        """Register a new index (store.go:78-124). An existing valid
+        index dir under this id is adopted as-is; an invalid one is
+        removed (store.go:96-106)."""
+        if config.id in self.configs:
+            raise ValueError(f"index {config.id} already exists")
+        path = self._index_dir(config.id)
+        if os.path.exists(path) and not os.path.exists(
+                os.path.join(path, "config.json")):
+            shutil.rmtree(path, ignore_errors=True)
+        self.configs[config.id] = config
+        self._save_configs()
+
+    def get_index(self, idx_id: str) -> tuple[IndexCatalog, IndexConfig]:
+        if idx_id not in self.configs:
+            raise KeyError(f"index {idx_id} not found")
+        return IndexCatalog(self._index_dir(idx_id)), self.configs[idx_id]
+
+    def update_index(self, idx_id: str, config: IndexConfig) -> None:
+        """Replace the registered config; the id cannot change
+        (store.go:185-199)."""
+        if idx_id not in self.configs:
+            raise KeyError(f"index {idx_id} not found")
+        self.configs[idx_id] = dataclasses.replace(config, id=idx_id)
+        self._save_configs()
+
+    def delete_index(self, idx_id: str) -> None:
+        if idx_id not in self.configs:
+            raise KeyError(f"index {idx_id} not found")
+        shutil.rmtree(self._index_dir(idx_id), ignore_errors=True)
+        self.configs.pop(idx_id)
+        self._engines.pop(idx_id, None)
+        self._save_configs()
+
+    def list_indexes(self, limit: int = 20, offset: int = 0) -> list[IndexConfig]:
+        """Registry slice (store.go:201-224; deterministic id order
+        where the reference has Go map order)."""
+        all_cfgs = [self.configs[i] for i in sorted(self.configs)]
+        return all_cfgs[offset:offset + limit]
+
+    # ------------------------------------------------------ documents
+
+    def add_documents(self, idx_id: str, docs: DataFrame, **build_kwargs) -> None:
+        """First batch builds the index; later batches upsert
+        (documents.go:181-198 -> store.go:392-426). ``primary_key``
+        from the config wins; otherwise U5 auto-detection."""
+        if idx_id not in self.configs:
+            raise KeyError(f"index {idx_id} not found")
+        cfg = self.configs[idx_id]
+        if self.is_built(idx_id):
+            from bright_spark.index.mutations import IndexMutator
+            IndexMutator(self.spark, self._index_dir(idx_id)).upsert(docs)
+            return
+        from bright_spark.index.builder import IndexBuilder, detect_primary_key
+        if "id_col" not in build_kwargs and "key_cols" not in build_kwargs:
+            pk = cfg.primary_key or detect_primary_key(docs)
+            if dict(docs.dtypes).get(pk) in ("tinyint", "smallint", "int",
+                                             "bigint"):
+                build_kwargs["id_col"] = pk
+            else:
+                build_kwargs["id_col"] = None
+                build_kwargs["key_cols"] = (pk,)
+        build_kwargs.setdefault("lang_col", None)
+        IndexBuilder(self.spark, cfg, self._index_dir(idx_id),
+                     **build_kwargs).build(docs)
+        self._engines.pop(idx_id, None)
+
+    def engine(self, idx_id: str):
+        """SearchEngine for a built index (cached per store)."""
+        if idx_id not in self.configs:
+            raise KeyError(f"index {idx_id} not found")
+        if not self.is_built(idx_id):
+            return None
+        eng = self._engines.get(idx_id)
+        if eng is None:
+            from bright_spark.query.engine import SearchEngine
+            eng = SearchEngine(self.spark, self._index_dir(idx_id))
+            self._engines[idx_id] = eng
+        return eng
+
+    def search(self, idx_id: str, request: SearchRequest | str) -> SearchResponse:
+        """Search; a registered-but-empty index yields zero hits (what
+        an empty Bleve index returns)."""
+        eng = self.engine(idx_id)
+        if eng is None:
+            req = (SearchRequest(q=request) if isinstance(request, str)
+                   else request)
+            req.validate()
+            return SearchResponse(hits=[], total_hits=0, limit=req.limit)
+        return eng.search(request)

@@ -1,0 +1,71 @@
+"""Multi-index store lifecycle (store/store.go:33-282): configs.json
+registry, boot-time reopen, create/get/update/delete/list, first-batch
+build + later-batch upsert, empty-index search semantics."""
+
+import pandas as pd
+import pytest
+
+from bright_spark.index.store import IndexStore
+from bright_spark.models import IndexConfig, SearchRequest
+
+
+def _rows(n, start=0, tag="alpha"):
+    return pd.DataFrame([
+        {"rid": i, "text": f"{tag} beta doc{i}", "kind": f"k{i % 3}"}
+        for i in range(start, start + n)])
+
+
+@pytest.fixture()
+def store(spark, tmp_path_factory):
+    return IndexStore(spark, str(tmp_path_factory.mktemp("store") / "data"))
+
+
+def test_create_list_get_delete(store, spark):
+    store.create_index(IndexConfig(id="a", tokenizer="simple"))
+    store.create_index(IndexConfig(id="b", tokenizer="simple"))
+    assert [c.id for c in store.list_indexes()] == ["a", "b"]
+    assert [c.id for c in store.list_indexes(limit=1, offset=1)] == ["b"]
+    cat, cfg = store.get_index("a")
+    assert cfg.id == "a"
+    with pytest.raises(ValueError):
+        store.create_index(IndexConfig(id="a"))
+    store.delete_index("b")
+    assert [c.id for c in store.list_indexes()] == ["a"]
+    with pytest.raises(KeyError):
+        store.get_index("b")
+
+
+def test_build_then_upsert_and_reopen(store, spark):
+    store.create_index(IndexConfig(id="docs", tokenizer="simple"))
+    # first batch builds (PK auto-detected: rid)
+    store.add_documents("docs", spark.createDataFrame(_rows(30)),
+                        content_col="text", attr_cols=("kind",),
+                        n_build_partitions=2)
+    resp = store.search("docs", SearchRequest(q="alpha", limit=5))
+    assert resp.total_hits == 30
+    # second batch upserts (10 new + 1 replacement)
+    batch2 = pd.concat([_rows(10, start=30, tag="gamma"),
+                        _rows(1, start=0, tag="gamma")], ignore_index=True)
+    store.add_documents("docs", spark.createDataFrame(batch2))
+    resp = store.search("docs", SearchRequest(q="gamma", limit=50))
+    assert resp.total_hits == 11
+    assert store.search("docs", "alpha").total_hits == 29
+
+    # boot-time reopen: a NEW store over the same data dir sees the
+    # registry and serves the same index (loadConfigs analog)
+    reopened = IndexStore(spark, store.data_dir)
+    assert [c.id for c in reopened.list_indexes()] == ["docs"]
+    assert reopened.search("docs", "gamma").total_hits == 11
+
+
+def test_empty_index_searches_zero_hits(store):
+    store.create_index(IndexConfig(id="empty", tokenizer="simple"))
+    resp = store.search("empty", SearchRequest(q="anything"))
+    assert resp.hits == [] and resp.total_hits == 0
+
+
+def test_update_index_pins_id(store):
+    store.create_index(IndexConfig(id="u", tokenizer="simple"))
+    store.update_index("u", IndexConfig(id="renamed", primary_key="rid"))
+    _, cfg = store.get_index("u")
+    assert cfg.id == "u" and cfg.primary_key == "rid"
