@@ -72,6 +72,26 @@ def main() -> None:
         timed("q_filter", lambda: eng.search_df("lang:en spark", k=10).collect())
         timed("q_fullrequest", lambda: eng.search("spark join"))
 
+        # round-2 surfaces: per-field postings namespace (Q5) +
+        # positional index, measured on their own build so the r1
+        # build_index number stays comparable
+        idx_dir2 = idx_dir + "_fielded"
+        timed("build_index_fielded_pos", lambda: build_index(
+            spark, docs, idx_dir2,
+            IndexConfig(id="bench_f", tokenizer="simple", n_term_buckets=8,
+                        store_positions=True),
+            content_col="text", id_col="doc_id", lang_col="lang",
+            attr_cols=("source", "n_chars"), text_cols=("source",),
+            n_build_partitions=int(cpus)))
+        eng2 = SearchEngine(spark, idx_dir2)
+        eng2.search_df("spark", k=10).collect()  # warm
+        timed("q_field_scoped",
+              lambda: eng2.search_df("source:src3 spark", k=10).collect())
+        timed("q_phrase_pos",
+              lambda: eng2.search_df('"the fast"', k=10).collect())
+        timed("q_phrase_not",
+              lambda: eng2.search_df('spark -"the fast"', k=10).collect())
+
         timed("dedup_exact", lambda: exact_duplicates(docs).count())
         timed("dedup_minhash_lsh",
               lambda: near_duplicates_minhash(docs, threshold=0.5).count())
@@ -80,16 +100,32 @@ def main() -> None:
         from bright_spark.text.quality import language_id
         timed("text_lang_id", lambda: language_id(docs).count())
 
+        from bright_spark.text.dedup import near_duplicates_simhash
+        timed("dedup_simhash64_pairs",
+              lambda: near_duplicates_simhash(docs, max_hamming=3).count())
+
         qvec = [float(x) for x in
                 emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
         timed("ann_brute", lambda: cosine_topk(emb, qvec, k=10).collect())
         timed("ann_lsh", lambda: ann_cosine_topk(emb, qvec, k=10, n_planes=6,
                                                  probe_hamming=2).collect())
-        from bright_spark.vectors.similarity import near_duplicates_cosine
+        from bright_spark.vectors.similarity import (
+            ann_topk_indexed,
+            build_ann_index,
+            near_duplicates_cosine,
+        )
+        ann_dir = idx_dir + "_ann"
+        timed("ann_index_build",
+              lambda: build_ann_index(emb, ann_dir, dim=64, n_planes=6))
+        timed("ann_lsh_indexed",
+              lambda: ann_topk_indexed(spark, ann_dir, qvec, k=10,
+                                       probe_hamming=2).collect())
         timed("ann_near_dup", lambda: near_duplicates_cosine(
             emb, threshold=0.3, n_planes=6, dim=64).count())
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(idx_dir + "_fielded", ignore_errors=True)
+        shutil.rmtree(idx_dir + "_ann", ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

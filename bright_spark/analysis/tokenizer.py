@@ -259,6 +259,31 @@ def count_terms_batch(
     return term_arrs, tf_arrs, dls, pos_arrs
 
 
+_SUBTOKEN_SQL_RE = "[A-Z]+(?![a-z])|[A-Z][a-z]+|[a-z]+|[0-9]+"
+
+
+def doc_len_sql(col: str, mode: str) -> str:
+    """Catalyst SQL expression computing EXACTLY this module's doc_len
+    (emitted-term count) for ``filter_stopwords=False`` — the common
+    build config. Lets the docs stage stay entirely JVM-side (no token
+    arrays, no Arrow round trip just to count emissions); exact parity
+    with :func:`count_terms` is pytest-asserted per mode. Wrap in
+    ``coalesce(..., 0)`` for null text."""
+    if mode == "simple":
+        # Python str.split() splits on Unicode whitespace -> (?U)\s
+        return (f"size(filter(split(lower({col}), '(?U)\\\\s+'), "
+                f"x -> x != '' AND length(x) <= {MAX_TOKEN_LEN}))")
+    if mode != "code":
+        raise ValueError(f"unknown tokenizer mode: {mode!r}")
+    # per base token: 1 emission if it has <= 1 sub-token, else
+    # n_sub + 1 (the sub-tokens plus the whole lowercased identifier) —
+    # _expand_identifier semantics
+    return ("aggregate(transform(regexp_extract_all(%s, '[A-Za-z0-9_]+', 0), "
+            "t -> size(regexp_extract_all(substring(t, 1, %d), '%s', 0))), "
+            "0, (acc, n) -> acc + IF(n <= 1, 1, n + 1))"
+            % (col, MAX_TOKEN_LEN, _SUBTOKEN_SQL_RE))
+
+
 def analyze_query_term(term: str, mode: str = "code") -> list[str]:
     """Analyze one query token the same way documents are analyzed
     (Bleve analyzes query strings with the field analyzer). A

@@ -431,7 +431,15 @@ class IndexBuilder:
 
     def build_docs(self, source: DataFrame) -> None:
         """Docs table: attributes + content + content_sha256 + doc_len.
-        Token arrays are deliberately NOT staged (see module doc)."""
+        Token arrays are deliberately NOT staged (see module doc).
+
+        Fast path (filter_stopwords=False, the default): doc_len is a
+        Catalyst expression (tokenizer.doc_len_sql, parity-tested
+        against count_terms), so the stage tokenizes NOTHING in Python —
+        the only Python work is the id-assignment kernel on the
+        natural-key path, and the id_col path is 100% JVM. The stopword
+        path keeps the Arrow tokenize kernel (per-lang sets)."""
+        from bright_spark.analysis.tokenizer import doc_len_sql
         cfg = self.config
         cols = list(dict.fromkeys(
             ([self.id_col] if self.id_col else list(self.key_cols))
@@ -441,15 +449,33 @@ class IndexBuilder:
         ))
         keyed, id_offsets = self._keyed(source, cols)
         keyed = keyed.withColumn("content_sha256", F.sha2(F.col(self.content_col), 256))
-        passthrough = [c for c in keyed.columns]
-        in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in keyed.schema.fields)
-        id_part = "" if self.id_col else "doc_id BIGINT, "
-        out_schema = f"{in_schema}, {id_part}doc_len INT"
-        tokenized = keyed.mapInPandas(
-            _make_tokenize_fn(self.content_col, self.lang_col, cfg.tokenizer,
-                              self.filter_stopwords, passthrough, id_offsets),
-            schema=out_schema,
-        )
+        if not self.filter_stopwords:
+            if self.id_col:
+                tokenized = keyed
+            else:
+                p = self.n_build_partitions
+                with_pid = keyed.withColumn(
+                    "_pid", F.pmod(F.hash(*self.key_cols), F.lit(p)))
+                schema = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in keyed.schema.fields) + ", doc_id BIGINT"
+                tokenized = with_pid.mapInPandas(
+                    _make_assign_ids_fn(id_offsets or {}), schema=schema)
+            tokenized = tokenized.withColumn(
+                "doc_len",
+                F.coalesce(F.expr(doc_len_sql(self.content_col, cfg.tokenizer)),
+                           F.lit(0)).cast("int"))
+        else:
+            passthrough = [c for c in keyed.columns]
+            in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                                  for f in keyed.schema.fields)
+            id_part = "" if self.id_col else "doc_id BIGINT, "
+            out_schema = f"{in_schema}, {id_part}doc_len INT"
+            tokenized = keyed.mapInPandas(
+                _make_tokenize_fn(self.content_col, self.lang_col, cfg.tokenizer,
+                                  self.filter_stopwords, passthrough, id_offsets),
+                schema=out_schema,
+            )
         if not cfg.store_content:
             tokenized = tokenized.drop(self.content_col)
         if self.id_col:

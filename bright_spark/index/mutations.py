@@ -15,8 +15,12 @@ Reference semantics:
 Physical strategy (the Iceberg MERGE INTO analog on plain parquet):
 only the term-hash **buckets touched by changed terms are rewritten**;
 every other bucket directory is untouched. Changed doc ids are removed
-from decoded posting runs, new entries merged in, blocks re-encoded —
-all Arrow-batched. Corpus stats (N, avgdl) are recomputed; block
+from decoded posting runs (via one numpy broadcast up to
+``broadcast_threshold`` ids, an entry-level anti-join above it), new
+entries merged in per analyzed field, blocks re-encoded — all
+Arrow-batched. New natural keys get dense ids above the current max
+via the builder's per-partition offset scheme (no global window).
+Corpus stats (N, per-field avgdl) are recomputed; block
 (max_tf, min_dl) skip metadata stays sound because bounds are
 evaluated against current stats at query time (see codec.py).
 
@@ -205,11 +209,21 @@ class IndexMutator:
                        .withColumn("doc_id", F.col("doc_id").cast("bigint")))
         src = updates.withColumn(
             "content_sha256", F.sha2(F.col(b.content_col), 256))
-        tokenized = src.mapInPandas(
-            _make_tokenize_fn(b.content_col, b.lang_col, self.config.tokenizer,
-                              b.filter_stopwords, list(src.columns)),
-            schema=", ".join(f"{f.name} {f.dataType.simpleString()}"
-                             for f in src.schema.fields) + ", doc_len INT")
+        if not b.filter_stopwords:
+            # JVM doc_len (exact tokenizer parity — builder fast path)
+            from bright_spark.analysis.tokenizer import doc_len_sql
+            tokenized = src.withColumn(
+                "doc_len",
+                F.coalesce(F.expr(doc_len_sql(b.content_col,
+                                              self.config.tokenizer)),
+                           F.lit(0)).cast("int"))
+        else:
+            tokenized = src.mapInPandas(
+                _make_tokenize_fn(b.content_col, b.lang_col,
+                                  self.config.tokenizer,
+                                  b.filter_stopwords, list(src.columns)),
+                schema=", ".join(f"{f.name} {f.dataType.simpleString()}"
+                                 for f in src.schema.fields) + ", doc_len INT")
         if self.extra.get("id_col"):
             return tokenized
         docs = self.catalog.docs(self.spark).select(*keys, "doc_id")

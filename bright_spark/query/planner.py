@@ -2,20 +2,26 @@
 
 Maps the parsed clause tree onto the index's physical structures:
 
-- text clauses (field None / ``content``) -> analyzed scoring terms;
-  a clause's analyzed tokens form a *group* — a must group is
-  satisfied by any of its tokens (this is how wildcard/fuzzy
-  expansions stay conjunction-correct: ``+pars* config`` requires
-  some ``pars…`` term, not all of them)
+- text clauses route to a postings NAMESPACE (Q5): field None /
+  content aliases -> the default content field; a field in the
+  index's ``text_cols`` -> that field's own postings + BM25 stats
+  (Bleve default-mapping semantics, store/store.go:126). A clause's
+  analyzed tokens form a *group* — a must group is satisfied by any
+  of its tokens (this is how wildcard/fuzzy expansions stay
+  conjunction-correct: ``+pars* config`` requires some ``pars…``
+  term, not all of them)
 - wildcard (Q9) / fuzzy (Q10) clauses -> term-dictionary expansion
-  against ``term_stats`` (partition-pruned is impossible for infix
-  patterns, but parquet min/max on term-sorted files prunes prefix
-  patterns; expansion capped deterministically)
+  against ``term_stats`` WITHIN the clause's field namespace
+  (parquet min/max on term-sorted files prunes prefix patterns;
+  expansion capped deterministically)
 - attribute clauses (``lang:python``, ``doc_len:>200``, Q11/Q12) ->
-  pushed-down predicates on the ``docs`` table
+  pushed-down predicates on the ``docs`` table; ranges stay attribute
+  predicates on any stored column
 - phrases (Q4) -> must-group of tokens + positional post-verification
-  against stored content (positions are not stored in v1 blocks; the
-  verify step re-tokenizes only the candidate docs)
+  (from the positional index when stored, else re-tokenizing only the
+  candidate docs' own field text); NOT-phrases (Q8) verify the same
+  way and anti-join
+- unknown fields match nothing (Bleve missing-field behavior)
 """
 
 from __future__ import annotations

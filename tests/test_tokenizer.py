@@ -57,3 +57,32 @@ def test_empty_and_none():
     assert tokenize("") == []
     assert tokenize(None) == []
     assert tokenize("   \n\t  ") == []
+
+
+def test_doc_len_sql_matches_python(spark):
+    """The JVM doc_len expression (builder fast path) must equal
+    count_terms() doc_len exactly, per mode, across edge cases and the
+    fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from bright_spark.analysis.tokenizer import count_terms, doc_len_sql
+    from bright_spark.fixtures import make_repos
+
+    tricky = [
+        "", None, "   ", "HTTPServer2 getUserId parse_config_file",
+        "x" * 100 + " ok", "ÄÖÜ über naïve", "snake_case camelCaseId ALLCAPS",
+        "a b\tc\nd", "mixed123Numbers456", "_leading __dunder__ trailing_",
+        "1a2B3c", "A", "aB", "Ab", "AB", "ABc", "tab\there",
+        "x nbsp", "emoji 🙂 mixed",
+    ]
+    rows = ([{"i": i, "t": t} for i, t in enumerate(tricky)]
+            + [{"i": 100 + i, "t": c}
+               for i, c in enumerate(make_repos(60, 9)["content"])])
+    df = spark.createDataFrame(rows, "i INT, t STRING")
+    for mode in ("code", "simple"):
+        got = {r["i"]: r["dl"] for r in df.select(
+            "i", F.coalesce(F.expr(doc_len_sql("t", mode)),
+                            F.lit(0)).alias("dl")).collect()}
+        for r in rows:
+            assert got[r["i"]] == count_terms(r["t"] or "", mode)[1], (
+                mode, r["i"], (r["t"] or "")[:40])
