@@ -46,6 +46,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)  # tok_control workers import bright_spark
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 80_000
 TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 CORPUS = f"/tmp/bright_scaling_corpus_{N_DOCS}"
