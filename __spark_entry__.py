@@ -171,6 +171,29 @@ def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # connected components over the MinHash near-dup pair graph ->
+    # canonical cluster_id per doc (keep one per cluster to dedup)
+    from bright_spark.text.dedup import duplicate_clusters, near_duplicates_minhash
+    docs = _docs(spark, sf_dir)
+    pairs = near_duplicates_minhash(docs, threshold=0.5)
+    return duplicate_clusters(docs, pairs).select(
+        "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
+
+
+def _q_text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.sampling import deterministic_split
+    return deterministic_split(_docs(spark, sf_dir), _SPLIT_WEIGHTS)
+
+
+def _q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.sampling import sample_by_hash
+    return sample_by_hash(_docs(spark, sf_dir), rate=0.25).select("doc_id")
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.quality import token_stats
     s = token_stats(_docs(spark, sf_dir))
@@ -285,6 +308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+        "text_split": _q_text_split,
+        "text_sample": _q_text_sample,
         "text_token_stats": _q_text_token_stats,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
@@ -331,6 +357,36 @@ SELECT s.doc_id, round(s.s, 6) AS score
 FROM scores s {final_join}
 ORDER BY round(s.s, 6) DESC, s.doc_id
 LIMIT {k}"""
+
+
+_MINHASH_PAIR_CTES = """t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM t, unnest(range(1, len(t) - 1)) AS r(i)),
+sig AS (SELECT doc_id,
+  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
+  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
+  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
+  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
+  FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig UNION ALL
+  SELECT doc_id, 1, h2 || '|' || h3 FROM sig UNION ALL
+  SELECT doc_id, 2, h4 || '|' || h5 FROM sig UNION ALL
+  SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS i
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b AND a.shingle = b.shingle
+          GROUP BY 1, 2),
+ver AS (SELECT i.id_a, i.id_b,
+               i.i::DOUBLE / (ca.n + cb.n - i.i) AS jac
+        FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a
+                     JOIN cnt cb ON cb.doc_id = i.id_b
+        WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.5)"""
 
 
 _SIMHASH64_CTE = """
@@ -511,34 +567,16 @@ g AS (SELECT content_hash, min(doc_id) AS canonical_id,
       FROM h GROUP BY 1)
 SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size
 FROM h JOIN g USING (content_hash)""",
-        "dedup_minhash_lsh": """
-WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
-sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
-       FROM t, unnest(range(1, len(t) - 1)) AS r(i)),
-sig AS (SELECT doc_id,
-  min(md5('0|' || shingle)) AS h0, min(md5('1|' || shingle)) AS h1,
-  min(md5('2|' || shingle)) AS h2, min(md5('3|' || shingle)) AS h3,
-  min(md5('4|' || shingle)) AS h4, min(md5('5|' || shingle)) AS h5,
-  min(md5('6|' || shingle)) AS h6, min(md5('7|' || shingle)) AS h7
-  FROM sh GROUP BY doc_id),
-bands AS (
-  SELECT doc_id, 0 AS band, h0 || '|' || h1 AS key FROM sig UNION ALL
-  SELECT doc_id, 1, h2 || '|' || h3 FROM sig UNION ALL
-  SELECT doc_id, 2, h4 || '|' || h5 FROM sig UNION ALL
-  SELECT doc_id, 3, h6 || '|' || h7 FROM sig),
-pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b
-          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
-inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS i
-          FROM pairs p
-          JOIN sh a ON a.doc_id = p.id_a
-          JOIN sh b ON b.doc_id = p.id_b AND a.shingle = b.shingle
-          GROUP BY 1, 2)
-SELECT i.id_a, i.id_b,
-       round(i.i::DOUBLE / (ca.n + cb.n - i.i), 6) AS jaccard
-FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a JOIN cnt cb ON cb.doc_id = i.id_b
-WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.5""",
+        "dedup_minhash_lsh": f"""WITH {_MINHASH_PAIR_CTES}
+SELECT id_a, id_b, round(jac, 6) AS jaccard FROM ver""",
+        "dedup_clusters": f"""WITH RECURSIVE {_MINHASH_PAIR_CTES},
+e AS (SELECT id_a AS src, id_b AS dst FROM ver
+      UNION SELECT id_b, id_a FROM ver),
+r(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id)
+SELECT id AS doc_id, min(lbl) AS cluster_id FROM r GROUP BY id""",
         "dedup_simhash": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents),
@@ -568,6 +606,15 @@ SELECT id_a, id_b,
        (bit_count(xor(la, lb)) + bit_count(xor(ha, hb)))::BIGINT AS hamming
 FROM pairs
 WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""",
+        "text_split": ("SELECT doc_id, "
+                       + __import__("bright_spark.text.sampling",
+                                    fromlist=["split_sql"]).split_sql(
+                             "doc_id", _SPLIT_WEIGHTS)
+                       + " AS split FROM documents"),
+        "text_sample": """
+SELECT doc_id FROM documents
+WHERE (('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % 1000000) < 250000""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
 e AS (SELECT doc_id, unnest(t) AS term FROM t)

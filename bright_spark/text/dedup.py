@@ -127,6 +127,46 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= threshold))
 
 
+def duplicate_clusters(df: DataFrame, pairs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Canonical assignment over a near-dup pair graph: every doc gets
+    ``cluster_id`` = the minimum doc_id reachable through pairs
+    (connected components); singletons label themselves. Keep one doc
+    per cluster_id to dedup.
+
+    Implementation: iterative min-label propagation — per round one
+    join + groupBy (label(v) := min(label(v), min of neighbors'
+    labels)), stopping when a round changes nothing. Rounds needed =
+    graph diameter; near-dup components are dense and tiny, so this
+    converges in 2-3 rounds at any corpus size (the classic
+    large-star/small-star optimization only matters for long-chain
+    graphs). Each round's labels are localCheckpointed: iterative
+    lineage would otherwise grow a plan of depth O(rounds)."""
+    nodes = df.select(F.col(id_col).alias("id")).distinct()
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst")))
+             .distinct())
+    labels = nodes.select("id", F.col("id").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(30):  # diameter cap; converges long before
+        neigh = (edges.join(labels.withColumnRenamed("id", "src"), "src")
+                 .groupBy("dst").agg(F.min("lbl").alias("nlbl"))
+                 .withColumnRenamed("dst", "id"))
+        new_labels = (labels.join(neigh, "id", "left")
+                      .select("id", F.least("lbl", F.coalesce("nlbl", "lbl"))
+                              .alias("lbl")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
 def near_duplicates_simhash(df: DataFrame, max_hamming: int = 3,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:

@@ -144,3 +144,81 @@ def test_near_duplicates_simhash_rejects_wide_radius(tiny_docs):
     from bright_spark.text.dedup import near_duplicates_simhash
     with _pytest.raises(ValueError):
         near_duplicates_simhash(tiny_docs, max_hamming=4)
+
+
+def test_duplicate_clusters_vs_bruteforce(spark, tiny_docs):
+    """Label-propagation components == brute-force union-find over the
+    same pair graph; singletons label themselves."""
+    from bright_spark.text.dedup import duplicate_clusters, near_duplicates_simhash
+    pairs = near_duplicates_simhash(tiny_docs, max_hamming=3)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(tiny_docs, pairs).collect()}
+    ids = [r["doc_id"] for r in tiny_docs.select("doc_id").collect()]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        a, b = find(r["id_a"]), find(r["id_b"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    expect = {}
+    roots: dict[int, int] = {}
+    for i in sorted(ids):
+        roots.setdefault(find(i), i)
+        expect[i] = roots[find(i)]
+    assert got == expect
+    assert len(set(got.values())) < len(ids)  # dup docs actually merged
+
+
+def test_duplicate_clusters_chain(spark):
+    """A long chain (worst-case diameter) still converges: a-b, b-c,
+    c-d ... all collapse to the minimum id."""
+    import pandas as pd
+
+    from bright_spark.text.dedup import duplicate_clusters
+    n = 12
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(n), "text": ["x"] * n}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)}))
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(docs, pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_deterministic_split_and_sample(spark):
+    """Split assignment is reproducible, proportional, stable under
+    corpus growth; hash sampling matches its own reapplication."""
+    import pandas as pd
+
+    from bright_spark.text.sampling import deterministic_split, sample_by_hash
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4000), "text": ["x"] * 4000}))
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs, w).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in deterministic_split(docs, w).collect()}
+    assert a == b
+    from collections import Counter
+    c = Counter(a.values())
+    assert abs(c["train"] / 4000 - 0.8) < 0.03
+    assert abs(c["val"] / 4000 - 0.1) < 0.02
+    # growth stability: the first 4000 docs keep their assignment
+    bigger = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(8000), "text": ["x"] * 8000}))
+    big = {r["doc_id"]: r["split"]
+           for r in deterministic_split(bigger, w).collect()}
+    assert all(big[i] == a[i] for i in range(4000))
+
+    s1 = {r["doc_id"] for r in sample_by_hash(docs, 0.2).collect()}
+    s2 = {r["doc_id"] for r in sample_by_hash(docs, 0.2).collect()}
+    assert s1 == s2 and abs(len(s1) / 4000 - 0.2) < 0.03
+    # monotone: a larger rate strictly contains a smaller one
+    s3 = {r["doc_id"] for r in sample_by_hash(docs, 0.5).collect()}
+    assert s1 <= s3
