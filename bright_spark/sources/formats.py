@@ -15,12 +15,12 @@ Spark already skips blank lines and parallelizes the scan — at 100 TB
 the file listing + splits come from the data source framework, nothing
 driver-side). Malformed-line behavior is pinned to the reference with
 ``mode=FAILFAST`` (default here) or surfaced per-row via PERMISSIVE +
-``_corrupt_record``. msgpack has no JVM data source in this sandbox and
-the python lib is absent: decode runs as ``binaryFile`` rows ->
-``mapInPandas`` with an import-gated msgpack dependency (documented
-stub; the Spark-side plumbing — schema inference on a driver sample,
-Arrow batches, partition parallelism — is real and tested through the
-jsoneachrow path, which shares it).
+``_corrupt_record``. msgpack has no JVM data source in this sandbox:
+decode runs as ``binaryFile`` rows -> ``mapInPandas``, using the
+C-accelerated ``msgpack`` package when installed and the bundled
+pure-spec codec (sources/msgpack_lite.py) otherwise — S2 runs
+end-to-end either way (schema inference on a driver sample, Arrow
+batches, partition parallelism).
 """
 
 from __future__ import annotations
@@ -59,16 +59,22 @@ def read_documents(spark: SparkSession, path: str,
 
 
 def _decode_msgpack_blobs(blobs: list[bytes]) -> list[dict]:
+    """One blob = one msgpack array of maps (formats/msgpack.go:12-24).
+    Uses the C-accelerated ``msgpack`` package when installed, else the
+    bundled pure-spec decoder (sources/msgpack_lite.py)."""
     try:
-        import msgpack  # noqa: F401
-    except ImportError as e:  # pragma: no cover - lib absent in sandbox
-        raise NotImplementedError(
-            "msgpack decode requires the 'msgpack' package (not in this "
-            "environment); the reference parses an array-of-maps "
-            "(formats/msgpack.go:12-24)") from e
+        from msgpack import unpackb as _unpackb
+        kwargs = {"raw": False}
+    except ImportError:
+        from bright_spark.sources.msgpack_lite import unpackb as _unpackb
+        kwargs = {}
     docs: list[dict] = []
     for blob in blobs:
-        docs.extend(msgpack.unpackb(blob, raw=False))
+        decoded = _unpackb(blob, **kwargs)
+        if not isinstance(decoded, list):
+            raise ValueError("msgpack document batch must be an array of "
+                             "maps (formats/msgpack.go:18-22)")
+        docs.extend(decoded)
     return docs
 
 

@@ -21,7 +21,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PER_SLOT = int(sys.argv[1]) if len(sys.argv) > 1 else 5_000
 TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-LEVELS = {4: 8, 16: 2}  # slots -> task.cpus (un-oversubscribed pair)
+# N vs 4N slots on local[CORES] (see scaling_bench.py: both levels stay
+# under-subscribed — the 4N level schedules 24 runnable threads on 32
+# cores, matching real executor sizing)
+CORES = int(sys.argv[3]) if len(sys.argv) > 3 else 24
+LEVELS = {CORES // 8: 8, CORES // 2: 2}  # slots -> task.cpus
 
 
 def gen(n_docs: int) -> str:
@@ -46,7 +50,7 @@ def run(slots: int, corpus: str, partitions: int) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "jobs", "build_index.py"),
          "--source", corpus, "--index-dir", idx,
-         "--partitions", str(partitions), "--master", "local[32]",
+         "--partitions", str(partitions), "--master", f"local[{CORES}]",
          "--task-cpus", str(LEVELS[slots])],
         env=os.environ, check=True, capture_output=True, text=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
@@ -67,7 +71,7 @@ def main() -> None:
     eff = best[lo]["build_sec"] / best[hi]["build_sec"]
     payload = {
         "protocol": f"constant {PER_SLOT} docs per slot; slots via "
-                    f"spark.task.cpus on one local[32] JVM; partitions "
+                    f"spark.task.cpus on one local[{CORES}] JVM; partitions "
                     f"scaled with the data; best of {TRIALS} alternating",
         "per_slot_docs": PER_SLOT,
         "best": best,
