@@ -194,6 +194,11 @@ def _q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
+def _q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.quality import bpe_token_stats
+    return bpe_token_stats(_docs(spark, sf_dir))
+
+
 def _q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.quality import token_stats
     s = token_stats(_docs(spark, sf_dir))
@@ -312,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split": _q_text_split,
         "text_sample": _q_text_sample,
         "text_token_stats": _q_text_token_stats,
+        "text_bpe_tokens": _q_text_bpe_tokens,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_profile": _q_lang_profile,
@@ -615,6 +621,11 @@ WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""",
 SELECT doc_id FROM documents
 WHERE (('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        % 1000000) < 250000""",
+        "text_bpe_tokens": r"""
+SELECT doc_id,
+       coalesce(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')), 0)::BIGINT AS n_pretokens,
+       coalesce(len(regexp_extract_all(text, ' ?[a-zA-Z]+')), 0)::BIGINT AS n_word_pretokens
+FROM documents""",
         "text_token_stats": """
 WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
 e AS (SELECT doc_id, unnest(t) AS term FROM t)

@@ -20,6 +20,29 @@ EN_STOPWORDS = [
 ]
 
 
+# BPE-style pre-tokenizer pattern (GPT-2-family shape, simplified to
+# the RE2-compatible subset so DuckDB oracles run the IDENTICAL regex:
+# no lookahead): a leading-space word, a leading-space number run, a
+# leading-space punctuation run, or a whitespace run.
+BPE_PRETOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_stats(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Per-doc BPE-ish pre-token count — the cheap LLM-token-budget
+    estimator (actual BPE merges only split pre-tokens further, so this
+    lower-bounds and tracks the real token count). All-JVM:
+    (doc_id, n_pretokens, n_word_pretokens)."""
+    toks = F.expr(f"regexp_extract_all({text_col}, '{BPE_PRETOKEN_RE}', 0)")
+    words = F.expr(
+        f"regexp_extract_all({text_col}, ' ?[a-zA-Z]+', 0)")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(F.size(toks), F.lit(0)).cast("bigint").alias("n_pretokens"),
+        F.coalesce(F.size(words), F.lit(0)).cast("bigint")
+        .alias("n_word_pretokens"))
+
+
 def token_stats(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Per-doc token counting: n_tokens, n_distinct, distinct_ratio,

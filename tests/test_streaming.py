@@ -101,3 +101,48 @@ def test_streaming_bulk_tombstones_no_driver_ids(spark, tmp_path_factory):
                  eng.catalog.docs(spark).select("path").collect()}
     assert survivors == {r["path"] for r in rows
                          if int(r["path"].split("/")[1]) % 3 != 0}
+
+
+def test_continuous_trigger_poll_loop(spark, tmp_path_factory):
+    """S7 analog: the processing-time trigger is the reference's poll
+    loop (ingresses/postgres/config.go:102-117, default 30s; 1s here).
+    A batch dropped into the feed is applied without re-invoking the
+    job; the caller stops the query."""
+    import time
+
+    base = tmp_path_factory.mktemp("cont")
+    pdf = make_repos(10, 31)
+    src = str(base / "src.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    idx = str(base / "idx")
+    build_index(spark, spark.read.parquet(src), idx, IndexConfig(id="c7"),
+                n_build_partitions=2)
+    feed = str(base / "feed")
+    os.makedirs(feed, exist_ok=True)
+    ing = StreamingIngestor(spark, idx, checkpoint_dir=str(base / "ckpt"))
+    q = ing.start_continuous(feed, SCHEMA, interval="1 seconds")
+    try:
+        row = dict(pdf.iloc[0].to_dict())
+        row.update(commit="b" * 40, content="def polled_new_doc(): pass",
+                   _deleted=None)
+        # the file source watches the feed dir itself: stage the batch,
+        # then drop its part files in (the CDC file-drop pattern)
+        import glob
+        import shutil
+        stage = str(base / "stage_b1")
+        spark.createDataFrame([row], SCHEMA).write.mode("overwrite") \
+            .parquet(stage)
+        for f in glob.glob(os.path.join(stage, "part-*.parquet")):
+            shutil.move(f, os.path.join(feed, os.path.basename(f)))
+        deadline = time.time() + 120
+        ok = False
+        while time.time() < deadline:
+            eng = SearchEngine(spark, idx)
+            if eng.meta["n_docs"] == 11 and \
+                    len(eng.search_df("polled_new_doc", k=5).collect()) == 1:
+                ok = True
+                break
+            time.sleep(2)
+        assert ok, "continuous trigger never applied the batch"
+    finally:
+        q.stop()

@@ -222,3 +222,22 @@ def test_deterministic_split_and_sample(spark):
     # monotone: a larger rate strictly contains a smaller one
     s3 = {r["doc_id"] for r in sample_by_hash(docs, 0.5).collect()}
     assert s1 <= s3
+
+
+def test_bpe_token_stats(spark):
+    import pandas as pd
+
+    from bright_spark.text.quality import bpe_token_stats
+    docs = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 0, "text": "Hello, world! 42"},
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": "a  b"},
+    ]))
+    r = {x["doc_id"]: x for x in bpe_token_stats(docs).collect()}
+    # "Hello" ",' 'world" "!" " 42" -> pretokens: Hello | , | ' world' | ! | ' 42'
+    assert r[0]["n_pretokens"] == 5
+    assert r[0]["n_word_pretokens"] == 2
+    assert r[1]["n_pretokens"] == 0
+    # double space: the word branch needs a letter right after its one
+    # optional space, so 'a  b' scans as 'a', ' ' (ws run), ' b'
+    assert r[2]["n_pretokens"] == 3
