@@ -45,16 +45,17 @@ def _engine(spark: SparkSession, sf_dir: str):
     if eng is not None:
         return eng
     idx_dir = os.path.join(_GATE_DIR, key.strip("/").replace("/", "_") + "_docs_idx")
-    meta_file = os.path.join(idx_dir, "meta.json")
-    if os.path.exists(meta_file):
-        # invalidate gate caches from older index layouts (v2 added the
-        # per-field postings namespace)
-        import json
+    from bright_spark.index.catalog import IndexCatalog
+    built = False
+    try:
+        # invalidate gate caches from older index layouts (v3 added
+        # snapshot manifests; v2 the per-field postings namespace)
+        built = IndexCatalog(idx_dir).load_meta().get("version") == 3
+    except (FileNotFoundError, KeyError):
+        built = False
+    if not built:
         import shutil
-        with open(meta_file) as f:
-            if json.load(f).get("version") != 2:
-                shutil.rmtree(idx_dir, ignore_errors=True)
-    if not os.path.exists(meta_file):
+        shutil.rmtree(idx_dir, ignore_errors=True)
         build_index(
             spark, _docs(spark, sf_dir), idx_dir,
             IndexConfig(id="documents", tokenizer="simple", n_term_buckets=8,

@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import shutil
 import zlib
 from collections.abc import Iterator
 
@@ -44,7 +45,11 @@ from pyspark.sql import functions as F
 
 from bright_spark.analysis.tokenizer import count_terms_batch
 from bright_spark.index import codec
-from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog
+from bright_spark.index.catalog import (
+    POSTINGS_SCHEMA,
+    IndexCatalog,
+    PendingSnapshot,
+)
 from bright_spark.models import IndexConfig
 
 PARTIALS_SCHEMA = ("field STRING, term STRING, range_id BIGINT, "
@@ -332,6 +337,36 @@ def _make_merge_fn(block_size: int, n_buckets: int,
     return fn
 
 
+def stage_postings_write(df: DataFrame, pending: PendingSnapshot,
+                         n_partitions: int) -> set[int]:
+    """Write posting rows into per-bucket version dirs of ``pending``:
+    one partitionBy job into a staging dir, then a driver-side rename
+    of each ``pbucket=B`` dir into its immutable
+    ``data/postings/b{B}/v{N}`` home (rename, not copy — same fs).
+    ``bucket`` stays a DATA column in the files (the partition column
+    is a duplicate), so reads over explicit bucket dirs keep it.
+    Returns the set of buckets that received rows."""
+    staging = os.path.join(pending.catalog.index_dir, "data", "postings",
+                           f".staging-v{pending.snapshot_id:08d}")
+    shutil.rmtree(staging, ignore_errors=True)
+    (df.withColumn("pbucket", F.col("bucket"))
+       .repartition(max(n_partitions, 1), "bucket")
+       .sortWithinPartitions("term", "field", "range_id")
+       .write.mode("overwrite").partitionBy("pbucket").parquet(staging))
+    written: set[int] = set()
+    for name in os.listdir(staging):
+        if not name.startswith("pbucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        dst = pending.adopt_postings_bucket(b)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
+        os.rename(os.path.join(staging, name), dst)
+        written.add(b)
+    shutil.rmtree(staging, ignore_errors=True)
+    return written
+
+
 # ------------------------------------------------------------- driver
 
 class IndexBuilder:
@@ -429,7 +464,8 @@ class IndexBuilder:
                     .sortWithinPartitions(*self.key_cols))
         return keyed, self._id_offsets
 
-    def build_docs(self, source: DataFrame) -> None:
+    def build_docs(self, source: DataFrame,
+                   pending: PendingSnapshot) -> None:
         """Docs table: attributes + content + content_sha256 + doc_len.
         Token arrays are deliberately NOT staged (see module doc).
 
@@ -484,11 +520,12 @@ class IndexBuilder:
         # offsets path: doc_id = offset[pid] + local rank over the
         # already key-sorted partition — monotone within partition, so
         # no extra sort pass is needed before the write
-        tokenized.write.mode("overwrite").parquet(self.catalog.docs_path)
+        tokenized.write.mode("overwrite").parquet(pending.table_path("docs"))
 
     # -------------------------------------------------------- stage 2
 
-    def build_postings(self, source: DataFrame) -> None:
+    def build_postings(self, source: DataFrame,
+                       pending: PendingSnapshot) -> None:
         """Fused tokenize+segment pass, then the (term, range_id)
         shuffle-merge. When content is stored (default), the pass is a
         shuffle-free columnar scan of the docs table (doc_ids already
@@ -501,7 +538,8 @@ class IndexBuilder:
         if cfg.store_content:
             cols = ["doc_id"] + fields + (
                 [self.lang_col] if self.lang_col else [])
-            scan = self.spark.read.parquet(self.catalog.docs_path).select(*cols)
+            scan = self.spark.read.parquet(
+                pending.resolved("docs")).select(*cols)
             id_offsets = None
         else:
             cols = list(dict.fromkeys(
@@ -522,21 +560,26 @@ class IndexBuilder:
                   .mapInPandas(_make_merge_fn(cfg.block_size, cfg.n_term_buckets,
                                               cfg.store_positions),
                                schema=POSTINGS_SCHEMA))
-        # term leads the sort so parquet row-group min/max prunes term
-        # lookups; field is a low-cardinality secondary key
-        (merged.repartition(cfg.n_term_buckets, "bucket")
-               .sortWithinPartitions("term", "field", "range_id")
-               .write.mode("overwrite")
-               .partitionBy("bucket")
-               .parquet(self.catalog.postings_path))
+        # a full build replaces EVERY bucket: forget inherited pointers
+        # so buckets absent from this corpus drop out of the snapshot
+        pending.tables["postings"] = {}
+        # term leads the in-file sort so parquet row-group min/max
+        # prunes term lookups; field is a low-cardinality secondary key
+        stage_postings_write(merged, pending, cfg.n_term_buckets)
 
     # -------------------------------------------------------- stage 3
 
-    def build_stats(self) -> None:
+    def build_stats(self, pending: PendingSnapshot) -> dict:
+        """Stage 3 over the PENDING postings (not yet visible to
+        readers): term_stats + index_meta version dirs, returning the
+        corpus-stats dict the caller commits into the manifest."""
         cfg = self.config
+        dirs = pending.postings_dirs()
         # column-pruned read: only (bucket, field, term, df_chunk,
         # cf_chunk) leave the parquet scan
-        post = self.spark.read.parquet(self.catalog.postings_path)
+        post = (self.spark.read.schema(POSTINGS_SCHEMA).parquet(*dirs)
+                if dirs else
+                self.spark.createDataFrame([], POSTINGS_SCHEMA))
         ts = (post.groupBy("bucket", "field", "term")
                   .agg(F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf")))
         ts.persist()
@@ -544,7 +587,7 @@ class IndexBuilder:
             (ts.repartition(cfg.n_term_buckets, "bucket")
                .sortWithinPartitions("term", "field")
                .write.mode("overwrite").partitionBy("bucket")
-               .parquet(self.catalog.term_stats_path))
+               .parquet(pending.table_path("term_stats")))
             # per-field totals: Σ cf (every emitted token lands in
             # exactly one posting run); n_docs is tracked during doc_id
             # assignment — no extra docs-table scan
@@ -555,7 +598,8 @@ class IndexBuilder:
         total_tokens = field_tokens.get(self.content_col, 0)
         n_docs = getattr(self, "_n_docs", None)
         if n_docs is None:
-            n_docs = int(self.spark.read.parquet(self.catalog.docs_path).count())
+            n_docs = int(self.spark.read.parquet(
+                pending.resolved("docs")).count())
             self._n_docs = n_docs
         # per-field BM25 stats: a field absent from a doc contributes
         # length 0, so avgdl_f = Σ dl_f / N over ALL docs
@@ -578,22 +622,20 @@ class IndexBuilder:
             "range_bits": cfg.range_bits,
             "block_size": cfg.block_size,
             "n_term_buckets": cfg.n_term_buckets,
-            "version": 2,  # v2: per-field postings namespace (Q5)
+            "version": 3,  # v3: snapshot manifests (v2: per-field Q5)
         }
-        self.catalog.save_meta(meta)
         # single-row table: driver-side pyarrow write (a whole Spark job
         # for one row is pure fixed overhead); nested field_stats stays
-        # in meta.json only
-        import shutil
-
+        # in the manifest only
         import pyarrow as pa
         import pyarrow.parquet as pq
-        shutil.rmtree(self.catalog.index_meta_path, ignore_errors=True)
-        os.makedirs(self.catalog.index_meta_path, exist_ok=True)
+        im = pending.table_path("index_meta")
+        shutil.rmtree(im, ignore_errors=True)
+        os.makedirs(im, exist_ok=True)
         flat = {k: v for k, v in meta.items() if not isinstance(v, dict)}
-        pq.write_table(
-            pa.Table.from_pylist([flat]),
-            os.path.join(self.catalog.index_meta_path, "part-0.parquet"))
+        pq.write_table(pa.Table.from_pylist([flat]),
+                       os.path.join(im, "part-0.parquet"))
+        return meta
 
     # ----------------------------------------------------------- main
 
@@ -631,9 +673,11 @@ class IndexBuilder:
             "filter_stopwords": self.filter_stopwords,
             "n_build_partitions": self.n_build_partitions,
         })
-        self.build_docs(source)
-        self.build_postings(source)
-        self.build_stats()
+        pending = self.catalog.begin()
+        self.build_docs(source, pending)
+        self.build_postings(source, pending)
+        meta = self.build_stats(pending)
+        pending.commit(meta, "build")
         return self.catalog
 
 

@@ -2,31 +2,57 @@
 
 The reference persists one Bleve scorch directory per index under
 ``<dataDir>/<indexID>`` plus a ``configs.json`` (store/store.go:91,
-226-282). Our index is a directory of columnar tables:
+226-282). Our index is a directory of columnar tables under an
+Iceberg-style snapshot protocol (layout v3):
 
     <index_dir>/
-      config.json      index + build configuration (configs.json analog)
-      meta.json        corpus stats (n_docs, avgdl, ...) — driver-fast copy
-      docs/            parquet: doc_id, natural key / attribute columns,
-                       content (optional), content_sha256, doc_len
-      postings/        parquet, dir-partitioned by bucket=crc32(term)%B:
-                       (term, range_id) rows of compressed posting blocks
-      term_stats/      parquet by bucket: term -> global df, cf
-      index_meta/      single-row parquet mirror of meta.json
-      checkpoints/     per-shard build lineage rows (resumability)
+      config.json        index + build configuration (configs.json analog)
+      CURRENT            id of the live snapshot ("s00000007"), replaced
+                         atomically via os.replace — THE commit point
+      snapshots/
+        s00000007.json   manifest: table-name -> version-dir pointers +
+                         corpus stats (n_docs, avgdl, field_stats, ...)
+      data/
+        docs/v00000007/            parquet: doc_id, attrs, content,
+                                   content_sha256, doc_len
+        postings/b00003/v00000004/ per-BUCKET versioned posting dirs;
+                                   bucket = crc32(term) % B is a data
+                                   column (one term-sorted file per dir)
+        term_stats/v00000007/      parquet by bucket=N: term -> df, cf
+        index_meta/v00000007/      single-row parquet mirror of stats
+      checkpoints/       per-shard build lineage rows (resumability)
+      segments/          resumable-build staging (not snapshot-tracked)
 
-On a real deployment these would be Iceberg tables (bucket(term)
-partition transform, snapshot commits standing in for Bleve's immutable
-segments + merges); the sandbox image has no Iceberg jars, so the
-layout is plain partitioned Parquet with the same pruning behavior:
-directory pruning on ``bucket``, row-group min/max pruning on ``term``
-(rows are written sorted by term within each bucket).
+Write protocol (single writer, any number of readers):
+  1. ``begin()`` a :class:`PendingSnapshot` — writers put every table
+     they produce into NEW immutable version dirs; tables they do not
+     touch keep the parent manifest's pointers (a mutation that
+     rewrites 3 of 64 posting buckets shares the other 61 dirs with
+     its parent — pointer copy, zero data copy).
+  2. ``commit()`` writes the manifest JSON, then atomically replaces
+     ``CURRENT``. A crash anywhere before that leaves the previous
+     snapshot fully intact (orphan version dirs are ignored and later
+     reclaimed by :meth:`IndexCatalog.vacuum`).
+
+Readers resolve paths through a manifest. :meth:`pin` freezes a reader
+on the snapshot that was current at pin time, so long-running queries
+are immune to concurrent mutations (the streaming poll loop commits
+while searches run); old snapshots stay readable until ``vacuum``
+expires them — exactly Iceberg's snapshot-expiry contract.
+
+Bucket pruning: the query side computes the term's bucket on the
+driver (crc32 — same polynomial as Spark's ``F.crc32``) and reads ONLY
+those buckets' live version dirs — directory-level pruning that never
+even lists the other buckets; parquet row-group min/max on ``term``
+prunes within a bucket (rows are written term-sorted).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import time
 import zlib
 from dataclasses import asdict
 from typing import Any
@@ -47,6 +73,8 @@ POSTINGS_SCHEMA = (
     "pos ARRAY<BINARY>"
 )
 
+LAYOUT_VERSION = 3
+
 
 def term_bucket(term: str, n_buckets: int) -> int:
     """crc32(term) % B — matches Spark's ``F.crc32`` (same polynomial),
@@ -59,18 +87,221 @@ def term_bucket_col(term_col, n_buckets: int):
     return (F.crc32(F.encode(term_col, "UTF-8")) % n_buckets).cast("int")
 
 
-class IndexCatalog:
-    """Paths + config/meta persistence for one index."""
+def _snap_name(snapshot_id: int) -> str:
+    return f"s{snapshot_id:08d}"
 
-    def __init__(self, index_dir: str):
+
+class PendingSnapshot:
+    """An uncommitted snapshot: new version dirs + inherited pointers.
+
+    ``table_path("docs")`` / ``postings_bucket_path(b)`` hand out the
+    version dir a writer should produce, recording the pointer;
+    ``drop_postings_bucket(b)`` removes a bucket a mutation emptied.
+    Nothing is visible to readers until :meth:`commit`.
+    """
+
+    def __init__(self, catalog: IndexCatalog, parent: dict | None):
+        self.catalog = catalog
+        self.parent = parent
+        self.snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
+        self.tables: dict[str, Any] = {
+            "postings": dict((parent or {}).get(
+                "tables", {}).get("postings", {}))}
+        for t in ("docs", "term_stats", "index_meta"):
+            if parent and t in parent.get("tables", {}):
+                self.tables[t] = parent["tables"][t]
+
+    # ---------------------------------------------------- write targets
+
+    def table_path(self, table: str) -> str:
+        """Absolute path of this snapshot's NEW version dir for a
+        whole-table rewrite (docs / term_stats / index_meta)."""
+        rel = os.path.join("data", table, f"v{self.snapshot_id:08d}")
+        self.tables[table] = rel
+        return os.path.join(self.catalog.index_dir, rel)
+
+    def postings_bucket_rel(self, bucket: int) -> str:
+        return os.path.join("data", "postings", f"b{bucket:05d}",
+                            f"v{self.snapshot_id:08d}")
+
+    def adopt_postings_bucket(self, bucket: int) -> str:
+        """Record this snapshot's new version dir for one bucket and
+        return its absolute path (the caller moves/writes data there)."""
+        rel = self.postings_bucket_rel(bucket)
+        self.tables["postings"][str(bucket)] = rel
+        return os.path.join(self.catalog.index_dir, rel)
+
+    def drop_postings_bucket(self, bucket: int) -> None:
+        self.tables["postings"].pop(str(bucket), None)
+
+    # ------------------------------------------------------------ reads
+
+    def postings_dirs(self, buckets=None) -> list[str]:
+        """Resolve (possibly not-yet-committed) posting dirs — stats
+        passes inside a build/mutation read through the pending state."""
+        pmap = self.tables["postings"]
+        keys = (sorted(pmap, key=int) if buckets is None
+                else [str(b) for b in sorted({int(b) for b in buckets})
+                      if str(b) in pmap])
+        return [os.path.join(self.catalog.index_dir, pmap[k]) for k in keys]
+
+    def resolved(self, table: str) -> str:
+        return os.path.join(self.catalog.index_dir, self.tables[table])
+
+    # ----------------------------------------------------------- commit
+
+    def commit(self, meta: dict[str, Any], operation: str) -> int:
+        """Write the manifest, then atomically flip CURRENT. Everything
+        before the final ``os.replace`` is invisible to readers."""
+        cat = self.catalog
+        os.makedirs(cat.snapshots_dir, exist_ok=True)
+        manifest = {
+            "snapshot_id": self.snapshot_id,
+            "parent_id": self.parent["snapshot_id"] if self.parent else None,
+            "layout_version": LAYOUT_VERSION,
+            "operation": operation,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "tables": self.tables,
+            "meta": meta,
+        }
+        name = _snap_name(self.snapshot_id)
+        mf = os.path.join(cat.snapshots_dir, name + ".json")
+        with open(mf + ".tmp", "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(mf + ".tmp", mf)
+        tmp = cat.current_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, cat.current_file)  # THE commit point
+        cat._invalidate_cache()
+        return self.snapshot_id
+
+
+class IndexCatalog:
+    """Paths + config/manifest persistence for one index.
+
+    ``snapshot_id`` pins every read to that snapshot; otherwise reads
+    resolve the live snapshot per call (:meth:`pin` freezes it at the
+    current one — what :class:`SearchEngine` does at construction)."""
+
+    def __init__(self, index_dir: str, snapshot_id: int | None = None):
         self.index_dir = index_dir
-        self.docs_path = os.path.join(index_dir, "docs")
-        self.postings_path = os.path.join(index_dir, "postings")
-        self.term_stats_path = os.path.join(index_dir, "term_stats")
-        self.index_meta_path = os.path.join(index_dir, "index_meta")
+        self.snapshots_dir = os.path.join(index_dir, "snapshots")
+        self.current_file = os.path.join(index_dir, "CURRENT")
         self.checkpoints_path = os.path.join(index_dir, "checkpoints")
         self.config_file = os.path.join(index_dir, "config.json")
-        self.meta_file = os.path.join(index_dir, "meta.json")
+        self._pinned = snapshot_id
+        self._cache: tuple[int, dict] | None = None
+
+    # ------------------------------------------------------- snapshots
+
+    def _invalidate_cache(self) -> None:
+        self._cache = None
+
+    def current_snapshot_id(self) -> int | None:
+        try:
+            with open(self.current_file) as f:
+                return int(f.read().strip().lstrip("s"))
+        except FileNotFoundError:
+            return None
+
+    def read_manifest(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self.snapshots_dir,
+                               _snap_name(snapshot_id) + ".json")) as f:
+            return json.load(f)
+
+    def manifest(self) -> dict:
+        """The pinned manifest, or the live one (re-resolved per call
+        unless cached at the same snapshot id — manifests are
+        immutable, so caching by id is always sound)."""
+        sid = self._pinned if self._pinned is not None \
+            else self.current_snapshot_id()
+        if sid is None:
+            raise FileNotFoundError(
+                f"index at {self.index_dir} has no committed snapshot")
+        if self._cache and self._cache[0] == sid:
+            return self._cache[1]
+        m = self.read_manifest(sid)
+        self._cache = (sid, m)
+        return m
+
+    def pin(self, snapshot_id: int | None = None) -> int:
+        """Freeze reads on a snapshot (default: the already-pinned one
+        if any, else the live one)."""
+        if snapshot_id is None:
+            snapshot_id = (self._pinned if self._pinned is not None
+                           else self.current_snapshot_id())
+        self._pinned = snapshot_id
+        if self._pinned is None:
+            raise FileNotFoundError(
+                f"index at {self.index_dir} has no committed snapshot")
+        return self._pinned
+
+    def snapshots(self) -> list[dict]:
+        """All retained manifests, oldest first (the time-travel list)."""
+        if not os.path.isdir(self.snapshots_dir):
+            return []
+        out = []
+        for name in sorted(os.listdir(self.snapshots_dir)):
+            if name.startswith("s") and name.endswith(".json"):
+                with open(os.path.join(self.snapshots_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def begin(self) -> PendingSnapshot:
+        sid = self.current_snapshot_id()
+        return PendingSnapshot(self, self.read_manifest(sid)
+                               if sid is not None else None)
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Expire old snapshots: keep the live manifest plus the most
+        recent ``keep_last - 1`` others, delete older manifests, then
+        reclaim every version dir no retained manifest references.
+        Version dirs NEWER than the live snapshot (a writer's pending
+        output) are never touched. Returns the deleted dir paths."""
+        live = self.current_snapshot_id()
+        if live is None:
+            return []
+        manifests = self.snapshots()
+        keep = {m["snapshot_id"] for m in manifests[-keep_last:]} | {live}
+        referenced: set[str] = set()
+        for m in manifests:
+            if m["snapshot_id"] in keep:
+                for t, v in m["tables"].items():
+                    if t == "postings":
+                        referenced.update(v.values())
+                    else:
+                        referenced.add(v)
+            else:
+                os.remove(os.path.join(
+                    self.snapshots_dir, _snap_name(m["snapshot_id"]) + ".json"))
+        deleted = []
+        data = os.path.join(self.index_dir, "data")
+
+        def reclaim(table_dir: str, rel_prefix: str) -> None:
+            if not os.path.isdir(table_dir):
+                return
+            for v in os.listdir(table_dir):
+                if not v.startswith("v"):
+                    continue
+                rel = os.path.join(rel_prefix, v)
+                try:
+                    vid = int(v.lstrip("v"))
+                except ValueError:
+                    continue
+                if rel not in referenced and vid <= live:
+                    full = os.path.join(table_dir, v)
+                    shutil.rmtree(full, ignore_errors=True)
+                    deleted.append(full)
+
+        for t in ("docs", "term_stats", "index_meta"):
+            reclaim(os.path.join(data, t), os.path.join("data", t))
+        pdir = os.path.join(data, "postings")
+        if os.path.isdir(pdir):
+            for b in os.listdir(pdir):
+                reclaim(os.path.join(pdir, b),
+                        os.path.join("data", "postings", b))
+        return deleted
 
     # ---------------------------------------------------------- config
 
@@ -96,13 +327,34 @@ class IndexCatalog:
 
     # ------------------------------------------------------------ meta
 
-    def save_meta(self, meta: dict[str, Any]) -> None:
-        with open(self.meta_file, "w") as f:
-            json.dump(meta, f, indent=2)
-
     def load_meta(self) -> dict[str, Any]:
-        with open(self.meta_file) as f:
-            return json.load(f)
+        """Corpus stats of the (pinned or live) snapshot."""
+        return self.manifest()["meta"]
+
+    # ----------------------------------------------------- table paths
+
+    @property
+    def docs_path(self) -> str:
+        return os.path.join(self.index_dir, self.manifest()["tables"]["docs"])
+
+    @property
+    def term_stats_path(self) -> str:
+        return os.path.join(self.index_dir,
+                            self.manifest()["tables"]["term_stats"])
+
+    @property
+    def index_meta_path(self) -> str:
+        return os.path.join(self.index_dir,
+                            self.manifest()["tables"]["index_meta"])
+
+    def postings_dirs(self, buckets=None) -> list[str]:
+        """Live version dir per bucket (optionally restricted) — the
+        unit of directory pruning AND of mutation copy-on-write."""
+        pmap = self.manifest()["tables"]["postings"]
+        keys = (sorted(pmap, key=int) if buckets is None
+                else [str(b) for b in sorted({int(b) for b in buckets})
+                      if str(b) in pmap])
+        return [os.path.join(self.index_dir, pmap[k]) for k in keys]
 
     # ----------------------------------------------------------- reads
 
@@ -112,8 +364,13 @@ class IndexCatalog:
             df = df.drop("_term_arr", "_tf_arr", "_pid")
         return df
 
-    def postings(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.postings_path)
+    def postings(self, spark: SparkSession, buckets=None) -> DataFrame:
+        """Postings scan over the live (or pinned) version dirs of the
+        requested buckets — unrequested buckets are never even listed."""
+        dirs = self.postings_dirs(buckets)
+        if not dirs:
+            return spark.createDataFrame([], POSTINGS_SCHEMA)
+        return spark.read.schema(POSTINGS_SCHEMA).parquet(*dirs)
 
     @staticmethod
     def _pair_filter(pairs: list[tuple[str, str]]):
@@ -130,15 +387,16 @@ class IndexCatalog:
 
     def postings_for_terms(self, spark: SparkSession,
                            pairs: list[tuple[str, str]]) -> DataFrame:
-        """Partition-pruned posting lookup for (field, term) pairs:
-        explicit bucket predicate prunes directories; the term IN-list
-        prunes row groups via parquet min/max (rows are term-sorted
-        within files; field is a secondary sort key). This is the FST
-        term-dictionary-seek analog (SURVEY.md §4)."""
+        """Partition-pruned posting lookup for (field, term) pairs: the
+        driver computes each term's bucket and reads ONLY those
+        buckets' live dirs (directory pruning without listing anything
+        else); the term IN-list prunes row groups via parquet min/max
+        (rows are term-sorted within files; field is a secondary sort
+        key). This is the FST term-dictionary-seek analog (SURVEY §4)."""
         cfg = self.load_config()
-        buckets = sorted({term_bucket(t, cfg.n_term_buckets) for _, t in pairs})
-        df = self.postings(spark)
-        return df.filter(F.col("bucket").isin(buckets) & self._pair_filter(pairs))
+        buckets = {term_bucket(t, cfg.n_term_buckets) for _, t in pairs}
+        df = self.postings(spark, buckets=buckets)
+        return df.filter(self._pair_filter(pairs))
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.term_stats_path)

@@ -31,6 +31,7 @@ from bright_spark.index.builder import (
     IndexBuilder,
     _make_merge_fn,
     _make_tokenize_partials_fn,
+    stage_postings_write,
 )
 from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog
 from bright_spark.models import IndexConfig
@@ -115,6 +116,11 @@ class ResumableIndexBuilder:
         return os.path.join(self.segments_dir, f"seg_{shard:05d}")
 
     def build(self, source: DataFrame) -> IndexCatalog:
+        # completed build (merge committed its snapshot): no-op re-run
+        ck = self.store.get("merge")
+        if (ck and ck.get("status") == "done"
+                and self.catalog.current_snapshot_id() == ck.get("snapshot_id")):
+            return self.catalog
         # deterministic resolution: a resumed run recounts the same
         # source and lands on the same range_bits
         self.builder.resolve_range_bits(source)
@@ -131,15 +137,26 @@ class ResumableIndexBuilder:
             "n_shards": self.n_shards,
         })
 
+        # interrupted-build resume: CURRENT was never advanced, so
+        # begin() re-derives the SAME pending snapshot id — stage
+        # version dirs land where the interrupted run left them. A
+        # checkpoint only skips a stage if its recorded dir still
+        # matches this pending snapshot (an unrelated commit in between
+        # changes the id and forces a clean rebuild of the stage).
+        pending = self.catalog.begin()
+
         # ---- stage 1: docs
+        docs_dir = pending.table_path("docs")
         ck = self.store.get("docs")
-        if not (ck and ck.get("status") == "done"):
+        if not (ck and ck.get("status") == "done"
+                and ck.get("path") == docs_dir and os.path.isdir(docs_dir)):
             t0 = time.time()
-            self.builder.build_docs(source)
-            n = self.spark.read.parquet(self.catalog.docs_path).count()
+            self.builder.build_docs(source, pending)
+            n = self.spark.read.parquet(docs_dir).count()
             self.store.put("docs", {
                 "status": "done", "attempt": (ck or {}).get("attempt", 0) + 1,
-                "rows_in": n, "wall_ms": int((time.time() - t0) * 1000)})
+                "rows_in": n, "path": docs_dir,
+                "wall_ms": int((time.time() - t0) * 1000)})
 
         # ---- stage 2: per-shard segments (fused tokenize+partials over
         # the stored docs slice; doc_ids are already assigned)
@@ -149,7 +166,7 @@ class ResumableIndexBuilder:
                 "store_content=False is not supported")
         b = self.builder
         cols = ["doc_id"] + b.field_cols + ([b.lang_col] if b.lang_col else [])
-        docs = self.spark.read.parquet(self.catalog.docs_path).select(*cols)
+        docs = self.spark.read.parquet(docs_dir).select(*cols)
         for shard in range(self.n_shards):
             key = f"segment_{shard:05d}"
             ck = self.store.get(key)
@@ -176,26 +193,24 @@ class ResumableIndexBuilder:
             if self.fail_after_shard is not None and shard >= self.fail_after_shard:
                 raise RuntimeError(f"injected failure after shard {shard}")
 
-        # ---- stage 3: merge
+        # ---- stage 3: merge (postings + stats + ONE snapshot commit)
+        t0 = time.time()
         ck = self.store.get("merge")
-        if not (ck and ck.get("status") == "done"):
-            t0 = time.time()
-            partials = self.spark.read.parquet(
-                *[self._seg_path(s) for s in range(self.n_shards)])
-            n_merge = (self.builder.n_build_partitions
-                       or self.spark.sparkContext.defaultParallelism)
-            merged = (partials.repartition(n_merge, "term", "range_id")
-                      .mapInPandas(_make_merge_fn(self.config.block_size,
-                                                  self.config.n_term_buckets,
-                                                  self.config.store_positions),
-                                   schema=POSTINGS_SCHEMA))
-            (merged.repartition(self.config.n_term_buckets, "bucket")
-                   .sortWithinPartitions("term", "field", "range_id")
-                   .write.mode("overwrite").partitionBy("bucket")
-                   .parquet(self.catalog.postings_path))
-            self.builder.build_stats()
-            self.store.put("merge", {
-                "status": "done", "attempt": (ck or {}).get("attempt", 0) + 1,
-                "n_shards": self.n_shards,
-                "wall_ms": int((time.time() - t0) * 1000)})
+        partials = self.spark.read.parquet(
+            *[self._seg_path(s) for s in range(self.n_shards)])
+        n_merge = (self.builder.n_build_partitions
+                   or self.spark.sparkContext.defaultParallelism)
+        merged = (partials.repartition(n_merge, "term", "range_id")
+                  .mapInPandas(_make_merge_fn(self.config.block_size,
+                                              self.config.n_term_buckets,
+                                              self.config.store_positions),
+                               schema=POSTINGS_SCHEMA))
+        pending.tables["postings"] = {}
+        stage_postings_write(merged, pending, self.config.n_term_buckets)
+        meta = self.builder.build_stats(pending)
+        sid = pending.commit(meta, "build")
+        self.store.put("merge", {
+            "status": "done", "attempt": (ck or {}).get("attempt", 0) + 1,
+            "n_shards": self.n_shards, "snapshot_id": sid,
+            "wall_ms": int((time.time() - t0) * 1000)})
         return self.catalog

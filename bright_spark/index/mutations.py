@@ -13,16 +13,21 @@ Reference semantics:
   ingestion job (see checkpoints.CheckpointStore).
 
 Physical strategy (the Iceberg MERGE INTO analog on plain parquet):
-only the term-hash **buckets touched by changed terms are rewritten**;
-every other bucket directory is untouched. Changed doc ids are removed
-from decoded posting runs (via one numpy broadcast up to
-``broadcast_threshold`` ids, an entry-level anti-join above it), new
-entries merged in per analyzed field, blocks re-encoded — all
-Arrow-batched. New natural keys get dense ids above the current max
-via the builder's per-partition offset scheme (no global window).
-Corpus stats (N, per-field avgdl) are recomputed; block
-(max_tf, min_dl) skip metadata stays sound because bounds are
-evaluated against current stats at query time (see codec.py).
+only the term-hash **buckets touched by changed terms are rewritten**
+— into NEW immutable version dirs of a pending snapshot; every other
+bucket keeps its parent-manifest pointer (pointer copy, zero data
+copy). Changed doc ids are removed from decoded posting runs (via one
+numpy broadcast up to ``broadcast_threshold`` ids, an entry-level
+anti-join above it), new entries merged in per analyzed field, blocks
+re-encoded — all Arrow-batched. New natural keys get dense ids above
+the current max via the builder's per-partition offset scheme (no
+global window). Corpus stats (N, per-field avgdl) are recomputed; the
+docs rewrite, bucket rewrites, and stats tables become visible in ONE
+atomic manifest commit (catalog.py write protocol) — a crash
+mid-mutation leaves the previous snapshot untouched, and readers
+pinned to it (SearchEngine pins at construction) never see a torn
+index. Block (max_tf, min_dl) skip metadata stays sound because
+bounds are evaluated against current stats at query time (codec.py).
 
 Invariant (tested): mutate-then-query == full-rebuild-then-query.
 
@@ -36,8 +41,6 @@ merge away.
 
 from __future__ import annotations
 
-import os
-import shutil
 from collections.abc import Iterator
 
 import numpy as np
@@ -53,21 +56,13 @@ from bright_spark.index.builder import (
     _make_merge_fn,
     _make_tokenize_fn,
     _make_tokenize_partials_fn,
+    stage_postings_write,
 )
 from bright_spark.index.catalog import (
     POSTINGS_SCHEMA,
     IndexCatalog,
     term_bucket_col,
 )
-
-
-def _swap_dir(new: str, dst: str) -> None:
-    trash = dst + "._old"
-    shutil.rmtree(trash, ignore_errors=True)
-    if os.path.exists(dst):
-        os.rename(dst, trash)
-    os.rename(new, dst)
-    shutil.rmtree(trash, ignore_errors=True)
 
 
 def _decode_to_partials(range_bits: int, store_positions: bool = False,
@@ -347,6 +342,7 @@ class IndexMutator:
                      drop_bc) -> None:
         cfg = self.config
         spark = self.spark
+        pending = self.catalog.begin()
         docs_all = self.catalog.docs(spark, include_build_cols=True)
         if not self.config.store_content:
             raise ValueError("mutations re-tokenize replaced docs from "
@@ -373,18 +369,18 @@ class IndexMutator:
         if not affected_buckets:
             affected_buckets = []
 
-        # ---- docs table rewrite (tmp + atomic dir swap)
+        # ---- docs table: new version dir (visible only at commit)
         survivors = docs_all.join(ids_df, "doc_id", "left_anti")
         new_docs = survivors
         if changed is not None:
             new_docs = survivors.unionByName(changed.select(*survivors.columns))
-        tmp_docs = self.catalog.docs_path + "._new"
-        new_docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(tmp_docs)
-        _swap_dir(tmp_docs, self.catalog.docs_path)
+        (new_docs.sortWithinPartitions("doc_id")
+         .write.mode("overwrite").parquet(pending.table_path("docs")))
 
-        # ---- postings: rewrite only affected buckets
-        post = self.catalog.postings(spark)
-        in_buckets = post.filter(F.col("bucket").isin(affected_buckets))
+        # ---- postings: copy-on-write — ONLY affected buckets' live
+        # dirs are read and re-versioned; every other bucket keeps its
+        # parent pointer untouched (never even listed)
+        in_buckets = self.catalog.postings(spark, buckets=affected_buckets)
         untouched = in_buckets.join(terms_df, "term", "left_anti")
         touched = in_buckets.join(terms_df, "term", "left_semi")
         touched_sel = touched.select("field", "term", "range_id",
@@ -418,19 +414,13 @@ class IndexMutator:
                                                 cfg.store_positions),
                                  schema=POSTINGS_SCHEMA))
         rebuilt = untouched.unionByName(remerged)
-        tmp_post = self.catalog.postings_path + "._new"
-        (rebuilt.repartition(len(affected_buckets) or 1, "bucket")
-         .sortWithinPartitions("term", "field", "range_id")
-         .write.mode("overwrite").partitionBy("bucket").parquet(tmp_post))
-        # swap only the rewritten bucket dirs
+        written = stage_postings_write(rebuilt, pending,
+                                       len(affected_buckets) or 1)
         for b in affected_buckets:
-            src = os.path.join(tmp_post, f"bucket={b}")
-            dst = os.path.join(self.catalog.postings_path, f"bucket={b}")
-            if os.path.exists(src):
-                _swap_dir(src, dst)
-            else:
-                shutil.rmtree(dst, ignore_errors=True)  # bucket emptied
-        shutil.rmtree(tmp_post, ignore_errors=True)
+            if b not in written:
+                pending.drop_postings_bucket(b)  # bucket emptied
 
-        # ---- term_stats + meta recompute (stats pass reuses builder)
-        self._builder().build_stats()
+        # ---- term_stats + meta recompute (stats pass reuses builder),
+        # then ONE atomic commit for docs + buckets + stats together
+        meta = self._builder().build_stats(pending)
+        pending.commit(meta, "upsert" if changed is not None else "delete")

@@ -65,8 +65,8 @@ class IndexStore:
         return os.path.join(self.data_dir, idx_id)
 
     def is_built(self, idx_id: str) -> bool:
-        return os.path.exists(
-            os.path.join(self._index_dir(idx_id), "meta.json"))
+        return IndexCatalog(
+            self._index_dir(idx_id)).current_snapshot_id() is not None
 
     # ------------------------------------------------------ lifecycle
 
@@ -119,6 +119,9 @@ class IndexStore:
         if idx_id not in self.configs:
             raise KeyError(f"index {idx_id} not found")
         cfg = self.configs[idx_id]
+        # cached engines are pinned to the pre-mutation snapshot — drop
+        # them so the next search opens the newly committed one
+        self._engines.pop(idx_id, None)
         if self.is_built(idx_id):
             from bright_spark.index.mutations import IndexMutator
             IndexMutator(self.spark, self._index_dir(idx_id)).upsert(docs)

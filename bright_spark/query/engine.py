@@ -55,9 +55,15 @@ def fkey(field: str, term: str) -> str:
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 snapshot_id: int | None = None):
         self.spark = spark
-        self.catalog = IndexCatalog(index_dir)
+        self.catalog = IndexCatalog(index_dir, snapshot_id=snapshot_id)
+        # pin every read of this engine to one snapshot: queries are
+        # immune to concurrent mutation commits (the poll-loop ingestor
+        # commits while searches run), and ``snapshot_id`` time-travels
+        # to any retained snapshot
+        self.snapshot_id = self.catalog.pin()
         self.planner = Planner(spark, self.catalog)
         self.meta = self.planner.meta
         self.extra = self.planner.extra

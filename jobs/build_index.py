@@ -123,8 +123,8 @@ def main() -> None:
             import shutil
             shutil.rmtree(idx_dir, ignore_errors=True)
 
-    with open(os.path.join(args.index_dir, "meta.json")) as f:
-        n_docs = json.load(f)["n_docs"]
+    from bright_spark.index.catalog import IndexCatalog
+    n_docs = IndexCatalog(args.index_dir).load_meta()["n_docs"]
 
     print(json.dumps({
         "n_docs": n_docs,

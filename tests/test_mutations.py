@@ -157,10 +157,9 @@ def test_every_write_keeps_one_file_per_bucket(spark, repos_parquet,
     build_index(spark, src, idx, IndexConfig(id="c"), n_build_partitions=4)
 
     def bucket_file_counts():
-        root = os.path.join(idx, "postings")
-        return {d: len([f for f in os.listdir(os.path.join(root, d))
-                        if f.endswith(".parquet")])
-                for d in os.listdir(root) if d.startswith("bucket=")}
+        from bright_spark.index.catalog import IndexCatalog
+        return {d: len([f for f in os.listdir(d) if f.endswith(".parquet")])
+                for d in IndexCatalog(idx).postings_dirs()}
 
     assert all(n == 1 for n in bucket_file_counts().values())
     for i in range(2):

@@ -21,16 +21,26 @@ def _plan(df, mode="formatted"):
 
 
 def test_postings_lookup_pushes_filters(spark, engine):
-    """Term lookup must reach the parquet scan as partition +
-    row-group predicates (the FST-seek analog): bucket filters prune
-    directories, term filters prune via min/max."""
-    df = engine.catalog.postings_for_terms(
-        spark, [("content", "user"), ("content", "config")])
+    """Term lookup must reach the parquet scan as directory +
+    row-group pruning (the FST-seek analog): the catalog resolves ONLY
+    the query terms' bucket version-dirs from the snapshot manifest
+    (other buckets are never listed), and term filters prune row
+    groups via min/max."""
+    from bright_spark.index.catalog import term_bucket
+    pairs = [("content", "user"), ("content", "config")]
+    df = engine.catalog.postings_for_terms(spark, pairs)
     plan = _plan(df)
     assert "PushedFilters" in plan
     assert "term" in plan.split("PushedFilters")[1][:400]
-    # bucket is a directory-partition column -> PartitionFilters
-    assert "bucket" in plan
+    # directory pruning: every file the scan touches lives under one of
+    # the two query terms' bucket dirs
+    n_buckets = engine.catalog.load_config().n_term_buckets
+    want = {f"b{term_bucket(t, n_buckets):05d}" for _, t in pairs}
+    files = df.inputFiles()
+    assert files, "scan resolved no files"
+    assert all(any(f"/{b}/" in f for b in want) for f in files), files
+    # and the scan lists strictly fewer dirs than a full postings scan
+    assert len({f.rsplit("/", 2)[0] for f in files}) <= len(want)
 
 
 def test_docs_attr_predicate_pushdown(spark, engine):

@@ -90,10 +90,11 @@ def test_rerun_completed_build_is_noop(spark, small_src, tmp_path_factory):
     rb = ResumableIndexBuilder(spark, IndexConfig(id="n"), idx, n_shards=2,
                                n_build_partitions=4)
     rb.build(small_src)
-    mtime = os.path.getmtime(rb.catalog.meta_file)
+    sid = rb.catalog.current_snapshot_id()
     attempts = {c["key"]: c["attempt"] for c in rb.store.all()}
     rb2 = ResumableIndexBuilder(spark, IndexConfig(id="n"), idx, n_shards=2,
                                 n_build_partitions=4)
     rb2.build(small_src)
     assert {c["key"]: c["attempt"] for c in rb2.store.all()} == attempts
-    assert os.path.getmtime(rb2.catalog.meta_file) == mtime
+    # no new snapshot was committed — the re-run did no work
+    assert rb2.catalog.current_snapshot_id() == sid
