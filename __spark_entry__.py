@@ -53,16 +53,27 @@ def _engine(spark: SparkSession, sf_dir: str):
         built = IndexCatalog(idx_dir).load_meta().get("version") == 3
     except (FileNotFoundError, KeyError):
         built = False
+    if built:
+        # layout v3 caches from before the derived date attr lack it
+        built = "created_at" in (
+            IndexCatalog(idx_dir).load_extra().get("attr_cols") or [])
     if not built:
         import shutil
         shutil.rmtree(idx_dir, ignore_errors=True)
+        # Q12 date attribute: deterministic per-doc date derived from
+        # doc_id (the driver tables carry no date column); the oracle
+        # re-derives the identical expression in DuckDB
+        src = _docs(spark, sf_dir).withColumn(
+            "created_at",
+            F.date_add(F.lit("2020-01-01").cast("date"),
+                       F.pmod(F.col("doc_id"), F.lit(365)).cast("int")))
         build_index(
-            spark, _docs(spark, sf_dir), idx_dir,
+            spark, src, idx_dir,
             IndexConfig(id="documents", tokenizer="simple", n_term_buckets=8,
                         store_positions=True),
             content_col="text", id_col="doc_id", lang_col="lang",
-            attr_cols=("source", "n_chars"), text_cols=("source",),
-            n_build_partitions=8)
+            attr_cols=("source", "n_chars", "created_at"),
+            text_cols=("source",), n_build_partitions=8)
     eng = SearchEngine(spark, idx_dir)
     _ENGINES[key] = eng
     return eng
@@ -293,6 +304,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_bm25_not": _q_bm25("spark NOT join"),
         "ft_bm25_filter_lang": _q_bm25("lang:en spark"),
         "ft_bm25_range": _q_bm25("n_chars:>300 spark"),
+        # Q12 date range: inclusive [a TO b] over an indexed DATE attr
+        "ft_date_range": _q_bm25(
+            "created_at:[2020-02-01 TO 2020-03-15] spark"),
         "ft_wildcard": _q_bm25("sp*"),
         "ft_fuzzy": _q_bm25("spark~1"),
         "ft_boost": _q_bm25("spark^2 join"),
@@ -500,6 +514,11 @@ def oracle_sql() -> dict[str, str]:
             score_join="JOIN documents d ON d.doc_id = tf.doc_id"),
         "ft_bm25_range": _bm25_sql(
             "tf.term IN ('spark') AND d.n_chars > 300",
+            score_join="JOIN documents d ON d.doc_id = tf.doc_id"),
+        "ft_date_range": _bm25_sql(
+            "tf.term IN ('spark') AND "
+            "(DATE '2020-01-01' + (d.doc_id % 365)::INT) "
+            "BETWEEN DATE '2020-02-01' AND DATE '2020-03-15'",
             score_join="JOIN documents d ON d.doc_id = tf.doc_id"),
         "ft_wildcard": _bm25_sql("tf.term LIKE 'sp%'"),
         "ft_fuzzy": _bm25_sql(

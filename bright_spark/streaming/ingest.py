@@ -36,10 +36,20 @@ DELETED_COL = "_deleted"
 
 class StreamingIngestor:
     def __init__(self, spark: SparkSession, index_dir: str,
-                 checkpoint_dir: str | None = None):
+                 checkpoint_dir: str | None = None,
+                 vacuum_keep: int | None = 8):
+        """``vacuum_keep``: a perpetual poll loop commits one snapshot
+        per applied mutation, so the ingestor expires old snapshots
+        after each batch, retaining the most recent ``vacuum_keep``
+        (None disables — snapshots then accumulate until the operator
+        vacuums explicitly). Readers pinned to an expired snapshot
+        error on their next posting fetch — the Iceberg snapshot-expiry
+        contract; size vacuum_keep to the poll interval x the longest
+        query you expect to run concurrently."""
         self.spark = spark
         self.index_dir = index_dir
         self.catalog = IndexCatalog(index_dir)
+        self.vacuum_keep = vacuum_keep
         self.checkpoint_dir = checkpoint_dir or os.path.join(
             index_dir, "stream_checkpoint")
 
@@ -83,6 +93,8 @@ class StreamingIngestor:
                 ids_df = (docs.join(keyrows, keys, "left_semi")
                           .select("doc_id"))
             mut.delete_where(ids_df)
+        if self.vacuum_keep is not None:
+            self.catalog.vacuum(keep_last=self.vacuum_keep)
 
     def run_available_now(self, source_dir: str, schema) -> None:
         """Catch-up sync: process every unseen file in ``source_dir``

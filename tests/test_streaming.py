@@ -146,3 +146,33 @@ def test_continuous_trigger_poll_loop(spark, tmp_path_factory):
         assert ok, "continuous trigger never applied the batch"
     finally:
         q.stop()
+
+
+def test_poll_loop_snapshot_retention_bounded(spark, tmp_path_factory):
+    """A perpetual poll loop must not accumulate snapshots without
+    bound: the ingestor auto-expires after each batch, keeping
+    vacuum_keep, and the live index stays fully queryable."""
+    base = tmp_path_factory.mktemp("vac")
+    pdf = make_repos(12, 5)
+    src = str(base / "src.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    idx = str(base / "idx")
+    build_index(spark, spark.read.parquet(src), idx, IndexConfig(id="v"),
+                n_build_partitions=2)
+    feed = str(base / "feed")
+    os.makedirs(feed, exist_ok=True)
+    ing = StreamingIngestor(spark, idx, checkpoint_dir=str(base / "ckpt"),
+                            vacuum_keep=2)
+    for i in range(3):
+        row = dict(pdf.iloc[0].to_dict())
+        row.update(path=f"gen/new_{i}.py", commit=str(i % 10) * 40,
+                   content=f"def vac_marker_{i}(): pass", _deleted=None)
+        spark.createDataFrame([row], SCHEMA).write.mode("append").parquet(feed)
+        ing.run_available_now(feed, SCHEMA)
+    cat = IndexCatalog(idx)
+    snaps = cat.snapshots()
+    assert len(snaps) <= 2, [m["snapshot_id"] for m in snaps]
+    eng = SearchEngine(spark, idx)
+    assert eng.meta["n_docs"] == 15
+    assert len(eng.search_df("vac_marker_0", k=5).collect()) == 1
+    assert len(eng.search_df("vac_marker_2", k=5).collect()) == 1
