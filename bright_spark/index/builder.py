@@ -673,11 +673,16 @@ class IndexBuilder:
             "filter_stopwords": self.filter_stopwords,
             "n_build_partitions": self.n_build_partitions,
         })
+        import time
+        t0 = time.time()
         pending = self.catalog.begin()
         self.build_docs(source, pending)
         self.build_postings(source, pending)
         meta = self.build_stats(pending)
-        pending.commit(meta, "build")
+        pending.commit(meta, "build", metrics={
+            "n_docs": meta["n_docs"],
+            "buckets_written": len(pending.tables["postings"]),
+            "wall_ms": int((time.time() - t0) * 1000)})
         return self.catalog
 
 

@@ -91,6 +91,12 @@ def _snap_name(snapshot_id: int) -> str:
     return f"s{snapshot_id:08d}"
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this pending snapshot began —
+    the optimistic-concurrency check Iceberg performs on its metadata
+    pointer. The loser re-begins from the new snapshot and replays."""
+
+
 class PendingSnapshot:
     """An uncommitted snapshot: new version dirs + inherited pointers.
 
@@ -150,10 +156,20 @@ class PendingSnapshot:
 
     # ----------------------------------------------------------- commit
 
-    def commit(self, meta: dict[str, Any], operation: str) -> int:
+    def commit(self, meta: dict[str, Any], operation: str,
+               metrics: dict[str, Any] | None = None) -> int:
         """Write the manifest, then atomically flip CURRENT. Everything
-        before the final ``os.replace`` is invisible to readers."""
+        before the final ``os.replace`` is invisible to readers. Fails
+        with :class:`CommitConflictError` if CURRENT moved since
+        ``begin()`` (optimistic concurrency — losers replay on top of
+        the winner instead of silently clobbering its tables)."""
         cat = self.catalog
+        live = cat.current_snapshot_id()
+        expected = self.parent["snapshot_id"] if self.parent else None
+        if live != expected:
+            raise CommitConflictError(
+                f"snapshot {live} was committed after this write began "
+                f"(expected parent {expected}); re-begin and replay")
         os.makedirs(cat.snapshots_dir, exist_ok=True)
         manifest = {
             "snapshot_id": self.snapshot_id,
@@ -161,6 +177,7 @@ class PendingSnapshot:
             "layout_version": LAYOUT_VERSION,
             "operation": operation,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "metrics": metrics or {},
             "tables": self.tables,
             "meta": meta,
         }

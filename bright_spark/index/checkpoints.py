@@ -208,7 +208,9 @@ class ResumableIndexBuilder:
         pending.tables["postings"] = {}
         stage_postings_write(merged, pending, self.config.n_term_buckets)
         meta = self.builder.build_stats(pending)
-        sid = pending.commit(meta, "build")
+        sid = pending.commit(meta, "build", metrics={
+            "n_docs": meta["n_docs"], "n_shards": self.n_shards,
+            "buckets_written": len(pending.tables["postings"])})
         self.store.put("merge", {
             "status": "done", "attempt": (ck or {}).get("attempt", 0) + 1,
             "n_shards": self.n_shards, "snapshot_id": sid,

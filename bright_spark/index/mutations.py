@@ -328,18 +328,19 @@ class IndexMutator:
         if n_changed == 0:
             return
         if n_changed > self.broadcast_threshold:
-            self._apply_inner(changed, ids_df, drop_bc=None)
+            self._apply_inner(changed, ids_df, drop_bc=None,
+                              n_changed=n_changed)
             return
         changed_id_arr = np.unique(np.array(
             [r["doc_id"] for r in ids_df.collect()], dtype=np.int64))
         drop_bc = spark.sparkContext.broadcast(changed_id_arr)
         try:
-            self._apply_inner(changed, ids_df, drop_bc)
+            self._apply_inner(changed, ids_df, drop_bc, n_changed=n_changed)
         finally:
             drop_bc.unpersist()
 
     def _apply_inner(self, changed: DataFrame | None, ids_df: DataFrame,
-                     drop_bc) -> None:
+                     drop_bc, n_changed: int = 0) -> None:
         cfg = self.config
         spark = self.spark
         pending = self.catalog.begin()
@@ -423,4 +424,7 @@ class IndexMutator:
         # ---- term_stats + meta recompute (stats pass reuses builder),
         # then ONE atomic commit for docs + buckets + stats together
         meta = self._builder().build_stats(pending)
-        pending.commit(meta, "upsert" if changed is not None else "delete")
+        pending.commit(
+            meta, "upsert" if changed is not None else "delete",
+            metrics={"n_changed": n_changed,
+                     "buckets_rewritten": len(affected_buckets)})

@@ -171,3 +171,36 @@ def test_docs_join_mutation_equivalence_after_snapshots(spark, snap_idx):
     n = docs.count()
     assert docs.select("doc_id").distinct().count() == n
     assert cat.load_meta()["n_docs"] == n
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path_factory):
+    """Two writers racing from the same parent: the second commit must
+    fail loudly (optimistic concurrency), never silently clobber."""
+    from bright_spark.index.catalog import CommitConflictError
+
+    idx = str(tmp_path_factory.mktemp("cc") / "idx")
+    build_index(spark, spark.createDataFrame(_rows(10)), idx,
+                IndexConfig(id="cc", tokenizer="simple", n_term_buckets=4),
+                content_col="text", id_col="rid", lang_col=None,
+                n_build_partitions=2)
+    cat = IndexCatalog(idx)
+    meta = cat.load_meta()
+    p1, p2 = cat.begin(), cat.begin()
+    p1.commit(meta, "upsert")
+    with pytest.raises(CommitConflictError):
+        p2.commit(meta, "upsert")
+    # winner's snapshot is live and intact
+    assert cat.current_snapshot_id() == p1.snapshot_id
+
+
+def test_manifest_lineage_metrics(spark, snap_idx):
+    """Every commit records operation metrics in its manifest (the
+    per-commit analog of the build checkpoints' lineage rows)."""
+    cat = IndexCatalog(snap_idx)
+    ms = cat.snapshots()
+    build = next(m for m in ms if m["operation"] == "build")
+    assert build["metrics"]["n_docs"] == 60
+    assert build["metrics"]["buckets_written"] >= 1
+    mut = [m for m in ms if m["operation"] in ("upsert", "delete")]
+    assert mut and all("buckets_rewritten" in m["metrics"] for m in mut)
+    assert all(m["metrics"].get("n_changed", 0) >= 1 for m in mut)
