@@ -316,6 +316,18 @@ class IndexCatalog:
         pdir = os.path.join(data, "postings")
         if os.path.isdir(pdir):
             for b in os.listdir(pdir):
+                if b.startswith(".staging-v"):
+                    # a crashed writer's staging dir: stale once a
+                    # commit at or past its version exists
+                    try:
+                        vid = int(b.split("-v")[1])
+                    except ValueError:
+                        continue
+                    if vid <= live:
+                        full = os.path.join(pdir, b)
+                        shutil.rmtree(full, ignore_errors=True)
+                        deleted.append(full)
+                    continue
                 reclaim(os.path.join(pdir, b),
                         os.path.join("data", "postings", b))
         return deleted

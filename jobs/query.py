@@ -36,6 +36,9 @@ def main() -> None:
     ap.add_argument("--master", default=None)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--task-cpus", type=int, default=1)
+    ap.add_argument("--snapshot", type=int, default=None,
+                    help="time-travel: query this snapshot id instead "
+                         "of the live one")
     args = ap.parse_args()
 
     from bright_spark.query.engine import SearchEngine
@@ -44,7 +47,7 @@ def main() -> None:
     spark = get_spark("query", master=args.master,
                       shuffle_partitions=args.partitions,
                       extra_conf={"spark.task.cpus": str(args.task_cpus)})
-    eng = SearchEngine(spark, args.index_dir)
+    eng = SearchEngine(spark, args.index_dir, snapshot_id=args.snapshot)
 
     if args.bench:
         with open(args.bench) as f:
