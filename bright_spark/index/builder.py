@@ -338,19 +338,30 @@ def _make_merge_fn(block_size: int, n_buckets: int,
 
 
 def stage_postings_write(df: DataFrame, pending: PendingSnapshot,
-                         n_partitions: int) -> set[int]:
+                         n_buckets: int,
+                         files_per_bucket: int = 1) -> set[int]:
     """Write posting rows into per-bucket version dirs of ``pending``:
     one partitionBy job into a staging dir, then a driver-side rename
     of each ``pbucket=B`` dir into its immutable
     ``data/postings/b{B}/v{N}`` home (rename, not copy — same fs).
     ``bucket`` stays a DATA column in the files (the partition column
     is a duplicate), so reads over explicit bucket dirs keep it.
-    Returns the set of buckets that received rows."""
+
+    ``files_per_bucket`` (S) splits each bucket into deterministic
+    doc-range slices (pmod(range_id, S)): write parallelism becomes
+    ~n_buckets x S instead of capping at the bucket count, and no
+    single file holds a whole bucket. Every file stays term-sorted
+    (row-group min/max pruning unchanged) and the per-bucket file
+    count stays bounded at S across all mutations. Returns the set of
+    buckets that received rows."""
     staging = os.path.join(pending.catalog.index_dir, "data", "postings",
                            f".staging-v{pending.snapshot_id:08d}")
     shutil.rmtree(staging, ignore_errors=True)
+    s = max(1, int(files_per_bucket))
+    slot = (F.col("bucket").cast("bigint") * s
+            + F.pmod(F.col("range_id"), F.lit(s)))
     (df.withColumn("pbucket", F.col("bucket"))
-       .repartition(max(n_partitions, 1), "bucket")
+       .repartition(max(1, n_buckets) * s, slot)
        .sortWithinPartitions("term", "field", "range_id")
        .write.mode("overwrite").partitionBy("pbucket").parquet(staging))
     written: set[int] = set()
@@ -565,7 +576,8 @@ class IndexBuilder:
         pending.tables["postings"] = {}
         # term leads the in-file sort so parquet row-group min/max
         # prunes term lookups; field is a low-cardinality secondary key
-        stage_postings_write(merged, pending, cfg.n_term_buckets)
+        stage_postings_write(merged, pending, cfg.n_term_buckets,
+                             cfg.files_per_bucket or 1)
 
     # -------------------------------------------------------- stage 3
 
@@ -652,6 +664,10 @@ class IndexBuilder:
         repl: dict = {}
         if self.config.n_term_buckets is None:
             repl["n_term_buckets"] = min(256, max(16, self.n_build_partitions))
+        if self.config.files_per_bucket is None:
+            nb = repl.get("n_term_buckets", self.config.n_term_buckets)
+            repl["files_per_bucket"] = max(1, self.n_build_partitions
+                                           // max(1, nb))
         if self.config.range_bits is None:
             n_docs = source.count()
             self._n_docs = int(n_docs)

@@ -206,7 +206,8 @@ class ResumableIndexBuilder:
                                               self.config.store_positions),
                                schema=POSTINGS_SCHEMA))
         pending.tables["postings"] = {}
-        stage_postings_write(merged, pending, self.config.n_term_buckets)
+        stage_postings_write(merged, pending, self.config.n_term_buckets,
+                             self.config.files_per_bucket or 1)
         meta = self.builder.build_stats(pending)
         sid = pending.commit(meta, "build", metrics={
             "n_docs": meta["n_docs"], "n_shards": self.n_shards,

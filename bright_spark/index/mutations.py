@@ -33,10 +33,11 @@ Invariant (tested): mutate-then-query == full-rebuild-then-query.
 
 No background compaction is needed (the reference's Bleve scorch runs
 a background segment merger): every write — initial build and every
-mutation — repartitions on ``bucket`` before a partitionBy write, so
-each bucket directory always holds exactly ONE term-sorted file
-(tested in test_mutations.py); there is no segment accumulation to
-merge away.
+mutation — repartitions on (bucket, range-slice) before a partitionBy
+write, so each bucket directory always holds at most
+``files_per_bucket`` term-sorted files (tested in test_mutations.py);
+file count never grows with mutation count — there is no segment
+accumulation to merge away.
 """
 
 from __future__ import annotations
@@ -416,7 +417,8 @@ class IndexMutator:
                                  schema=POSTINGS_SCHEMA))
         rebuilt = untouched.unionByName(remerged)
         written = stage_postings_write(rebuilt, pending,
-                                       len(affected_buckets) or 1)
+                                       len(affected_buckets) or 1,
+                                       cfg.files_per_bucket or 1)
         for b in affected_buckets:
             if b not in written:
                 pending.drop_postings_bucket(b)  # bucket emptied

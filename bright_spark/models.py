@@ -47,6 +47,16 @@ class IndexConfig:
     # being capped at 16 tasks; real deployments size this to the
     # cluster (e.g. 1024-4096 buckets at 10^12 docs).
     n_term_buckets: int | None = None
+    # term-sorted files per postings bucket dir. None = auto-resolved
+    # at build time to n_build_partitions / n_term_buckets (>= 1): the
+    # final write then parallelizes at ~the build width instead of
+    # being capped at n_term_buckets tasks, and no single parquet file
+    # has to hold a whole bucket (a terabyte at 10^12 docs). Files are
+    # deterministic doc-range slices (pmod(range_id, S)), each still
+    # term-sorted, so row-group min/max pruning is unchanged; file
+    # count per bucket is BOUNDED at S forever (mutations rewrite whole
+    # buckets) — the no-compaction invariant keeps holding.
+    files_per_bucket: int | None = None
     store_content: bool = True  # keep raw content in docs table (R3 retrieve)
     # store per-emission base positions in postings (Q4 phrase queries
     # verified from the index alone — required for phrases when content
