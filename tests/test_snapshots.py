@@ -204,3 +204,51 @@ def test_manifest_lineage_metrics(spark, snap_idx):
     mut = [m for m in ms if m["operation"] in ("upsert", "delete")]
     assert mut and all("buckets_rewritten" in m["metrics"] for m in mut)
     assert all(m["metrics"].get("n_changed", 0) >= 1 for m in mut)
+
+
+@pytest.mark.parametrize("crash_point", ["postings_write", "stats", "commit"])
+def test_crash_at_every_write_stage_is_atomic(spark, tmp_path_factory,
+                                              monkeypatch, crash_point):
+    """Inject a crash at EACH stage of the mutation write sequence:
+    whatever the stage, the old snapshot must stay live and intact and
+    a retry must commit cleanly (there is no partially-visible state
+    to repair — version dirs are invisible until CURRENT flips)."""
+    from bright_spark.index import builder as builder_mod
+    from bright_spark.index import catalog as catalog_mod
+    from bright_spark.index import mutations as mutations_mod
+
+    idx = str(tmp_path_factory.mktemp(f"crash_{crash_point}") / "idx")
+    build_index(spark, spark.createDataFrame(_rows(40)), idx,
+                IndexConfig(id="x", tokenizer="simple", n_term_buckets=4),
+                content_col="text", id_col="rid", lang_col=None,
+                n_build_partitions=2)
+    sid = IndexCatalog(idx).current_snapshot_id()
+    baseline = {r["doc_id"] for r in
+                SearchEngine(spark, idx).search_df("common", k=100).collect()}
+
+    def boom(*a, **k):
+        raise RuntimeError("injected")
+
+    targets = {
+        # mutations call stage_postings_write via their own import
+        "postings_write": (mutations_mod, "stage_postings_write"),
+        "stats": (builder_mod.IndexBuilder, "build_stats"),
+        "commit": (catalog_mod.PendingSnapshot, "commit"),
+    }
+    obj, name = targets[crash_point]
+    monkeypatch.setattr(obj, name, boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        IndexMutator(spark, idx).upsert(spark.createDataFrame(
+            [{"rid": 0, "text": f"crash_{crash_point} common"}]))
+    monkeypatch.undo()
+
+    assert IndexCatalog(idx).current_snapshot_id() == sid
+    eng = SearchEngine(spark, idx)
+    got = {r["doc_id"] for r in eng.search_df("common", k=100).collect()}
+    assert got == baseline
+    # retry commits cleanly on top of the intact snapshot
+    IndexMutator(spark, idx).upsert(spark.createDataFrame(
+        [{"rid": 0, "text": f"crash_{crash_point} common"}]))
+    eng2 = SearchEngine(spark, idx)
+    assert len(eng2.search_df(f"crash_{crash_point}", k=5).collect()) == 1
+    assert eng2.meta["n_docs"] == 40
