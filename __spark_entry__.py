@@ -161,6 +161,13 @@ def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.dedup import ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
+                                max_df=50)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.dedup import simhash
     return simhash(_docs(spark, sf_dir)).select(
@@ -325,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline operators
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -595,6 +603,25 @@ SELECT h.doc_id, h.content_hash, g.canonical_id, g.group_size
 FROM h JOIN g USING (content_hash)""",
         "dedup_minhash_lsh": f"""WITH {_MINHASH_PAIR_CTES}
 SELECT id_a, id_b, round(jac, 6) AS jaccard FROM ver""",
+        "dedup_ngram_jaccard": """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM t, unnest(range(1, len(t) - 1)) AS r(i)),
+rare AS (SELECT shingle FROM sh GROUP BY shingle
+         HAVING count(*) BETWEEN 2 AND 50),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN rare USING (shingle)
+          JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+inter AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS i
+          FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+          JOIN sh b ON b.doc_id = p.id_b AND a.shingle = b.shingle
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       round(i.i::DOUBLE / (ca.n + cb.n - i.i), 6) AS jaccard
+FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a
+             JOIN cnt cb ON cb.doc_id = i.id_b
+WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.5""",
         "dedup_clusters": f"""WITH RECURSIVE {_MINHASH_PAIR_CTES},
 e AS (SELECT id_a AS src, id_b AS dst FROM ver
       UNION SELECT id_b, id_a FROM ver),

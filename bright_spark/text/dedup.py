@@ -117,6 +117,39 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                     (inter.cast("double") / union).alias("jaccard"))
 
 
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", threshold: float = 0.5,
+                        k: int = 3, max_df: int = 50) -> DataFrame:
+    """Standalone n-gram Jaccard near-dup pairs (no minhash): candidate
+    pairs share at least one RARE shingle (document frequency <=
+    ``max_df``), then exact shingle-Jaccard filters at ``threshold``.
+
+    Rare-shingle blocking is the classic exact-dedup compromise: the
+    self-join fan-out per shingle is bounded by max_df (so the
+    candidate count is <= sum over rare shingles of C(df,2) — linear in
+    corpus size for fixed max_df), while near-identical docs virtually
+    always share a rare shingle. Unlike MinHash-LSH this needs no
+    signature tuning and finds pairs deterministically, at the cost of
+    missing pairs whose every common shingle is corpus-common (those
+    are weak matches at realistic thresholds anyway). All built-in
+    DataFrame ops: shingle explode -> df-filter -> equi-join ->
+    array_intersect verify."""
+    sh = shingles_df(df, id_col, text_col, k)
+    rare = (sh.groupBy("shingle")
+            .agg(F.count("*").alias("sdf"))
+            .filter((F.col("sdf") >= 2) & (F.col("sdf") <= max_df))
+            .select("shingle"))
+    blocked = sh.join(rare, "shingle")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b"))
+             .distinct())
+    return (jaccard_pairs(df, pairs, id_col, text_col, k)
+            .filter(F.col("jaccard") >= threshold))
+
+
 def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", threshold: float = 0.7,
                             n_hashes: int = 8, bands: int = 4,

@@ -241,3 +241,38 @@ def test_bpe_token_stats(spark):
     # double space: the word branch needs a letter right after its one
     # optional space, so 'a  b' scans as 'a', ' ' (ws run), ' b'
     assert r[2]["n_pretokens"] == 3
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(spark):
+    """Rare-shingle blocking must find exactly the brute-force pairs
+    when every shared shingle is rare (near-identical docs always
+    share one), and never emit a pair below the threshold."""
+    from itertools import combinations
+
+    import pandas as pd
+
+    from bright_spark.text.dedup import ngram_jaccard_pairs
+
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",
+        1: "alpha beta gamma delta epsilon eta",     # near-dup of 0
+        2: "one two three four five six seven",
+        3: "one two three four five six eight",      # near-dup of 2
+        4: "totally different words here now folks",
+    }
+    docs = spark.createDataFrame(pd.DataFrame(
+        [{"doc_id": i, "text": t} for i, t in texts.items()]))
+
+    def sh(t, k=3):
+        w = t.split()
+        return {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+
+    expect = set()
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        if sa & sb and len(sa & sb) / len(sa | sb) >= 0.4:
+            expect.add((a, b))
+
+    got = {(r["id_a"], r["id_b"])
+           for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert got == expect == {(0, 1), (2, 3)}
