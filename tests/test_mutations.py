@@ -278,3 +278,68 @@ def test_anti_join_fallback_matches_broadcast(spark, tmp_path_factory,
     _assert_equiv(spark, results["bc"], results["aj"],
                   QUERIES + ["fallback_marker", '"def fallback_marker"'
                              if store_positions else "fallback_marker"])
+
+
+def test_random_mutation_sequence_equals_rebuild(spark, mut_env):
+    """Seeded randomized interleaving of upserts / deletes / patches:
+    after the whole sequence (each step one snapshot commit), the index
+    must equal a fresh rebuild from the equivalently-mutated source —
+    the strongest form of the mutate==rebuild invariant, covering
+    commit-over-commit lineage across many snapshots."""
+    import random
+
+    import pandas as pd
+
+    pdf, src_path, base, idx = mut_env
+    rng = random.Random(1234)
+    state = {(
+        r.repo, r.path, r.commit): dict(r._asdict())
+        for r in pdf.itertuples(index=False)}
+    mut = IndexMutator(spark, idx)
+
+    for step in range(6):
+        op = rng.choice(["upsert_new", "upsert_replace", "delete", "patch"])
+        keys = sorted(state)
+        if op == "upsert_new":
+            rows = [{"repo": f"gen/r{step}", "path": f"src/n{step}_{j}.py",
+                     "commit": f"{step}{j}" * 20, "lang": "python",
+                     "content": f"def seq_marker_{step}_{j}(): parse config"}
+                    for j in range(rng.randint(1, 3))]
+        elif op == "upsert_replace":
+            picks = rng.sample(keys, min(2, len(keys)))
+            rows = []
+            for kk in picks:
+                r = dict(state[kk])
+                r["content"] = f"replaced_{step} user config " + r["content"][:40]
+                rows.append(r)
+        elif op == "delete":
+            picks = rng.sample(keys, min(2, len(keys)))
+            for kk in picks:
+                del state[kk]
+            mut.delete_where(
+                IndexMutator(spark, idx).catalog.docs(spark)
+                .filter(F.concat_ws("|", "repo", "path", "commit")
+                        .isin(["|".join(kk) for kk in picks]))
+                .select("doc_id"))
+            continue
+        else:  # patch one doc through the stored-merge path
+            kk = rng.choice(keys)
+            docs = IndexMutator(spark, idx).catalog.docs(spark)
+            row = docs.filter((F.col("repo") == kk[0])
+                              & (F.col("path") == kk[1])
+                              & (F.col("commit") == kk[2])).collect()[0]
+            new_content = f"patched_{step} session token"
+            mut.patch(int(row["doc_id"]), {"content": new_content})
+            state[kk] = {**state[kk], "content": new_content}
+            continue
+        for r in rows:
+            state[(r["repo"], r["path"], r["commit"])] = r
+        mut.upsert(spark.createDataFrame(pd.DataFrame(rows)))
+
+    rebuild = _rebuild(spark, pd.DataFrame(list(state.values())), base)
+    _assert_equiv(spark, idx, rebuild,
+                  QUERIES + ["seq_marker_0_0 OR replaced_1 OR patched_2"])
+    # the snapshot log recorded one commit per applied mutation
+    from bright_spark.index.catalog import IndexCatalog
+    ops = [m["operation"] for m in IndexCatalog(idx).snapshots()]
+    assert ops[0] == "build" and len(ops) == 7
