@@ -119,3 +119,63 @@ class StreamingIngestor:
                 .option("checkpointLocation", self.checkpoint_dir)
                 .trigger(processingTime=interval)
                 .start())
+
+
+class NotifyListener:
+    """S7 push-transport analog — LISTEN/NOTIFY without Postgres.
+
+    The reference's listen mode (ingresses/postgres/ingress.go:354-390)
+    does a catch-up sync at startup, then applies changes the moment a
+    NOTIFY arrives on its channel (listener.go:60-75; channel name from
+    config.go:43) instead of waiting out a poll interval. Here the
+    channel is a NOTIFY FILE separate from the data: producers append
+    one line per event after landing their batch in the changefeed dir;
+    the listener thread blocks on the channel (cheap stat, not a data-
+    dir scan) and runs one checkpointed ``availableNow`` pass per
+    signal — push-shaped latency with the exact same exactly-once
+    batch apply as the poll path, and missed signals are harmless
+    (each pass drains EVERYTHING unseen, mirroring the reference's
+    catch-up-on-startup semantics)."""
+
+    def __init__(self, ingestor: StreamingIngestor, notify_file: str,
+                 source_dir: str, schema, check_interval: float = 0.2):
+        import threading
+        self.ingestor = ingestor
+        self.notify_file = notify_file
+        self.source_dir = source_dir
+        self.schema = schema
+        self.check_interval = check_interval
+        self.syncs_run = 0
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _channel_state(self) -> int:
+        try:
+            return os.stat(self.notify_file).st_size
+        except FileNotFoundError:
+            return -1
+
+    def _loop(self) -> None:
+        import time
+        seen = self._channel_state()
+        # catch-up sync before listening (ingress.go:372-376)
+        self.ingestor.run_available_now(self.source_dir, self.schema)
+        self.syncs_run += 1
+        while not self._stop.is_set():
+            cur = self._channel_state()
+            if cur != seen:
+                seen = cur
+                self.ingestor.run_available_now(self.source_dir, self.schema)
+                self.syncs_run += 1
+            else:
+                time.sleep(self.check_interval)
+
+    def start(self) -> None:
+        import threading
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self, timeout: float = 60.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=timeout)

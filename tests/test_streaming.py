@@ -176,3 +176,65 @@ def test_poll_loop_snapshot_retention_bounded(spark, tmp_path_factory):
     assert eng.meta["n_docs"] == 15
     assert len(eng.search_df("vac_marker_0", k=5).collect()) == 1
     assert len(eng.search_df("vac_marker_2", k=5).collect()) == 1
+
+
+def test_notify_listener_push_sync(spark, tmp_path_factory):
+    """S7 push analog: a notify-channel append (NOT a poll interval)
+    triggers the apply; the startup catch-up drains pre-existing
+    files, exactly the reference's catch-up-then-listen sequence
+    (ingresses/postgres/ingress.go:354-390)."""
+    import time
+
+    from bright_spark.streaming.ingest import NotifyListener
+
+    base = tmp_path_factory.mktemp("notify")
+    pdf = make_repos(10, 77)
+    src = str(base / "src.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+    idx = str(base / "idx")
+    build_index(spark, spark.read.parquet(src), idx, IndexConfig(id="n7"),
+                n_build_partitions=2)
+    feed = str(base / "feed")
+    os.makedirs(feed, exist_ok=True)
+
+    def drop_batch(i):
+        import glob
+        import shutil
+        row = dict(pdf.iloc[0].to_dict())
+        row.update(path=f"gen/notify_{i}.py", commit=str(i % 10) * 40,
+                   content=f"def notified_doc_{i}(): pass", _deleted=None)
+        stage = str(base / f"stage_{i}")
+        spark.createDataFrame([row], SCHEMA).write.mode("overwrite") \
+            .parquet(stage)
+        for f in glob.glob(os.path.join(stage, "part-*.parquet")):
+            shutil.move(f, os.path.join(feed, os.path.basename(f)))
+
+    drop_batch(0)  # lands BEFORE the listener starts -> catch-up sync
+    ing = StreamingIngestor(spark, idx, checkpoint_dir=str(base / "ckpt"))
+    notify = str(base / "channel")
+    lst = NotifyListener(ing, notify, feed, SCHEMA)
+    lst.start()
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if SearchEngine(spark, idx).meta["n_docs"] == 11:
+                break
+            time.sleep(1)
+        assert SearchEngine(spark, idx).meta["n_docs"] == 11  # catch-up
+
+        drop_batch(1)
+        with open(notify, "a") as f:       # pg_notify analog
+            f.write("INSERT gen/notify_1.py\n")
+        deadline = time.time() + 120
+        ok = False
+        while time.time() < deadline:
+            eng = SearchEngine(spark, idx)
+            if eng.meta["n_docs"] == 12 and \
+                    len(eng.search_df("notified_doc_1", k=5).collect()) == 1:
+                ok = True
+                break
+            time.sleep(1)
+        assert ok, "notify never triggered the apply"
+        assert lst.syncs_run >= 2
+    finally:
+        lst.stop()
