@@ -265,6 +265,30 @@ class IndexCatalog:
                     out.append(json.load(f))
         return out
 
+    def snapshot_diff(self, from_id: int, to_id: int) -> dict:
+        """Version dirs that changed between two retained snapshots —
+        the unit of incremental replication: a follower holding
+        ``from_id`` fetches exactly ``changed`` + ``added`` dirs (plus
+        the manifest) to reach ``to_id``; at 10^12 docs a sync batch
+        diff is a handful of bucket dirs, not the index."""
+        a, b = self.read_manifest(from_id), self.read_manifest(to_id)
+
+        def flat(m):
+            t = m["tables"]
+            out = {k: v for k, v in t.items() if k != "postings"}
+            out.update({f"postings/{k}": v for k, v in t["postings"].items()})
+            return out
+
+        fa, fb = flat(a), flat(b)
+        return {
+            "added": sorted(fb[k] for k in fb.keys() - fa.keys()),
+            "removed": sorted(fa[k] for k in fa.keys() - fb.keys()),
+            "changed": sorted(fb[k] for k in fa.keys() & fb.keys()
+                              if fa[k] != fb[k]),
+            "unchanged": sorted(fb[k] for k in fa.keys() & fb.keys()
+                                if fa[k] == fb[k]),
+        }
+
     def begin(self) -> PendingSnapshot:
         sid = self.current_snapshot_id()
         return PendingSnapshot(self, self.read_manifest(sid)

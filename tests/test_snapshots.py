@@ -252,3 +252,27 @@ def test_crash_at_every_write_stage_is_atomic(spark, tmp_path_factory,
     eng2 = SearchEngine(spark, idx)
     assert len(eng2.search_df(f"crash_{crash_point}", k=5).collect()) == 1
     assert eng2.meta["n_docs"] == 40
+
+
+def test_snapshot_diff_is_the_replication_unit(spark, tmp_path_factory):
+    """snapshot_diff between consecutive commits lists exactly the
+    re-versioned dirs — a follower syncs those and nothing else."""
+    idx = str(tmp_path_factory.mktemp("diff") / "idx")
+    build_index(spark, spark.createDataFrame(_rows(40)), idx,
+                IndexConfig(id="d", tokenizer="simple", n_term_buckets=8),
+                content_col="text", id_col="rid", lang_col=None,
+                n_build_partitions=2)
+    IndexMutator(spark, idx).upsert(spark.createDataFrame(
+        [{"rid": 0, "text": "diff_marker common"}]))
+    cat = IndexCatalog(idx)
+    d = cat.snapshot_diff(1, 2)
+    # docs/term_stats/index_meta always re-version on mutation; only
+    # the touched buckets join them
+    assert any("data/docs/" in p for p in d["changed"])
+    changed_buckets = [p for p in d["changed"] if "postings" in p]
+    unchanged_buckets = [p for p in d["unchanged"] if "postings" in p]
+    assert changed_buckets and unchanged_buckets
+    assert not d["added"] and not d["removed"]
+    # the diff'd dirs all exist and total far less than the index
+    for p in d["changed"]:
+        assert os.path.isdir(os.path.join(idx, p))
