@@ -302,6 +302,24 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10))
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN over a persisted leader-partitioned index: deterministic
+    # md5-sampled leaders + round-6 argmax assignment make the whole
+    # index (and therefore the probe result) SQL-re-derivable.
+    from bright_spark.vectors.similarity import build_ivf_index, ivf_topk
+    emb = _emb(spark, sf_dir)
+    key = os.path.abspath(sf_dir)
+    ivf_dir = os.path.join(_GATE_DIR,
+                           key.strip("/").replace("/", "_") + "_ivf_idx")
+    if not os.path.exists(os.path.join(ivf_dir, "_ivf_meta.json")):
+        build_ivf_index(emb, ivf_dir, n_leaders=32)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
+            .select("embedding").collect()[0][0]]
+    top = ivf_topk(spark, ivf_dir, qvec, k=30, nprobe=4, exclude_ids=[0])
+    return (top.select("vec_id", F.round("cosine", 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- full-text engine (SURVEY.md §2.5 Q1-Q15, §2.6 R1-R2)
@@ -348,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,  # deterministic LSH -> full oracle
+        "ann_ivf_topk": _q_ann_ivf,  # deterministic IVF -> full oracle
         "ann_near_dup_cosine": _q_near_dup_cosine,
     }
 
@@ -744,5 +763,31 @@ c AS (SELECT vec_id,
       WHERE vec_id <> 0)
 SELECT vec_id, round(cos, 4) AS cosine
 FROM c ORDER BY round(cos, 4) DESC, vec_id LIMIT 20""",
+        "ann_ivf_topk": """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+l AS (SELECT vec_id AS lid, embedding::DOUBLE[] AS lv FROM embeddings
+      ORDER BY md5('ivf|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+asg AS (SELECT e.vec_id, l.lid,
+        row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          round(list_dot_product(e.embedding::DOUBLE[], l.lv)
+            / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+               * sqrt(list_dot_product(l.lv, l.lv))), 6) DESC, l.lid) AS rn
+        FROM embeddings e CROSS JOIN l),
+member AS (SELECT vec_id, lid FROM asg WHERE rn = 1),
+probe AS (SELECT lid FROM l, q ORDER BY
+          round(list_dot_product(l.lv, qv)
+            / (sqrt(list_dot_product(l.lv, l.lv))
+               * sqrt(list_dot_product(qv, qv))), 6) DESC, lid
+          LIMIT 4),
+c AS (SELECT e.vec_id,
+             list_dot_product(e.embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))) AS cos
+      FROM embeddings e
+      JOIN member m ON m.vec_id = e.vec_id
+      JOIN probe p ON p.lid = m.lid, q
+      WHERE e.vec_id <> 0)
+SELECT vec_id, round(cos, 4) AS cosine
+FROM c ORDER BY round(cos, 4) DESC, vec_id LIMIT 10""",
     }
     return sql

@@ -131,12 +131,20 @@ def main() -> None:
         timed("ann_lsh_indexed",
               lambda: ann_topk_indexed(spark, ann_dir, qvec, k=10,
                                        probe_hamming=2).collect())
+        from bright_spark.vectors.similarity import build_ivf_index, ivf_topk
+        ivf_dir = idx_dir + "_ivf"
+        timed("ann_ivf_build",
+              lambda: build_ivf_index(emb, ivf_dir, n_leaders=32))
+        timed("ann_ivf_indexed",
+              lambda: ivf_topk(spark, ivf_dir, qvec, k=10,
+                               nprobe=4).collect())
         timed("ann_near_dup", lambda: near_duplicates_cosine(
             emb, threshold=0.3, n_planes=6, dim=64).count())
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(idx_dir + "_fielded", ignore_errors=True)
         shutil.rmtree(idx_dir + "_ann", ignore_errors=True)
+        shutil.rmtree(idx_dir + "_ivf", ignore_errors=True)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -150,6 +150,100 @@ def build_ann_index(df: DataFrame, index_dir: str, dim: int,
         json.dump({"dim": dim, "n_planes": n_planes}, f)
 
 
+def _leader_order_cols(id_col: str):
+    """Deterministic leader sample order: lowest md5('ivf|' || id)
+    first (id tiebreak) — the same ORDER BY re-derives the leader set
+    in any engine, no RNG state."""
+    key = F.md5(F.encode(
+        F.concat(F.lit("ivf|"), F.col(id_col).cast("string")), "UTF-8"))
+    return [key, F.col(id_col)]
+
+
+def build_ivf_index(df: DataFrame, index_dir: str, n_leaders: int = 32,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """IVF (inverted-file) ANN index — the classic coarse-quantizer
+    scale path: vectors are bucketed into the list of their nearest
+    LEADER vector, and a query probes only the ``nprobe`` nearest
+    lists. Leaders are a deterministic pseudo-random sample (lowest
+    md5('ivf|' || vec_id), a seeded leader-clustering pick — no
+    k-means RNG state, so a SQL oracle re-derives the identical index).
+    Assignment cosine is rounded to 6 decimals with a leader-id
+    tiebreak before the argmax, making the bucketing float-portable
+    across engines. The assignment pass is ONE Arrow-batched
+    numpy matmul over the table (leaders broadcast, L x dim tiny);
+    lists are partition dirs, so a probe reads ~nprobe/L of the data
+    via partition pruning — at 10^12 vectors, L is sized like postings
+    buckets (e.g. 2^14 lists) and probes touch a handful of dirs."""
+    import json
+    import os
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    leaders = (df.select(F.col(id_col).alias("lid"),
+                         F.col(vec_col).alias("lv"))
+               .orderBy(*_leader_order_cols("lid"))
+               .limit(n_leaders).collect())
+    leaders = sorted(((int(r["lid"]), [float(x) for x in r["lv"]])
+                      for r in leaders))  # ascending leader id = argmax
+    leader_ids = np.array([lid for lid, _ in leaders], dtype=np.int64)
+    lmat = np.array([v for _, v in leaders], dtype=np.float64)
+    lnorm = np.linalg.norm(lmat, axis=1, keepdims=True)
+    lnorm[lnorm == 0] = 1.0
+    lmat = lmat / lnorm
+    dim = lmat.shape[1]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array([np.asarray(x, dtype=np.float64)
+                          for x in pdf["embedding"]])
+            n = np.linalg.norm(v, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            cos = np.round((v / n) @ lmat.T, 6)
+            out = pdf[["vec_id", "embedding"]].copy()
+            # first max along ascending-leader-id axis == the SQL
+            # "ORDER BY round(cos,6) DESC, lid ASC ... rn = 1" row
+            out["list_id"] = leader_ids[np.argmax(cos, axis=1)]
+            yield out
+
+    src = df.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"))
+    assigned = src.mapInPandas(
+        assign, schema="vec_id BIGINT, embedding ARRAY<FLOAT>, list_id BIGINT")
+    (assigned.repartition("list_id")
+     .write.mode("overwrite").partitionBy("list_id").parquet(index_dir))
+    with open(os.path.join(index_dir, "_ivf_meta.json"), "w") as f:
+        json.dump({"dim": dim, "n_leaders": n_leaders,
+                   "leaders": [[lid, v] for lid, v in leaders]}, f)
+
+
+def ivf_topk(spark, index_dir: str, query_vec: list[float], k: int = 10,
+             nprobe: int = 4,
+             exclude_ids: list[int] | None = None) -> DataFrame:
+    """Approximate top-k from a persisted :func:`build_ivf_index` dir:
+    the driver ranks leaders against the query (L tiny), and the
+    ``nprobe`` nearest lists become a partition-pruning
+    ``list_id IN (...)`` predicate — only those dirs are read."""
+    import json
+    import math as _math
+    import os
+    with open(os.path.join(index_dir, "_ivf_meta.json")) as f:
+        meta = json.load(f)
+    qn = _math.sqrt(sum(float(x) ** 2 for x in query_vec)) or 1.0
+    ranked = sorted(
+        ((-round(sum(float(a) * float(b) for a, b in zip(v, query_vec))
+                 / ((_math.sqrt(sum(float(a) ** 2 for a in v)) or 1.0) * qn),
+                 6), lid)
+         for lid, v in meta["leaders"]))
+    probes = [lid for _, lid in ranked[:nprobe]]
+    df = spark.read.parquet(index_dir).filter(F.col("list_id").isin(probes))
+    return cosine_topk(df, query_vec, k, exclude_ids=exclude_ids)
+
+
 def ann_topk_indexed(spark, index_dir: str, query_vec: list[float],
                      k: int = 10, probe_hamming: int = 1) -> DataFrame:
     """Approximate top-k from a persisted :func:`build_ann_index` dir:

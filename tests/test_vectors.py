@@ -146,3 +146,55 @@ def test_ann_indexed_recall(spark, emb_df, ann_index):
                                    probe_hamming=2).collect()}
         hits += len(exact & approx)
     assert hits / 50 >= 0.5
+
+
+@pytest.fixture(scope="module")
+def ivf_index(spark, emb_df, tmp_path_factory):
+    from bright_spark.vectors.similarity import build_ivf_index
+    df, vecs = emb_df
+    idx = str(tmp_path_factory.mktemp("ivf") / "idx")
+    build_ivf_index(df, idx, n_leaders=16)
+    return idx, vecs
+
+
+def test_ivf_assignment_covers_all_vectors_once(spark, ivf_index):
+    idx, vecs = ivf_index
+    df = spark.read.parquet(idx)
+    assert df.count() == len(vecs)
+    assert df.select("vec_id").distinct().count() == len(vecs)
+    # bounded list count, every list non-empty
+    lists = df.select("list_id").distinct().count()
+    assert 1 <= lists <= 16
+
+
+def test_ivf_probe_prunes_partitions(spark, ivf_index):
+    """The nprobe nearest lists must reach the scan as PartitionFilters
+    on list_id — the IVF point: a probe reads ~nprobe/L of the data."""
+    from bright_spark.vectors.similarity import ivf_topk
+    idx, vecs = ivf_index
+    df = ivf_topk(spark, idx, [float(x) for x in vecs[0]], k=10, nprobe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part = plan.split("PartitionFilters")[1][:200]
+    assert "list_id" in part
+
+
+def test_ivf_recall_and_determinism(spark, emb_df, ivf_index):
+    from bright_spark.vectors.similarity import ivf_topk
+    _, vecs = emb_df
+    idx, _ = ivf_index
+    hits = 0
+    for qid in range(5):
+        q = [float(x) for x in vecs[qid]]
+        exact = {i for i, _ in _numpy_topk(vecs, q, 10)}
+        approx = {r["vec_id"] for r in
+                  ivf_topk(spark, idx, q, k=10, nprobe=6).collect()}
+        hits += len(exact & approx)
+    assert hits / 50 >= 0.5, hits
+    # rebuilt index -> identical assignment (no RNG anywhere)
+    r1 = [(r["vec_id"], round(r["cosine"], 6)) for r in
+          ivf_topk(spark, idx, [float(x) for x in vecs[3]], k=10,
+                   nprobe=4).collect()]
+    r2 = [(r["vec_id"], round(r["cosine"], 6)) for r in
+          ivf_topk(spark, idx, [float(x) for x in vecs[3]], k=10,
+                   nprobe=4).collect()]
+    assert r1 == r2
