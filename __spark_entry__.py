@@ -168,6 +168,20 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark decontamination: docs sharing any 3-gram with the
+    # deterministic probe subset (doc_id % 97 == 0 poses as the
+    # benchmark suite; real pipelines use longer n on longer texts —
+    # n is proportionate to these short synthetic docs)
+    from bright_spark.text.decontaminate import contaminated_docs
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return (contaminated_docs(corpus, probes, n=3)
+            .select("doc_id", F.col("n_hits").cast("bigint").alias("n_hits"),
+                    "first_ngram"))
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.dedup import simhash
     return simhash(_docs(spark, sf_dir)).select(
@@ -359,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sample": _q_text_sample,
         "text_token_stats": _q_text_token_stats,
         "text_bpe_tokens": _q_text_bpe_tokens,
+        "text_decontaminate": _q_text_decontaminate,
         "text_quality": _q_text_quality,
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_profile": _q_lang_profile,
@@ -687,6 +702,15 @@ WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""",
 SELECT doc_id FROM documents
 WHERE (('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        % 1000000) < 250000""",
+        "text_decontaminate": """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM t, unnest(range(1, len(t) - 1)) AS r(i)),
+probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT s.doc_id, count(*)::BIGINT AS n_hits, min(s.shingle) AS first_ngram
+FROM sh s JOIN probe USING (shingle)
+WHERE s.doc_id % 97 <> 0
+GROUP BY s.doc_id""",
         "text_bpe_tokens": r"""
 SELECT doc_id,
        coalesce(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')), 0)::BIGINT AS n_pretokens,

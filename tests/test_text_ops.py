@@ -276,3 +276,26 @@ def test_ngram_jaccard_pairs_matches_bruteforce(spark):
     got = {(r["id_a"], r["id_b"])
            for r in ngram_jaccard_pairs(docs, threshold=0.4).collect()}
     assert got == expect == {(0, 1), (2, 3)}
+
+
+def test_contaminated_docs_exact(spark):
+    """Decontamination finds exactly the corpus docs sharing an n-gram
+    with the probe set, with correct collision counts."""
+    import pandas as pd
+
+    from bright_spark.text.decontaminate import contaminated_docs
+
+    probes = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 100, "text": "the quick brown fox jumps"},
+    ]))
+    corpus = spark.createDataFrame(pd.DataFrame([
+        # shares "the quick brown" AND "quick brown fox"
+        {"doc_id": 0, "text": "see the quick brown fox run"},
+        # shares nothing (no common 3-gram)
+        {"doc_id": 1, "text": "the slow red fox hops away"},
+        # shares "brown fox jumps"
+        {"doc_id": 2, "text": "a brown fox jumps high"},
+    ]))
+    got = {r["doc_id"]: (r["n_hits"], r["first_ngram"])
+           for r in contaminated_docs(corpus, probes, n=3).collect()}
+    assert got == {0: (2, "quick brown fox"), 2: (1, "brown fox jumps")}
