@@ -258,6 +258,22 @@ class SearchEngine:
         if aq.has_positive and (not pos_specs or unsatisfiable):
             return self.spark.createDataFrame([], "doc_id BIGINT, score DOUBLE")
 
+        # single-scan phrase plan (positional indexes): ONE partition-
+        # pruned postings read feeds candidate intersection, positional
+        # adjacency AND exact scoring inside one per-range kernel —
+        # the old plan ran three decode subtrees (score, candidate
+        # re-scan, positions) over the same term-pruned postings
+        if aq.phrases and self.meta.get("store_positions"):
+            cand = self._phrase_hits_onepass(aq, weights, avgdls)
+            for ph in aq.must_not_phrases:
+                cand = cand.join(self._phrase_matches(ph, docs_df),
+                                 "doc_id", "left_anti")
+            if aq.attr_preds:
+                keep = docs_df.filter(
+                    self._attr_filter(aq.attr_preds)).select("doc_id")
+                cand = cand.join(keep, "doc_id", "left_semi")
+            return cand
+
         if not aq.has_positive:
             # match-all / filter-only / pure-negation: constant score 1
             # (Q1: every doc, score 1 — handlers/search.go:91-92)
@@ -318,6 +334,45 @@ class SearchEngine:
             keep = docs_df.filter(cond).select("doc_id")
             cand = cand.join(keep, "doc_id", "left_semi")
         return cand
+
+    def _phrase_hits_onepass(self, aq: AnalyzedQuery,
+                             weights: dict[str, float],
+                             avgdls: dict[str, float]) -> DataFrame:
+        """Q4 one-pass execution: postings (incl. positions) of the
+        query's terms, partition-pruned, grouped by range —
+        :func:`scorer.score_range_phrase` does candidates + adjacency +
+        scoring per range from a single decode. Emits the FULL match
+        set (doc_id, score) like the relational path."""
+        must_groups = [[fkey(s.field, s.term) for s in g
+                        if fkey(s.field, s.term) in weights]
+                       for g in aq.must_groups]
+        should = [fkey(s.field, s.term) for s in aq.should_terms
+                  if fkey(s.field, s.term) in weights]
+        phrase_keys = [[fkey(ph.field, t) for t in ph.tokens]
+                       for ph in aq.phrases]
+        must_not_pairs = sorted(set(aq.must_not_terms))
+        must_not = [fkey(f, t) for f, t in must_not_pairs]
+        needed = sorted({s.key for s in aq.scoring_terms
+                         if fkey(*s.key) in weights} | set(must_not_pairs))
+        avgdl = float(self.meta["avgdl"])
+        k1 = float(self.meta["k1"])
+        b = float(self.meta["b"])
+        range_bits = int(self.meta["range_bits"])
+
+        rows = (self.catalog.postings_for_terms(self.spark, needed)
+                .withColumn("term",
+                            F.concat_ws(FIELD_SEP, "field", "term"))
+                .drop("field"))
+
+        def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            docs, scores, _ = scorer.score_range_phrase(
+                pdf, weights, must_groups, should, must_not, phrase_keys,
+                base=int(key[0]) << range_bits, avgdl=avgdl, k1=k1, b=b,
+                avgdl_by_term=avgdls)
+            return pd.DataFrame({"doc_id": docs, "score": scores})
+
+        return rows.groupBy("range_id").applyInPandas(
+            kernel, "doc_id BIGINT, score DOUBLE")
 
     def _exploded_positions(self, pairs: list[tuple[str, str]]) -> DataFrame:
         """(field, term, doc_id, pos ARRAY<BIGINT>) decoded from
@@ -459,10 +514,33 @@ class SearchEngine:
 
     def _phrase_matches(self, ph, docs_df: DataFrame) -> DataFrame:
         """All doc_ids matching one phrase (used for NOT-phrase
-        exclusion, Q8): AND-candidates from the phrase tokens' postings,
-        then the same adjacency verification as positive phrases."""
+        exclusion, Q8). Positional indexes run the same one-pass
+        kernel as positive phrases with scoring skipped (one postings
+        scan, membership only); otherwise AND-candidates from the
+        postings + content re-tokenization verify."""
         toks = sorted(set(ph.tokens))
         pairs = [(ph.field, t) for t in toks]
+        if self.meta.get("store_positions"):
+            dfs = self._term_dfs(pairs)
+            if any(dfs.get(p, 0) == 0 for p in pairs):
+                return self.spark.createDataFrame([], "doc_id BIGINT")
+            phrase_keys = [[fkey(ph.field, t) for t in ph.tokens]]
+            range_bits = int(self.meta["range_bits"])
+            weights = {fkey(f, t): 1.0 for f, t in pairs}
+            rows = (self.catalog.postings_for_terms(self.spark, pairs)
+                    .withColumn("term",
+                                F.concat_ws(FIELD_SEP, "field", "term"))
+                    .drop("field"))
+
+            def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                docs, _, _ = scorer.score_range_phrase(
+                    pdf, weights, [], [], [], phrase_keys,
+                    base=int(key[0]) << range_bits, avgdl=1.0,
+                    k1=1.2, b=0.75, need_scores=False)
+                return pd.DataFrame({"doc_id": docs})
+
+            return rows.groupBy("range_id").applyInPandas(
+                kernel, "doc_id BIGINT")
         ex = self._exploded_postings(pairs)
         cand = (ex.groupBy("doc_id")
                 .agg(F.count_distinct("term").alias("n_t"))

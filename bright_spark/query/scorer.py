@@ -111,6 +111,11 @@ class RangeBlocks:
         self.b_docs: list[bytes] = [buf for row in pdf["docs"] for buf in row]
         self.b_tfs: list[bytes] = [buf for row in pdf["tfs"] for buf in row]
         self.b_dls: list[bytes] = [buf for row in pdf["dls"] for buf in row]
+        # positional payloads ride along only when the caller kept the
+        # ``pos`` column (phrase kernels on store_positions indexes)
+        self.b_pos: list[bytes] | None = (
+            [buf for row in pdf["pos"] for buf in row]
+            if "pos" in pdf.columns else None)
 
     def n_blocks(self) -> int:
         return self.b_code.size
@@ -331,3 +336,139 @@ def score_range_topk(
         docs, totals = docs[keep], totals[keep]
     docs, scores = _topk(docs, totals, k)
     return docs, scores, n_matched
+
+
+def score_range_phrase(
+    pdf: pd.DataFrame,
+    weights: dict[str, float],
+    must_groups: list[list[str]],
+    should: list[str],
+    must_not: list[str],
+    phrases: list[list[str]],
+    base: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+    avgdl_by_term: dict[str, float] | None = None,
+    need_scores: bool = True,
+):
+    """Full match set of one doc-range chunk for a phrase-bearing query
+    — the single-scan phrase plan (Q4). Every posting buffer of the
+    range is decoded AT MOST ONCE (memoized per term), then three
+    derivations run over the in-memory arrays:
+
+      1. conjunctive candidates: every must group plus each phrase
+         token (adjacency implies conjunction), rarest-group-first;
+      2. positional adjacency per phrase via packed
+         ``(doc-base) << 32 | pos`` key chains (same key algebra as the
+         old standalone verify kernel, now over cached arrays);
+      3. exact BM25 over the surviving candidates, accumulated in
+         (doc, term-rank) order — bit-identical to the conjunctive
+         path of :func:`score_range_topk`.
+
+    Replaces the previous three-subtree plan (score scan + candidate
+    re-scan + positions scan) with one partition-pruned postings read.
+    Returns (docs asc, scores, n_matched). ``need_scores=False`` skips
+    step 3 (NOT-phrase membership checks) and returns zero scores.
+    """
+    rb = RangeBlocks(pdf, weights, avgdl, avgdl_by_term)
+    base64 = np.int64(base)
+    cache: dict[int, tuple] = {}
+
+    def full(code: int):
+        """Memoized whole-term decode: (docs, tfs, dls, entry-block,
+        flat positions aligned to repeat(docs, tfs))."""
+        if code not in cache:
+            bsel = rb.block_sel(np.array([code], dtype=np.int64))
+            d, tf, dl, eb = rb.decode_full(bsel)
+            pos = None
+            if rb.b_pos is not None and bsel.size:
+                pos = codec.decode_concat(
+                    [rb.b_pos[int(i)] for i in bsel]).astype(np.int64)
+            cache[code] = (d, tf, dl, eb, pos)
+        return cache[code]
+
+    def union_docs(codes: np.ndarray) -> np.ndarray:
+        if codes.size == 0:
+            return _EMPTY_I
+        parts = [full(int(c))[0] for c in codes]
+        d = np.concatenate(parts) if len(parts) > 1 else parts[0]
+        return np.unique(d) if d.size else _EMPTY_I
+
+    groups = [sorted(set(g)) for g in must_groups]
+    groups += [[t] for ph in phrases for t in ph]
+    group_codes = [rb.codes_for(g) for g in groups]
+    if any(gc.size == 0 for gc in group_codes):
+        return _EMPTY_I, _EMPTY_F, 0  # absent conjunct in this range
+
+    order = sorted(range(len(group_codes)),
+                   key=lambda i: int(rb.df_of_code[group_codes[i]].sum()))
+    cand = union_docs(group_codes[order[0]])
+    for gi in order[1:]:
+        if cand.size == 0:
+            return _EMPTY_I, _EMPTY_F, 0
+        ids = union_docs(group_codes[gi])
+        cand = cand[np.isin(cand, ids, assume_unique=True)]
+    if must_not:
+        ex = union_docs(rb.codes_for(sorted(set(must_not))))
+        if ex.size and cand.size:
+            cand = cand[~np.isin(cand, ex, assume_unique=True)]
+    if cand.size == 0:
+        return _EMPTY_I, _EMPTY_F, 0
+
+    def pos_keys(token: str) -> np.ndarray:
+        """Sorted ``local_doc<<32 | pos`` keys of one token, restricted
+        to the current candidate set (local offsets < 2**range_bits
+        keep the packed key inside int64 at 10^12-scale doc ids)."""
+        code = rb.code_of.get(token)
+        if code is None:
+            return _EMPTY_I
+        d, tf, _dl, _eb, pos = full(code)
+        if d.size == 0 or pos is None:
+            return _EMPTY_I
+        keep = np.isin(d, cand, assume_unique=True)
+        ekeep = np.repeat(keep, tf)
+        local = d[keep] - base64
+        keys = (np.repeat(local, tf[keep]) << np.int64(32)) | pos[ekeep]
+        keys.sort()
+        return keys
+
+    for ph in phrases:
+        cur = pos_keys(ph[0])
+        for i, t in enumerate(ph[1:], 1):
+            if cur.size == 0:
+                break
+            # local<<32|p survives iff local<<32|(p+i) carries token i
+            # (positions fit 32 bits, so +i never crosses documents)
+            cur = cur[np.isin(cur + np.int64(i), pos_keys(t))]
+        docs_ph = ((np.unique(cur >> np.int64(32)) + base64)
+                   if cur.size else _EMPTY_I)
+        cand = cand[np.isin(cand, docs_ph, assume_unique=True)]
+        if cand.size == 0:
+            return _EMPTY_I, _EMPTY_F, 0
+
+    if not need_scores:
+        return cand, np.zeros(cand.size, dtype=np.float64), int(cand.size)
+
+    scoring_terms = sorted(
+        {t for g in must_groups for t in g if weights.get(t)}
+        | {t for t in should if weights.get(t)}
+        | {t for ph in phrases for t in ph if weights.get(t)})
+    scoring = rb.codes_for(scoring_terms)
+    totals = np.zeros(cand.size, dtype=np.float64)
+    if scoring.size:
+        parts = [full(int(c)) for c in scoring]
+        d = np.concatenate([p[0] for p in parts])
+        tf = np.concatenate([p[1] for p in parts])
+        dl = np.concatenate([p[2] for p in parts])
+        eb = np.concatenate([p[3] for p in parts])
+        j = np.searchsorted(cand, d)
+        j_c = np.clip(j, 0, cand.size - 1)
+        hit = cand[j_c] == d
+        contrib = rb.w[rb.b_code[eb]] * tf_norm(
+            tf, dl, rb.adl[rb.b_code[eb]], k1, b)
+        dh, ch = j_c[hit], contrib[hit]
+        rh = rb.rank[rb.b_code[eb]][hit]
+        perm = np.lexsort((rh, dh))
+        np.add.at(totals, dh[perm], ch[perm])
+    return cand, totals, int(cand.size)

@@ -84,6 +84,29 @@ def test_phrase_without_stored_content(spark, repos_parquet,
         [(r["doc_id"], round(r["score"], 9)) for r in ref]
 
 
+def test_phrase_plan_single_postings_scan(spark, pos_index):
+    """The one-pass phrase plan: candidate intersection, positional
+    adjacency AND scoring run inside ONE per-range kernel fed by ONE
+    partition-pruned postings scan — the previous plan ran three
+    decode subtrees (score, candidate re-scan, positions) over the
+    same term-pruned postings."""
+    eng = SearchEngine(spark, pos_index)
+    df = eng.search_df('"parse config"', k=10)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_not_phrase_uses_positional_kernel(spark, pos_index):
+    """NOT-phrase exclusion on positional indexes must come from the
+    postings kernel, not a docs-content re-tokenization scan."""
+    eng = SearchEngine(spark, pos_index)
+    df = eng.search_df('user -"parse config"', k=10)
+    files = df.inputFiles()
+    assert files and all("/postings/" in f for f in files), files
+
+
 def test_positions_survive_mutations(spark, repos_parquet, tmp_path_factory):
     from bright_spark.index.mutations import IndexMutator
     idx = str(tmp_path_factory.mktemp("posmut") / "idx")
