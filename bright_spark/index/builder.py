@@ -594,18 +594,23 @@ class IndexBuilder:
                 self.spark.createDataFrame([], POSTINGS_SCHEMA))
         ts = (post.groupBy("bucket", "field", "term")
                   .agg(F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf")))
-        ts.persist()
-        try:
-            (ts.repartition(cfg.n_term_buckets, "bucket")
-               .sortWithinPartitions("term", "field")
-               .write.mode("overwrite").partitionBy("bucket")
-               .parquet(pending.table_path("term_stats")))
-            # per-field totals: Σ cf (every emitted token lands in
-            # exactly one posting run); n_docs is tracked during doc_id
-            # assignment — no extra docs-table scan
-            frows = ts.groupBy("field").agg(F.sum("cf").alias("t")).collect()
-        finally:
-            ts.unpersist()
+        # write width: one task per bucket is pure scheduling overhead
+        # when buckets outnumber the build's parallel slots — several
+        # buckets per task still land one term-sorted file per bucket
+        # dir via partitionBy (directory pruning unchanged)
+        ts_path = pending.table_path("term_stats")
+        (ts.repartition(min(cfg.n_term_buckets, self.n_build_partitions),
+                        "bucket")
+           .sortWithinPartitions("term", "field")
+           .write.mode("overwrite").partitionBy("bucket").parquet(ts_path))
+        # per-field totals: Σ cf (every emitted token lands in exactly
+        # one posting run), re-read from the term_stats files just
+        # written — a column-pruned scan of the tiny aggregate instead
+        # of persisting the whole table in executor memory across two
+        # jobs; n_docs is tracked during doc_id assignment (no extra
+        # docs-table scan)
+        frows = (self.spark.read.parquet(ts_path)
+                 .groupBy("field").agg(F.sum("cf").alias("t")).collect())
         field_tokens = {r["field"]: int(r["t"] or 0) for r in frows}
         total_tokens = field_tokens.get(self.content_col, 0)
         n_docs = getattr(self, "_n_docs", None)
