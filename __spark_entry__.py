@@ -79,6 +79,69 @@ def _engine(spark: SparkSession, sf_dir: str):
     return eng
 
 
+def _mut_engine(spark: SparkSession, sf_dir: str):
+    """The WRITE-path gate (U1/U3/U4 + stats recompute + snapshot
+    chain): build a second index over ``documents``, then apply a
+    deterministic mutation sequence —
+
+      1. upsert batch: every ``doc_id % 37 == 0`` doc's text replaced,
+         plus five brand-new docs at ids 1000000..1000004 (U1);
+      2. patch doc 11's text (U4: fetch-merge-reindex);
+      3. delete_by_query("lang:de") (U3: filter-match delete through
+         the query engine).
+
+    Each step is one snapshot commit (mutations.py:260-301). The
+    DuckDB oracles re-derive the final corpus with the same transforms
+    in SQL, so BM25 scores, corpus stats, and doc lookups over the
+    mutated index are fully hash-checked."""
+    from bright_spark.index.builder import build_index
+    from bright_spark.index.catalog import IndexCatalog
+    from bright_spark.index.mutations import IndexMutator
+    from bright_spark.models import IndexConfig
+    from bright_spark.query.engine import SearchEngine
+
+    key = os.path.abspath(sf_dir)
+    cache_key = key + "|mut"
+    eng = _ENGINES.get(cache_key)
+    if eng is not None:
+        return eng
+    idx_dir = os.path.join(_GATE_DIR,
+                           key.strip("/").replace("/", "_") + "_mutdocs_idx")
+    ok = False
+    try:
+        cat = IndexCatalog(idx_dir)
+        ok = (cat.load_meta().get("version") == 3
+              and cat.manifest().get("operation") == "delete")
+    except Exception:
+        ok = False
+    if not ok:
+        import shutil
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        src = _docs(spark, sf_dir).select(
+            "doc_id", "text", "lang", "source", "n_chars")
+        build_index(
+            spark, src, idx_dir,
+            IndexConfig(id="mutdocs", tokenizer="simple", n_term_buckets=8),
+            content_col="text", id_col="doc_id", lang_col="lang",
+            attr_cols=("source", "n_chars"), n_build_partitions=8)
+        mut = IndexMutator(spark, idx_dir)
+        n_chars_t = dict(src.dtypes)["n_chars"]
+        repl = src.filter(F.col("doc_id") % 37 == 0).withColumn(
+            "text", F.lit("upserted spark document alpha beta"))
+        appended = spark.range(0, 5).select(
+            (F.col("id") + 1000000).alias("doc_id"),
+            F.lit("fresh spark upsert row").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("src_new").alias("source"),
+            F.lit(22).cast(n_chars_t).alias("n_chars"))
+        mut.upsert(repl.unionByName(appended))
+        mut.patch(11, {"text": "patched gamma spark"})
+        mut.delete_by_query("lang:de")
+    eng = SearchEngine(spark, idx_dir)
+    _ENGINES[cache_key] = eng
+    return eng
+
+
 def _ranked(eng, q: str, k: int = 10) -> DataFrame:
     df = eng.search_df(q, k=k + 100)
     return (df.select("doc_id", F.round("score", 6).alias("score"))
@@ -334,6 +397,28 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10))
 
 
+def _q_mut_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ranked(_mut_engine(spark, sf_dir), "spark", 10)
+
+
+def _q_mut_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _mut_engine(spark, sf_dir)
+    meta = spark.read.parquet(eng.catalog.index_meta_path)
+    return meta.select(F.col("n_docs").cast("bigint").alias("n_docs"),
+                       F.col("total_tokens").cast("bigint").alias("total_tokens"),
+                       F.round("avgdl", 6).alias("avgdl"))
+
+
+def _q_mut_doc_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 74 = replaced by the upsert batch, 11 = patched, 1000001 = newly
+    # inserted, 5 = untouched — any of them absent iff lang was 'de'
+    eng = _mut_engine(spark, sf_dir)
+    return (eng.catalog.docs(spark)
+            .filter(F.col("doc_id").isin([5, 74, 11, 1000001]))
+            .select("doc_id", "lang", "source",
+                    F.col("n_chars").cast("bigint").alias("n_chars"), "text"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- full-text engine (SURVEY.md §2.5 Q1-Q15, §2.6 R1-R2)
@@ -355,6 +440,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_field_scoped": _q_bm25("source:src3 spark"),
         # Q8 NOT phrase: score `spark`, exclude adjacent "the fast"
         "ft_phrase_not": _q_bm25('spark -"the fast"'),
+        # --- write path (U1 upsert / U4 patch / U3 filter-delete),
+        # queried AFTER three snapshot commits on a second index
+        "ft_mutate_bm25": _q_mut_bm25,
+        "ft_mutate_corpus_stats": _q_mut_corpus_stats,
+        "ft_mutate_doc_lookup": _q_mut_doc_lookup,
         "ft_term_stats": _q_term_stats,
         "ft_corpus_stats": _q_corpus_stats,
         "ft_posting_list": _q_posting_list,
@@ -468,6 +558,23 @@ sg AS (SELECT doc_id,
               sum(CASE WHEN s_lo >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS lo,
               sum(CASE WHEN s_hi >= 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS hi
        FROM c GROUP BY doc_id)"""
+
+
+# the final corpus after the _mut_engine mutation sequence (upsert
+# batch -> patch doc 11 -> delete lang:de), re-derived in SQL: same
+# replacement texts, same appended rows, same filter
+_MUT_DOCS_CTE = """docs_m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = 11 THEN 'patched gamma spark'
+              WHEN doc_id % 37 = 0
+                THEN 'upserted spark document alpha beta'
+              ELSE text END AS text,
+         lang, source, n_chars
+  FROM documents
+  WHERE lang <> 'de'
+  UNION ALL
+  SELECT 1000000 + i, 'fresh spark upsert row', 'en', 'src_new', 22
+  FROM range(0, 5) r(i))"""
 
 
 def _adj_sql(t1: str, t2: str) -> str:
@@ -602,6 +709,34 @@ u AS (SELECT doc_id, sum(s) AS s FROM
       (SELECT * FROM cpart UNION ALL SELECT * FROM spart) GROUP BY doc_id)
 SELECT doc_id, round(s, 6) AS score FROM u
 ORDER BY round(s, 6) DESC, doc_id LIMIT 10""",
+        "ft_mutate_bm25": f"""WITH {_MUT_DOCS_CTE},
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM docs_m),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+meta AS (SELECT (SELECT count(*) FROM docs_m)::DOUBLE AS n,
+                (SELECT count(*) FROM toks)::DOUBLE
+                  / (SELECT count(*) FROM docs_m) AS avgdl),
+dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id, sum({_score()}) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN meta
+  WHERE tf.term IN ('spark')
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.s, 6) AS score
+FROM scores s
+ORDER BY round(s.s, 6) DESC, s.doc_id
+LIMIT 10""",
+        "ft_mutate_corpus_stats": f"""WITH {_MUT_DOCS_CTE},
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM docs_m)
+SELECT (SELECT count(*) FROM docs_m)::BIGINT AS n_docs,
+       (SELECT count(*) FROM toks)::BIGINT AS total_tokens,
+       round((SELECT count(*) FROM toks)::DOUBLE
+             / (SELECT count(*) FROM docs_m), 6) AS avgdl""",
+        "ft_mutate_doc_lookup": f"""WITH {_MUT_DOCS_CTE}
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars, text
+FROM docs_m WHERE doc_id IN (5, 74, 11, 1000001)""",
         "ft_term_stats": f"""{_BM25_CTE}
 SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
 FROM tf WHERE term LIKE 'b%' GROUP BY term""",
