@@ -373,7 +373,10 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(ann_dir, "_ann_meta.json")):
         build_ann_index(emb, ann_dir, dim=64, n_planes=6)
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    top = ann_topk_indexed(spark, ann_dir, [float(x) for x in qvec], k=60,
+    # k=None: rank ALL probed candidates by (round(cos,4), vec_id) —
+    # the oracle's exact ordering, so a 4-decimal tie just outside an
+    # exact-cosine top-k prefix cannot flip the comparison
+    top = ann_topk_indexed(spark, ann_dir, [float(x) for x in qvec], k=None,
                            probe_hamming=2)
     return (top.select("vec_id", F.round("cosine", 4).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10))
@@ -392,7 +395,9 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index(emb, ivf_dir, n_leaders=32)
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0)
             .select("embedding").collect()[0][0]]
-    top = ivf_topk(spark, ivf_dir, qvec, k=30, nprobe=4, exclude_ids=[0])
+    # k=None: identical rounded ordering over the full probed set as
+    # the oracle (see _q_ann_lsh)
+    top = ivf_topk(spark, ivf_dir, qvec, k=None, nprobe=4, exclude_ids=[0])
     return (top.select("vec_id", F.round("cosine", 4).alias("cosine"))
             .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10))
 

@@ -198,3 +198,60 @@ def test_ivf_recall_and_determinism(spark, emb_df, ivf_index):
           ivf_topk(spark, idx, [float(x) for x in vecs[3]], k=10,
                    nprobe=4).collect()]
     assert r1 == r2
+
+
+def test_ivf_leader_sidecar_at_scale(spark, tmp_path_factory):
+    """The stated 100 TB sizing has L=2^14 leaders; the query path must
+    stay a single matmul over the leader parquet sidecar, not a
+    per-leader Python loop over a meta-JSON blob. At L=1024: (a) the
+    matmul ranking picks the EXACT probe set the reference per-leader
+    loop picks (round-6 cosine, leader-id tiebreak), visible in the
+    pruned input files; (b) the meta JSON carries no leader vectors;
+    (c) a legacy dir with JSON-embedded leaders still answers
+    identically."""
+    import json
+    import math
+    import os
+    import shutil
+
+    from bright_spark.vectors.similarity import build_ivf_index, ivf_topk
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(2048, 32)).astype(np.float32)
+    rows = [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    idx = str(tmp_path_factory.mktemp("ivfbig") / "idx")
+    build_ivf_index(df, idx, n_leaders=1024)
+
+    meta = json.load(open(os.path.join(idx, "_ivf_meta.json")))
+    assert "leaders" not in meta and meta["n_leaders"] == 1024
+    assert os.path.isdir(os.path.join(idx, "_leaders"))
+
+    q = [float(x) for x in vecs[5]]
+    top = ivf_topk(spark, idx, q, k=10, nprobe=8)
+    got = [(r["vec_id"], round(r["cosine"], 6)) for r in top.collect()]
+
+    # reference probe set: the old driver-side per-leader loop
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(idx, "_leaders"))
+    leaders = list(zip(t.column("lid").to_pylist(),
+                       t.column("lv").to_pylist()))
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+    ranked = sorted(
+        (-round(sum(a * b for a, b in zip(v, q))
+                / ((math.sqrt(sum(a * a for a in v)) or 1.0) * qn), 6), lid)
+        for lid, v in leaders)
+    expect_probes = sorted(lid for _, lid in ranked[:8])
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    in_list = plan.split("PartitionFilters")[1].split(" IN (")[1].split(")")[0]
+    scanned = sorted(int(x) for x in in_list.split(","))
+    assert scanned == expect_probes
+
+    # legacy layout: leaders embedded in the meta JSON, no sidecar
+    legacy = str(tmp_path_factory.mktemp("ivflegacy") / "idx")
+    shutil.copytree(idx, legacy)
+    shutil.rmtree(os.path.join(legacy, "_leaders"))
+    with open(os.path.join(legacy, "_ivf_meta.json"), "w") as f:
+        json.dump({**meta, "leaders": [[lid, list(v)] for lid, v in leaders]}, f)
+    got_legacy = [(r["vec_id"], round(r["cosine"], 6)) for r in
+                  ivf_topk(spark, legacy, q, k=10, nprobe=8).collect()]
+    assert got_legacy == got
