@@ -58,7 +58,7 @@ def main() -> None:
             IndexConfig(id="bench", tokenizer="simple", n_term_buckets=8),
             content_col="text", id_col="doc_id", lang_col="lang",
             attr_cols=("source", "n_chars"), n_build_partitions=int(cpus)))
-        eng = SearchEngine(spark, idx_dir)
+        eng = SearchEngine(spark, idx_dir, on_overflow="truncate")
 
         # warm the python workers / parquet footers once
         eng.search_df("spark", k=10).collect()
@@ -94,7 +94,7 @@ def main() -> None:
             content_col="text", id_col="doc_id", lang_col="lang",
             attr_cols=("source", "n_chars"), text_cols=("source",),
             n_build_partitions=int(cpus)))
-        eng2 = SearchEngine(spark, idx_dir2)
+        eng2 = SearchEngine(spark, idx_dir2, on_overflow="truncate")
         eng2.search_df("spark", k=10).collect()  # warm
         timed("q_field_scoped",
               lambda: eng2.search_df("source:src3 spark", k=10).collect())

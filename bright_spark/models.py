@@ -144,14 +144,21 @@ class SearchResponse:
     hits: list[dict[str, Any]]
     total_hits: int
     limit: int
+    # patterns whose wildcard/fuzzy expansion was truncated at the cap
+    # (only under the engine's on_overflow='truncate' mode; the default
+    # mode raises TooManyClausesError instead of answering partially)
+    truncated_expansions: list[str] = field(default_factory=list)
 
     @property
     def total_pages(self) -> int:
         return math.ceil(self.total_hits / self.limit) if self.limit else 0
 
     def to_dict(self) -> dict[str, Any]:
-        return {
+        out = {
             "hits": self.hits,
             "totalHits": self.total_hits,
             "totalPages": self.total_pages,
         }
+        if self.truncated_expansions:
+            out["truncatedExpansions"] = list(self.truncated_expansions)
+        return out

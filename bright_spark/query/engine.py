@@ -56,7 +56,9 @@ def fkey(field: str, term: str) -> str:
 
 class SearchEngine:
     def __init__(self, spark: SparkSession, index_dir: str,
-                 snapshot_id: int | None = None):
+                 snapshot_id: int | None = None,
+                 max_expansions: int | None = None,
+                 on_overflow: str = "error"):
         self.spark = spark
         self.catalog = IndexCatalog(index_dir, snapshot_id=snapshot_id)
         # pin every read of this engine to one snapshot: queries are
@@ -64,7 +66,9 @@ class SearchEngine:
         # commits while searches run), and ``snapshot_id`` time-travels
         # to any retained snapshot
         self.snapshot_id = self.catalog.pin()
-        self.planner = Planner(spark, self.catalog)
+        self.planner = Planner(spark, self.catalog,
+                               max_expansions=max_expansions,
+                               on_overflow=on_overflow)
         self.meta = self.planner.meta
         self.extra = self.planner.extra
         self._df_cache: dict[tuple[str, str], int] = {}
@@ -323,6 +327,11 @@ class SearchEngine:
             cand = cand.join(neg, "doc_id", "left_anti")
 
         if aq.phrases:
+            # (non-positional fallback) the candidate frame is consumed
+            # twice — once broadcast into the content re-verify, once in
+            # the final semi-join; a lazy localCheckpoint materializes
+            # the decode+score subtree exactly once
+            cand = cand.localCheckpoint(eager=False)
             cand = self._verify_phrases(cand, aq.phrases, docs_df)
 
         for ph in aq.must_not_phrases:
@@ -611,7 +620,9 @@ class SearchEngine:
             hits = [(r["doc_id"], r["score"]) for r in hit_rows]
 
         hits = hits[req.effective_offset:]
-        return self._assemble(req, hits, int(total))
+        resp = self._assemble(req, hits, int(total))
+        resp.truncated_expansions = list(aq.truncated_expansions)
+        return resp
 
     def _order_cols(self, req: SearchRequest):
         """R2: sort[]=[-]field, default -_score; doc_id tiebreak."""

@@ -52,6 +52,24 @@ _BETWEEN_RE = re.compile(r"^\[(.+?)\s+TO\s+(.+?)\]$")
 _FUZZY_RE = re.compile(r"~(\d*)$")
 _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 
+# backslash escaping (Bleve query-string parity): '\c' makes c a
+# literal — foo\:bar is one term, \"hi\" is not a phrase, pa\*s has no
+# wildcard. Escaped chars are swapped for a \x00+hex sentinel BEFORE
+# lexing (so no grammar rule can see them) and restored on the parsed
+# clause's value/field afterwards.
+_ESC_RE = re.compile(r"\\(.)", re.DOTALL)
+_PROT_RE = re.compile("\x00([0-9a-f]{4})")
+
+
+def _protect(q: str) -> str:
+    return _ESC_RE.sub(lambda m: "\x00%04x" % ord(m.group(1)), q)
+
+
+def _unprotect(s: str | None) -> str | None:
+    if s is None or "\x00" not in s:
+        return s
+    return _PROT_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
+
 
 def _lex(q: str) -> list[str]:
     """Split into raw tokens, keeping quoted phrases and [a TO b]
@@ -136,7 +154,7 @@ def parse_query(q: str) -> ParsedQuery:
     if not q or not q.strip():
         return pq
 
-    tokens = _lex(q)
+    tokens = _lex(_protect(q))
     # resolve infix operators into per-clause roles
     roles: list[tuple[str, str]] = []  # (role, raw_clause)
     i = 0
@@ -168,6 +186,9 @@ def parse_query(q: str) -> ParsedQuery:
 
     for role, raw in roles:
         modifier, clause = _parse_clause(raw)
+        clause.value = _unprotect(clause.value)
+        clause.hi = _unprotect(clause.hi)
+        clause.field_name = _unprotect(clause.field_name)
         if modifier == "+":
             role = "must"
         elif modifier == "-":

@@ -35,7 +35,15 @@ from bright_spark.analysis.tokenizer import analyze_query_term, tokenize
 from bright_spark.index.catalog import IndexCatalog
 from bright_spark.query.parser import Clause, ParsedQuery
 
-MAX_EXPANSIONS = 1024  # deterministic cap for wildcard/fuzzy expansion
+MAX_EXPANSIONS = 1024  # wildcard/fuzzy expansion bound (Bleve parity)
+
+
+class TooManyClausesError(ValueError):
+    """A wildcard/fuzzy pattern expanded past MAX_EXPANSIONS distinct
+    terms. Bleve's disjunction searcher errors (TooManyClauses) rather
+    than silently truncating to a partial result — so do we: a
+    ``hel*`` matching 100k index terms should be narrowed, not
+    answered over an arbitrary 1024-term subset."""
 
 
 @dataclass
@@ -78,6 +86,10 @@ class AnalyzedQuery:
     # pure-punctuation token, ...): the query is NOT match-all — Bleve's
     # disjunction over zero matching subqueries returns zero hits
     has_unmatchable_positive: bool = False
+    # patterns whose expansion hit the cap under on_overflow='truncate'
+    # (surfaced in the response envelope; empty in 'error' mode, which
+    # raises instead)
+    truncated_expansions: list[str] = field(default_factory=list)
 
     @property
     def scoring_terms(self) -> list[TermSpec]:
@@ -125,12 +137,24 @@ def _wildcard_to_like(pattern: str) -> str:
 
 
 class Planner:
-    def __init__(self, spark: SparkSession, catalog: IndexCatalog):
+    def __init__(self, spark: SparkSession, catalog: IndexCatalog,
+                 max_expansions: int | None = None,
+                 on_overflow: str = "error"):
+        """``on_overflow``: 'error' raises :class:`TooManyClausesError`
+        when a wildcard/fuzzy pattern expands past ``max_expansions``
+        (Bleve/Lucene parity); 'truncate' keeps the first cap terms
+        (term-sorted, deterministic) and records the pattern in
+        ``AnalyzedQuery.truncated_expansions`` for the response
+        envelope."""
         self.spark = spark
         self.catalog = catalog
         self.config = catalog.load_config()
         self.extra = catalog.load_extra()
         self.meta = catalog.load_meta()
+        self.max_expansions = max_expansions or MAX_EXPANSIONS
+        if on_overflow not in ("error", "truncate"):
+            raise ValueError(f"bad on_overflow: {on_overflow}")
+        self.on_overflow = on_overflow
         self._doc_columns = None
 
     def doc_columns(self) -> dict[str, str]:
@@ -163,27 +187,44 @@ class Planner:
 
     # ------------------------------------------------------ expansion
 
-    def expand_wildcard(self, pattern: str, text_field: str) -> list[str]:
-        like = _wildcard_to_like(pattern)
-        ts = self.catalog.term_stats(self.spark)
-        rows = (ts.filter((F.col("field") == text_field)
-                          & F.col("term").like(like))
-                  .select("term").orderBy("term")
-                  .limit(MAX_EXPANSIONS).collect())
+    def _expanded(self, df, what: str,
+                  aq: AnalyzedQuery | None = None) -> list[str]:
+        """Collect up to the cap + 1 terms; past the cap either error
+        (Bleve's TooManyClauses — never silently answer over a partial
+        expansion) or truncate-and-flag per ``on_overflow``."""
+        cap = self.max_expansions
+        rows = (df.select("term").orderBy("term")
+                  .limit(cap + 1).collect())
+        if len(rows) > cap:
+            if self.on_overflow == "error":
+                raise TooManyClausesError(
+                    f"{what} expands to more than {cap} terms; "
+                    f"narrow the pattern")
+            if aq is not None:
+                aq.truncated_expansions.append(what)
+            rows = rows[:cap]
         return [r["term"] for r in rows]
 
-    def expand_fuzzy(self, term: str, fuzziness: int,
-                     text_field: str) -> list[str]:
+    def expand_wildcard(self, pattern: str, text_field: str,
+                        aq: AnalyzedQuery | None = None) -> list[str]:
+        like = _wildcard_to_like(pattern)
+        ts = self.catalog.term_stats(self.spark)
+        return self._expanded(
+            ts.filter((F.col("field") == text_field)
+                      & F.col("term").like(like)),
+            f"wildcard {pattern!r}", aq)
+
+    def expand_fuzzy(self, term: str, fuzziness: int, text_field: str,
+                     aq: AnalyzedQuery | None = None) -> list[str]:
         t = term.lower()
         ts = self.catalog.term_stats(self.spark)
-        rows = (ts.filter(
-                    (F.col("field") == text_field)
-                    & (F.length("term") >= len(t) - fuzziness)
-                    & (F.length("term") <= len(t) + fuzziness)
-                    & (F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness))
-                  .select("term").orderBy("term")
-                  .limit(MAX_EXPANSIONS).collect())
-        return [r["term"] for r in rows]
+        return self._expanded(
+            ts.filter(
+                (F.col("field") == text_field)
+                & (F.length("term") >= len(t) - fuzziness)
+                & (F.length("term") <= len(t) + fuzziness)
+                & (F.levenshtein(F.col("term"), F.lit(t)) <= fuzziness)),
+            f"fuzzy {term!r}~{fuzziness}", aq)
 
     # -------------------------------------------------------- analyze
 
@@ -256,9 +297,9 @@ class Planner:
             return
 
         if cl.kind == "wildcard":
-            terms = self.expand_wildcard(cl.value, tfield)
+            terms = self.expand_wildcard(cl.value, tfield, aq)
         elif cl.kind == "fuzzy":
-            terms = self.expand_fuzzy(cl.value, cl.fuzziness, tfield)
+            terms = self.expand_fuzzy(cl.value, cl.fuzziness, tfield, aq)
         else:  # term
             terms = []
             for tok in analyze_query_term(cl.value, mode=mode):

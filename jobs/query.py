@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--snapshot", type=int, default=None,
                     help="time-travel: query this snapshot id instead "
                          "of the live one")
+    ap.add_argument("--expansion-overflow", default="error",
+                    choices=["error", "truncate"],
+                    help="wildcard/fuzzy past the expansion cap: 'error' "
+                         "raises (Bleve TooManyClauses parity), 'truncate' "
+                         "answers over the first cap terms and flags it "
+                         "(bench mode uses truncate for comparability)")
     args = ap.parse_args()
 
     from bright_spark.query.engine import SearchEngine
@@ -47,7 +53,8 @@ def main() -> None:
     spark = get_spark("query", master=args.master,
                       shuffle_partitions=args.partitions,
                       extra_conf={"spark.task.cpus": str(args.task_cpus)})
-    eng = SearchEngine(spark, args.index_dir, snapshot_id=args.snapshot)
+    eng = SearchEngine(spark, args.index_dir, snapshot_id=args.snapshot,
+                       on_overflow=args.expansion_overflow)
 
     if args.bench:
         with open(args.bench) as f:

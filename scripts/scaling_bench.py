@@ -162,7 +162,8 @@ def run_query(slots: int) -> dict:
         [sys.executable, os.path.join(REPO, "jobs", "query.py"),
          "--index-dir", idx, "--bench", qfile, "--reps", "3",
          "--master", f"local[{CORES}]", "--partitions", str(PARTITIONS),
-         "--task-cpus", str(LEVELS[slots])],
+         "--task-cpus", str(LEVELS[slots]),
+         "--expansion-overflow", "truncate"],
         env=os.environ, check=True, capture_output=True, text=True)
     return json.loads(out.stdout.strip().splitlines()[-1])
 

@@ -100,3 +100,34 @@ def test_detect_primary_key():
         detect_primary_key(_FakeDF(["name", "price"]))
     with _pytest.raises(ValueError, match="multiple"):
         detect_primary_key(_FakeDF(["id", "user_id"]))
+
+
+def test_escaped_colon_is_literal():
+    r"""foo\:bar must parse as ONE term value 'foo:bar', not a field
+    prefix (Bleve query-string escaping)."""
+    pq = parse_query(r"foo\:bar")
+    assert len(pq.should) == 1
+    c = pq.should[0]
+    assert c.kind == "term" and c.field_name is None
+    assert c.value == "foo:bar"
+
+
+def test_escaped_quote_tilde_caret_star():
+    pq = parse_query(r'say\"hi conf\~1 term\^2 pa\*s')
+    vals = [(c.kind, c.value) for c in pq.should]
+    assert vals == [("term", 'say"hi'), ("term", "conf~1"),
+                    ("term", "term^2"), ("term", "pa*s")]
+    assert all(c.fuzziness == 0 and c.boost == 1.0 for c in pq.should)
+
+
+def test_escaped_backslash_and_mixed():
+    pq = parse_query(r"a\\b lang:en")
+    assert pq.should[0].value == "a\\b"
+    assert pq.should[1].field_name == "lang"
+
+
+def test_unescaped_specials_still_work():
+    pq = parse_query('lang:python spark~1 jo*n "a b" boost^2')
+    kinds = [c.kind for c in pq.should]
+    assert kinds == ["term", "fuzzy", "wildcard", "phrase", "term"]
+    assert pq.should[4].boost == 2.0

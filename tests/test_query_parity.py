@@ -120,3 +120,48 @@ def test_unknown_field_matches_nothing(spark, built_index):
     neg = [(r["doc_id"], round(r["score"], 9))
            for r in eng.search_df("user NOT nosuchfield:zzz", k=5).collect()]
     assert neg == plain
+
+
+def test_escaped_colon_round_trip(spark, built_index):
+    r"""parse\:config is a literal colon-bearing token, not a field
+    prefix; the analyzer then splits the literal, so it must score
+    exactly like the two-term query (and NOT like a field lookup)."""
+    from bright_spark.query.engine import SearchEngine
+    eng = SearchEngine(spark, built_index.index_dir)
+    a = [(r["doc_id"], round(r["score"], 9))
+         for r in eng.search_df(r"parse\:config", k=K).collect()]
+    b = [(r["doc_id"], round(r["score"], 9))
+         for r in eng.search_df("parse config", k=K).collect()]
+    assert a == b and a
+
+
+def test_wildcard_expansion_cap_errors(spark, tmp_path):
+    """Bleve parity: a pattern matching more than MAX_EXPANSIONS index
+    terms raises TooManyClauses instead of silently answering over a
+    truncated expansion."""
+    from bright_spark.index.builder import build_index
+    from bright_spark.models import IndexConfig
+    from bright_spark.query.engine import SearchEngine
+    from bright_spark.query.planner import MAX_EXPANSIONS, TooManyClausesError
+    text = " ".join(f"zzq{i:05d}" for i in range(MAX_EXPANSIONS + 10))
+    df = spark.createDataFrame(
+        [("r", "p", "c" * 40, "python", text)],
+        "repo STRING, path STRING, commit STRING, lang STRING, content STRING")
+    idx = str(tmp_path / "capidx")
+    build_index(spark, df, idx, IndexConfig(id="cap"), n_build_partitions=2)
+    eng = SearchEngine(spark, idx)
+    with pytest.raises(TooManyClausesError):
+        eng.search_df("zzq*", k=5)
+    with pytest.raises(TooManyClausesError):
+        eng.search_df("zzq00000~5", k=5)  # ~5 covers every zzqNNNNN term
+    # under the cap the expansion still answers
+    assert eng.search_df("zzq0000*", k=5).count() == 1
+    # truncate mode (bench comparability): answers over the first cap
+    # terms and flags the pattern in the response envelope
+    trunc = SearchEngine(spark, idx, on_overflow="truncate")
+    resp = trunc.search("zzq*")
+    assert resp.hits and resp.truncated_expansions == ["wildcard 'zzq*'"]
+    assert "truncatedExpansions" in resp.to_dict()
+    clean = trunc.search("zzq0000*")
+    assert not clean.truncated_expansions
+    assert "truncatedExpansions" not in clean.to_dict()
