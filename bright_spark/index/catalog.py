@@ -97,6 +97,16 @@ class CommitConflictError(RuntimeError):
     pointer. The loser re-begins from the new snapshot and replays."""
 
 
+class SnapshotExpiredError(FileNotFoundError):
+    """The snapshot this reader is pinned to (or was asked to pin) has
+    been expired by :meth:`IndexCatalog.vacuum` — the Iceberg
+    ``expire_snapshots`` contract: old snapshots stay readable only
+    within the vacuum retention window (``keep_last``); a reader that
+    outlives it must re-pin on a retained snapshot. Subclasses
+    FileNotFoundError so existing missing-index handling still
+    catches it."""
+
+
 class PendingSnapshot:
     """An uncommitted snapshot: new version dirs + inherited pointers.
 
@@ -159,10 +169,18 @@ class PendingSnapshot:
     def commit(self, meta: dict[str, Any], operation: str,
                metrics: dict[str, Any] | None = None) -> int:
         """Write the manifest, then atomically flip CURRENT. Everything
-        before the final ``os.replace`` is invisible to readers. Fails
-        with :class:`CommitConflictError` if CURRENT moved since
-        ``begin()`` (optimistic concurrency — losers replay on top of
-        the winner instead of silently clobbering its tables)."""
+        before the final ``os.replace`` is invisible to readers.
+
+        Concurrency: the manifest file is CLAIMED atomically (hard link
+        of a complete temp file — O_EXCL semantics), so of two writers
+        racing from the same parent, exactly one owns the snapshot id;
+        the loser gets :class:`CommitConflictError` whichever side of
+        the winner's CURRENT flip it lands on, and replays. The check-
+        then-act window of a bare current_snapshot_id() compare cannot
+        silently clobber. (Pre-commit DATA writes still assume the
+        single-writer contract: two same-parent writers share staging
+        v{N} dirs — the loser must treat its version dirs as orphaned
+        and replay; vacuum reclaims them.)"""
         cat = self.catalog
         live = cat.current_snapshot_id()
         expected = self.parent["snapshot_id"] if self.parent else None
@@ -183,9 +201,27 @@ class PendingSnapshot:
         }
         name = _snap_name(self.snapshot_id)
         mf = os.path.join(cat.snapshots_dir, name + ".json")
-        with open(mf + ".tmp", "w") as f:
+        tmp_mf = mf + f".tmp-{os.getpid()}"
+        with open(tmp_mf, "w") as f:
             json.dump(manifest, f, indent=2)
-        os.replace(mf + ".tmp", mf)
+        try:
+            # atomic claim: link fails iff another writer already
+            # claimed this snapshot id (readers never see partial
+            # JSON — the linked file is complete)
+            os.link(tmp_mf, mf)
+        except FileExistsError:
+            if cat.current_snapshot_id() != expected:
+                os.unlink(tmp_mf)
+                raise CommitConflictError(
+                    f"snapshot {self.snapshot_id} was claimed and "
+                    f"committed by a concurrent writer; re-begin and "
+                    f"replay") from None
+            # CURRENT never moved: the claim is a crashed writer's
+            # orphan (claimed the manifest, died before the flip) —
+            # take it over so commits cannot wedge forever
+            os.replace(tmp_mf, mf)
+        else:
+            os.unlink(tmp_mf)
         tmp = cat.current_file + ".tmp"
         with open(tmp, "w") as f:
             f.write(name)
@@ -227,15 +263,28 @@ class IndexCatalog:
                                _snap_name(snapshot_id) + ".json")) as f:
             return json.load(f)
 
+    def _manifest_file(self, snapshot_id: int) -> str:
+        return os.path.join(self.snapshots_dir,
+                            _snap_name(snapshot_id) + ".json")
+
     def manifest(self) -> dict:
         """The pinned manifest, or the live one (re-resolved per call
         unless cached at the same snapshot id — manifests are
-        immutable, so caching by id is always sound)."""
+        immutable, so caching by id is always sound). A pinned reader
+        whose snapshot was vacuumed away raises
+        :class:`SnapshotExpiredError` instead of failing later with a
+        missing-file read."""
         sid = self._pinned if self._pinned is not None \
             else self.current_snapshot_id()
         if sid is None:
             raise FileNotFoundError(
                 f"index at {self.index_dir} has no committed snapshot")
+        if not os.path.exists(self._manifest_file(sid)):
+            self._cache = None
+            raise SnapshotExpiredError(
+                f"snapshot {sid} of {self.index_dir} is not retained "
+                f"(expired by vacuum, or never committed); re-pin on a "
+                f"live snapshot")
         if self._cache and self._cache[0] == sid:
             return self._cache[1]
         m = self.read_manifest(sid)
@@ -244,14 +293,19 @@ class IndexCatalog:
 
     def pin(self, snapshot_id: int | None = None) -> int:
         """Freeze reads on a snapshot (default: the already-pinned one
-        if any, else the live one)."""
+        if any, else the live one). Pinning an expired/unknown id
+        raises :class:`SnapshotExpiredError` up front."""
         if snapshot_id is None:
             snapshot_id = (self._pinned if self._pinned is not None
                            else self.current_snapshot_id())
-        self._pinned = snapshot_id
-        if self._pinned is None:
+        if snapshot_id is None:
             raise FileNotFoundError(
                 f"index at {self.index_dir} has no committed snapshot")
+        if not os.path.exists(self._manifest_file(snapshot_id)):
+            raise SnapshotExpiredError(
+                f"cannot pin snapshot {snapshot_id} of {self.index_dir}: "
+                f"not retained (expired by vacuum, or never committed)")
+        self._pinned = snapshot_id
         return self._pinned
 
     def snapshots(self) -> list[dict]:
@@ -299,7 +353,14 @@ class IndexCatalog:
         recent ``keep_last - 1`` others, delete older manifests, then
         reclaim every version dir no retained manifest references.
         Version dirs NEWER than the live snapshot (a writer's pending
-        output) are never touched. Returns the deleted dir paths."""
+        output) are never touched. Returns the deleted dir paths.
+
+        Retention contract (Iceberg ``expire_snapshots`` semantics):
+        readers pinned to a snapshot inside the retention window keep
+        working; a reader pinned to an EXPIRED snapshot gets
+        :class:`SnapshotExpiredError` on its next catalog access, and
+        ``pin()`` refuses expired ids up front — size ``keep_last`` to
+        the longest-lived reader you allow."""
         live = self.current_snapshot_id()
         if live is None:
             return []

@@ -72,14 +72,36 @@ class IndexStore:
 
     def create_index(self, config: IndexConfig) -> None:
         """Register a new index (store.go:78-124). An existing valid
-        index dir under this id is adopted as-is; an invalid one is
-        removed (store.go:96-106)."""
+        index dir under this id is ADOPTED — with its own on-disk
+        config, which must agree with the requested one on every
+        build-shaping field (tokenizer, primary key, exclusions, ...):
+        registering a conflicting config would silently misdescribe how
+        the adopted index was actually built, so it raises instead
+        (mirroring store.go:96-106, where adopt reuses the persisted
+        index as-is). An invalid dir (no config.json) is removed."""
         if config.id in self.configs:
             raise ValueError(f"index {config.id} already exists")
         path = self._index_dir(config.id)
         if os.path.exists(path) and not os.path.exists(
                 os.path.join(path, "config.json")):
             shutil.rmtree(path, ignore_errors=True)
+        if os.path.exists(os.path.join(path, "config.json")):
+            on_disk = IndexCatalog(path).load_config()
+            mismatches = {
+                f.name: (getattr(config, f.name), getattr(on_disk, f.name))
+                for f in dataclasses.fields(IndexConfig)
+                if getattr(config, f.name) != getattr(on_disk, f.name)
+                # build-time auto-resolved knobs: a None request adopts
+                # whatever the build resolved
+                and not (getattr(config, f.name) is None
+                         and f.name in ("range_bits", "n_term_buckets",
+                                        "files_per_bucket"))
+            }
+            if mismatches:
+                raise ValueError(
+                    f"cannot adopt index dir {path}: registered config "
+                    f"disagrees with how it was built: {mismatches}")
+            config = on_disk  # register the authoritative built config
         self.configs[config.id] = config
         self._save_configs()
 

@@ -160,8 +160,17 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
             .filter(F.col("jaccard") >= threshold))
 
 
+class ClusteringNotConverged(RuntimeError):
+    """duplicate_clusters hit ``max_rounds`` with labels still moving —
+    the component diameter exceeds the cap, so returned cluster_ids
+    would be WRONG (split components). Raise rather than silently
+    returning them; callers with pathological long-chain graphs raise
+    the cap (rounds needed = diameter, each round is one join)."""
+
+
 def duplicate_clusters(df: DataFrame, pairs: DataFrame,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       max_rounds: int = 100) -> DataFrame:
     """Canonical assignment over a near-dup pair graph: every doc gets
     ``cluster_id`` = the minimum doc_id reachable through pairs
     (connected components); singletons label themselves. Keep one doc
@@ -171,10 +180,13 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame,
     join + groupBy (label(v) := min(label(v), min of neighbors'
     labels)), stopping when a round changes nothing. Rounds needed =
     graph diameter; near-dup components are dense and tiny, so this
-    converges in 2-3 rounds at any corpus size (the classic
-    large-star/small-star optimization only matters for long-chain
-    graphs). Each round's labels are localCheckpointed: iterative
-    lineage would otherwise grow a plan of depth O(rounds)."""
+    converges in 2-3 rounds at any corpus size — but templated/
+    boilerplate corpora can chain near-dups into long paths, so
+    non-convergence within ``max_rounds`` raises
+    :class:`ClusteringNotConverged` instead of silently returning
+    split components. Each round's labels are localCheckpointed:
+    iterative lineage would otherwise grow a plan of depth
+    O(rounds)."""
     nodes = df.select(F.col(id_col).alias("id")).distinct()
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
@@ -182,7 +194,7 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame,
              .distinct())
     labels = nodes.select("id", F.col("id").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(30):  # diameter cap; converges long before
+    for _ in range(max_rounds):
         neigh = (edges.join(labels.withColumnRenamed("id", "src"), "src")
                  .groupBy("dst").agg(F.min("lbl").alias("nlbl"))
                  .withColumnRenamed("dst", "id"))
@@ -196,6 +208,10 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise ClusteringNotConverged(
+            f"label propagation still moving after {max_rounds} rounds "
+            f"(component diameter > {max_rounds}); raise max_rounds")
     return labels.select(F.col("id").alias("doc_id"),
                          F.col("lbl").alias("cluster_id"))
 

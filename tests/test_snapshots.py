@@ -276,3 +276,76 @@ def test_snapshot_diff_is_the_replication_unit(spark, tmp_path_factory):
     # the diff'd dirs all exist and total far less than the index
     for p in d["changed"]:
         assert os.path.isdir(os.path.join(idx, p))
+
+
+def test_vacuum_pinned_reader_contract(spark, tmp_path_factory):
+    """Iceberg expire_snapshots semantics, pinned explicitly: a reader
+    pinned inside the retention window keeps working across vacuum; a
+    reader whose snapshot expired gets the NAMED error on its next
+    catalog access (not a latent missing-parquet failure), and pin()
+    refuses expired ids up front."""
+    from bright_spark.index.catalog import SnapshotExpiredError
+    idx = str(tmp_path_factory.mktemp("vp") / "idx")
+    build_index(spark, spark.createDataFrame(_rows(20)), idx,
+                IndexConfig(id="vp", tokenizer="simple", n_term_buckets=4),
+                content_col="text", id_col="rid", lang_col=None,
+                n_build_partitions=2)
+    IndexMutator(spark, idx).upsert(
+        spark.createDataFrame(_rows(5, start=20, tag="beta")))
+    IndexMutator(spark, idx).delete_ids([0])
+
+    pinned_old = SearchEngine(spark, idx, snapshot_id=1)   # will expire
+    pinned_live = SearchEngine(spark, idx, snapshot_id=2)  # retained
+    assert pinned_old.search_df("common", k=5).collect()
+
+    IndexCatalog(idx).vacuum(keep_last=2)  # retains snapshots 2, 3
+
+    # retained pinned reader unaffected
+    assert pinned_live.catalog.manifest()["snapshot_id"] == 2
+    assert pinned_live.search_df("beta", k=50).count() == 5
+    # expired pinned reader: named error on next access
+    with pytest.raises(SnapshotExpiredError):
+        pinned_old.catalog.manifest()
+    with pytest.raises(SnapshotExpiredError):
+        pinned_old.catalog.postings_dirs()
+    # pin() refuses an expired id up front, with the named error
+    with pytest.raises(SnapshotExpiredError):
+        IndexCatalog(idx).pin(1)
+    with pytest.raises(SnapshotExpiredError):
+        SearchEngine(spark, idx, snapshot_id=1)
+    # live reads unaffected
+    assert SearchEngine(spark, idx).meta["n_docs"] == 24
+
+
+def test_commit_claim_is_atomic(spark, tmp_path_factory):
+    """Two writers racing from the same parent: the second committer of
+    the same snapshot id must get CommitConflictError even when its
+    parent check passed BEFORE the winner flipped CURRENT (the
+    check-then-act window) — the manifest hard-link claim closes it.
+    A crashed writer's orphan claim (manifest linked, CURRENT never
+    flipped) must NOT wedge later commits."""
+    from bright_spark.index.catalog import CommitConflictError
+    idx = str(tmp_path_factory.mktemp("cc") / "idx")
+    build_index(spark, spark.createDataFrame(_rows(10)), idx,
+                IndexConfig(id="cc", tokenizer="simple", n_term_buckets=4),
+                content_col="text", id_col="rid", lang_col=None,
+                n_build_partitions=2)
+    cat = IndexCatalog(idx)
+    a = cat.begin()
+    b = IndexCatalog(idx).begin()   # same parent, both pass the check
+    meta = cat.load_meta()
+    a.commit(meta, "upsert")        # winner
+    with pytest.raises(CommitConflictError):
+        b.commit(meta, "upsert")    # loser: claim already taken
+    assert cat.current_snapshot_id() == 2
+
+    # orphan claim: manifest exists for id 3 but CURRENT still says 2
+    import json as _json
+    orphan = os.path.join(idx, "snapshots", "s00000003.json")
+    with open(orphan, "w") as f:
+        _json.dump({"snapshot_id": 3, "stale": True}, f)
+    c = IndexCatalog(idx).begin()
+    assert c.snapshot_id == 3
+    c.commit(meta, "upsert")        # takes over the orphan, no wedge
+    m = IndexCatalog(idx).manifest()
+    assert m["snapshot_id"] == 3 and "stale" not in m

@@ -69,3 +69,35 @@ def test_update_index_pins_id(store):
     store.update_index("u", IndexConfig(id="renamed", primary_key="rid"))
     _, cfg = store.get_index("u")
     assert cfg.id == "u" and cfg.primary_key == "rid"
+
+
+def test_adopt_reconciles_on_disk_config(spark, tmp_path_factory):
+    """Adopting an existing index dir must reconcile with its on-disk
+    config (store.go adopt semantics): a matching registration adopts
+    the authoritative built config (including build-resolved knobs); a
+    conflicting one raises instead of silently misdescribing how the
+    index was built."""
+    data = str(tmp_path_factory.mktemp("adopt") / "data")
+    s1 = IndexStore(spark, data)
+    s1.create_index(IndexConfig(id="docs", tokenizer="simple"))
+    s1.add_documents("docs", spark.createDataFrame(_rows(12)),
+                     content_col="text")
+    assert s1.search("docs", "alpha").total_hits > 0
+
+    # wipe the registry, keep the index dir -> fresh store must adopt
+    import os
+    os.remove(os.path.join(data, "configs.json"))
+    s2 = IndexStore(spark, data)
+    assert not s2.configs
+    s2.create_index(IndexConfig(id="docs", tokenizer="simple"))
+    # registered config is the on-disk built one (resolved knobs kept)
+    adopted = s2.configs["docs"]
+    assert adopted.tokenizer == "simple"
+    assert adopted.range_bits is not None  # build-resolved, preserved
+    assert s2.search("docs", "alpha").total_hits > 0
+
+    # conflicting registration (different tokenizer) must raise
+    os.remove(os.path.join(data, "configs.json"))
+    s3 = IndexStore(spark, data)
+    with pytest.raises(ValueError, match="disagrees"):
+        s3.create_index(IndexConfig(id="docs", tokenizer="code"))

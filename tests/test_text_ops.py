@@ -189,6 +189,11 @@ def test_duplicate_clusters_chain(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in duplicate_clusters(docs, pairs).collect()}
     assert got == {i: 0 for i in range(n)}
+    # a diameter beyond the round cap must RAISE, never silently
+    # return split components (wrong cluster_ids)
+    from bright_spark.text.dedup import ClusteringNotConverged
+    with pytest.raises(ClusteringNotConverged):
+        duplicate_clusters(docs, pairs, max_rounds=3)
 
 
 def test_deterministic_split_and_sample(spark):
