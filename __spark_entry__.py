@@ -319,6 +319,29 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+# PII injected into a deterministic doc subset so the redaction
+# counts are non-trivial on the synthetic corpus; the oracle appends
+# the identical literal
+_PII_SUFFIX = (" contact bob@example.com or 10.0.42.7 ref 9876543210"
+               " key 0123456789abcdef0123456789abcdef")
+
+
+def _q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.scrub import redact_pii
+    docs = _docs(spark, sf_dir).withColumn(
+        "text", F.concat("text", F.when(F.col("doc_id") % 11 == 0,
+                                        F.lit(_PII_SUFFIX))
+                         .otherwise(F.lit(""))))
+    return redact_pii(docs)
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bright_spark.text.quality import repetition_profile
+    r = repetition_profile(_docs(spark, sf_dir), k=3)
+    return r.select("doc_id", "n_ngrams", "n_distinct",
+                    F.round("repetition_ratio", 6).alias("repetition_ratio"))
+
+
 def _q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.quality import lang_profile
     p = lang_profile(_docs(spark, sf_dir))
@@ -470,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": _q_text_bpe_tokens,
         "text_decontaminate": _q_text_decontaminate,
         "text_quality": _q_text_quality,
+        "text_redact": _q_text_redact,
+        "text_repetition": _q_text_repetition,
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_profile": _q_lang_profile,
         "text_lang_id": _q_lang_id,
@@ -580,6 +605,25 @@ _MUT_DOCS_CTE = """docs_m AS (
   UNION ALL
   SELECT 1000000 + i, 'fresh spark upsert row', 'en', 'src_new', 22
   FROM range(0, 5) r(i))"""
+
+
+def _redact_sql() -> str:
+    """Sequential redaction chain re-derived stage by stage from the
+    SAME pattern table the Spark operator uses (RE2-compatible, so
+    DuckDB executes the identical regexes)."""
+    from bright_spark.text.scrub import PII_PATTERNS
+    sql = (f"WITH r0 AS (\n"
+           f"  SELECT doc_id, text || CASE WHEN doc_id % 11 = 0 "
+           f"THEN '{_PII_SUFFIX}' ELSE '' END AS t FROM documents)")
+    for i, (name, pat, rep) in enumerate(PII_PATTERNS, 1):
+        prev_counts = "".join(f"n_{n}, " for n, _, _ in PII_PATTERNS[:i - 1])
+        sql += (f",\nr{i} AS (SELECT doc_id, {prev_counts}"
+                f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS n_{name}, "
+                f"regexp_replace(t, '{pat}', '{rep}', 'g') AS t "
+                f"FROM r{i - 1})")
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    return (sql + f"\nSELECT doc_id, t AS text_redacted, {names} "
+                  f"FROM r{len(PII_PATTERNS)}")
 
 
 def _adj_sql(t1: str, t2: str) -> str:
@@ -887,6 +931,19 @@ SELECT doc_id,
              + 0.2 * (CASE WHEN avg_token_len >= 3.0 AND avg_token_len <= 10.0
                            THEN 1.0 ELSE 0.5 END), 6) AS quality_score
 FROM st""",
+        "text_redact": _redact_sql(),
+        "text_repetition": """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+sh AS (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS s
+       FROM t, unnest(range(1, len(t) - 1)) r(i) WHERE len(t) >= 3),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+               count(DISTINCT s)::BIGINT AS n_distinct FROM sh GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_ngrams, 1)::BIGINT AS n_ngrams,
+       coalesce(a.n_distinct, 1)::BIGINT AS n_distinct,
+       round(1 - coalesce(a.n_distinct, 1)::DOUBLE
+             / coalesce(a.n_ngrams, 1), 6) AS repetition_ratio
+FROM documents d LEFT JOIN agg a USING (doc_id)""",
         "text_fingerprint": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents)

@@ -108,8 +108,12 @@ def main() -> None:
               lambda: near_duplicates_minhash(docs, threshold=0.5).count())
         timed("dedup_simhash", lambda: simhash(docs).count())
         timed("text_quality", lambda: quality_scores(docs).count())
-        from bright_spark.text.quality import language_id
+        from bright_spark.text.quality import language_id, repetition_profile
         timed("text_lang_id", lambda: language_id(docs).count())
+        from bright_spark.text.scrub import redact_pii
+        timed("text_redact", lambda: redact_pii(docs).count())
+        timed("text_repetition",
+              lambda: repetition_profile(docs).count())
 
         from bright_spark.text.dedup import near_duplicates_simhash
         timed("dedup_simhash64_pairs",

@@ -85,6 +85,28 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
                     "avg_token_len", score.alias("quality_score"))
 
 
+def repetition_profile(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3) -> DataFrame:
+    """Repeated-k-gram ratio — the boilerplate/spam/templating signal
+    pre-training filters threshold on (e.g. Gopher/MassiveText rules):
+    ``repetition_ratio = 1 - distinct_kgrams / total_kgrams``. Docs
+    shorter than ``k`` tokens count as a single whole-doc gram
+    (ratio 0). All-JVM array expressions — one narrow map, no
+    shuffle."""
+    toks = tokens_col(text_col)
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    out = df.select(F.col(id_col).alias("doc_id"), grams.alias("g"))
+    total = F.size("g").cast("bigint")
+    distinct = F.size(F.array_distinct("g")).cast("bigint")
+    return out.select(
+        "doc_id", total.alias("n_ngrams"), distinct.alias("n_distinct"),
+        (1.0 - distinct.cast("double") / total).alias("repetition_ratio"))
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —

@@ -304,3 +304,51 @@ def test_contaminated_docs_exact(spark):
     got = {r["doc_id"]: (r["n_hits"], r["first_ngram"])
            for r in contaminated_docs(corpus, probes, n=3).collect()}
     assert got == {0: (2, "quick brown fox"), 2: (1, "brown fox jumps")}
+
+
+def test_redact_pii_fixture(spark):
+    """Crafted fixtures pin each category, the placeholder text, the
+    sequential-count semantics, and the hex-before-num precedence."""
+    import pandas as pd
+
+    from bright_spark.text.scrub import redact_pii
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "mail a.b+c@ex-ample.org now",
+            "host 192.168.0.1 and id 123456789012 end",
+            # 32 hex chars that are ALSO all digits: hex wins (ordered)
+            "secret 0123456789abcdef0123456789abcdef "
+            "num 12345678901234567890123456789012",
+            "clean text with no pii at all",
+        ]})
+    got = {r["doc_id"]: r.asDict() for r in
+           redact_pii(spark.createDataFrame(rows)).collect()}
+    assert got[1]["text_redacted"] == "mail <EMAIL> now"
+    assert got[1]["n_email"] == 1 and got[1]["n_ip"] == 0
+    assert got[2]["text_redacted"] == "host <IP> and id <NUM> end"
+    assert got[2]["n_ip"] == 1 and got[2]["n_num"] == 1
+    assert got[3]["text_redacted"] == "secret <HEX> num <HEX>"
+    assert got[3]["n_hex"] == 2 and got[3]["n_num"] == 0
+    assert got[4]["text_redacted"] == rows["text"][3]
+    assert all(got[4][c] == 0 for c in ("n_email", "n_ip", "n_hex", "n_num"))
+
+
+def test_repetition_profile_exact(spark):
+    import pandas as pd
+
+    from bright_spark.text.quality import repetition_profile
+    rows = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "a b c a b c a b c",      # 7 trigrams, 3 distinct
+            "all tokens fully distinct here now",  # no repeats
+            "ab",                      # < k tokens -> whole-doc gram
+        ]})
+    got = {r["doc_id"]: r.asDict() for r in
+           repetition_profile(spark.createDataFrame(rows), k=3).collect()}
+    assert got[1]["n_ngrams"] == 7 and got[1]["n_distinct"] == 3
+    assert got[1]["repetition_ratio"] == pytest.approx(1 - 3 / 7)
+    assert got[2]["repetition_ratio"] == 0.0
+    assert got[3] == {"doc_id": 3, "n_ngrams": 1, "n_distinct": 1,
+                      "repetition_ratio": 0.0}
