@@ -290,6 +290,12 @@ def _q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
+def _q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-and-chunk sequence packing: 256-token windows, 8 shards
+    from bright_spark.text.sampling import pack_sequences
+    return pack_sequences(_docs(spark, sf_dir), budget=256, n_shards=8)
+
+
 def _q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.quality import bpe_token_stats
     return bpe_token_stats(_docs(spark, sf_dir))
@@ -488,6 +494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
         "text_split": _q_text_split,
+        "text_pack": _q_text_pack,
         "text_sample": _q_text_sample,
         "text_token_stats": _q_text_token_stats,
         "text_bpe_tokens": _q_text_bpe_tokens,
@@ -882,6 +889,25 @@ WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""",
                                     fromlist=["split_sql"]).split_sql(
                              "doc_id", _SPLIT_WEIGHTS)
                        + " AS split FROM documents"),
+        "text_pack": """
+WITH b AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           % 1000000) % 8)::BIGINT AS shard,
+         (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split(lower(trim(text)), ' ')) END)::BIGINT AS n_tokens
+  FROM documents),
+s AS (SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0)::BIGINT AS start_offset
+      FROM b)
+SELECT doc_id, shard, start_offset, n_tokens,
+       (start_offset // 256)::BIGINT AS bin_first,
+       ((start_offset + greatest(n_tokens - 1, 0)) // 256)::BIGINT AS bin_last,
+       ((start_offset + greatest(n_tokens - 1, 0)) // 256
+        - start_offset // 256 + 1)::BIGINT AS n_chunks
+FROM s""",
         "text_sample": """
 SELECT doc_id FROM documents
 WHERE (('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

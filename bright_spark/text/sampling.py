@@ -57,6 +57,51 @@ def deterministic_split(df: DataFrame, weights: dict[str, float],
     return df.select(F.col(key_col), expr.alias("split"))
 
 
+def pack_sequences(df: DataFrame, budget: int = 2048, n_shards: int = 64,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Sequence packing for pretraining batches, concat-and-chunk
+    style: shard the corpus deterministically (md5 of the doc id, so
+    any engine re-derives the layout), concatenate each shard's docs
+    in id order into one token stream, and cut the stream into
+    fixed-``budget`` context windows. Per doc:
+
+      (doc_id, shard, start_offset, n_tokens, bin_first, bin_last,
+       n_chunks)
+
+    where ``bin_first``/``bin_last`` are the window indices the doc's
+    tokens land in (a doc crossing a boundary is split across
+    ``n_chunks`` windows — standard GPT-style packing; empty docs
+    occupy zero tokens at their offset).
+
+    Scale shape: one hash repartition by shard + a per-shard window
+    cumsum — the sequential prefix-sum is confined to a shard, so
+    shard count is the parallelism knob (size n_shards ~ cluster
+    width; 10^12 docs / 2^16 shards keeps each window partition in
+    memory). All JVM expressions, no UDFs."""
+    from bright_spark.text.dedup import tokens_col
+    from pyspark.sql import Window
+    n_tokens = F.when(F.length(F.trim(F.col(text_col))) == 0,
+                      F.lit(0)).otherwise(F.size(tokens_col(text_col)))
+    shard = hash_bucket(F.col(id_col), "pack") % n_shards
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     shard.cast("bigint").alias("shard"),
+                     n_tokens.cast("bigint").alias("n_tokens"))
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    out = base.withColumn("start_offset", start)
+    bin_first = F.floor(F.col("start_offset") / budget)
+    last_tok = (F.col("start_offset")
+                + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+    bin_last = F.floor(last_tok / budget)
+    return out.select(
+        "doc_id", "shard", "start_offset", "n_tokens",
+        bin_first.cast("bigint").alias("bin_first"),
+        bin_last.cast("bigint").alias("bin_last"),
+        (bin_last - bin_first + 1).cast("bigint").alias("n_chunks"))
+
+
 def split_sql(key_expr: str, weights: dict[str, float],
               salt: str = "split") -> str:
     """The DuckDB expression computing the identical split label (for

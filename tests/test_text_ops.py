@@ -352,3 +352,39 @@ def test_repetition_profile_exact(spark):
     assert got[2]["repetition_ratio"] == 0.0
     assert got[3] == {"doc_id": 3, "n_ngrams": 1, "n_distinct": 1,
                       "repetition_ratio": 0.0}
+
+
+def test_pack_sequences_semantics(spark):
+    """Concat-and-chunk packing: per-shard offsets are a gapless
+    prefix sum in doc_id order, window indices follow floor division,
+    and a budget-crossing doc reports the right chunk count."""
+    import pandas as pd
+
+    from bright_spark.text.sampling import pack_sequences
+    rows = pd.DataFrame({
+        "doc_id": range(20),
+        "text": ["tok " * (i % 7 + 1) for i in range(20)],  # 1..7 tokens
+    })
+    out = pack_sequences(spark.createDataFrame(rows), budget=5, n_shards=3)
+    rs = sorted((r["shard"], r["doc_id"], r) for r in out.collect())
+    by_shard: dict[int, list] = {}
+    for sh, _, r in rs:
+        by_shard.setdefault(sh, []).append(r)
+    assert len(by_shard) > 1  # corpus actually sharded
+    for sh, docs in by_shard.items():
+        expect_start = 0
+        for r in docs:  # doc_id order within shard
+            assert r["start_offset"] == expect_start
+            expect_start += r["n_tokens"]
+            assert r["bin_first"] == r["start_offset"] // 5
+            last = r["start_offset"] + max(r["n_tokens"] - 1, 0)
+            assert r["bin_last"] == last // 5
+            assert r["n_chunks"] == r["bin_last"] - r["bin_first"] + 1
+    # a 7-token doc starting mid-window spans 2 windows of 5
+    spans = [r["n_chunks"] for _, _, r in rs if r["n_tokens"] == 7]
+    assert any(c == 2 for c in spans)
+    # determinism: rerun is identical
+    again = sorted((r["shard"], r["doc_id"], r["start_offset"])
+                   for r in pack_sequences(spark.createDataFrame(rows),
+                                           budget=5, n_shards=3).collect())
+    assert again == [(s, d, r["start_offset"]) for s, d, r in rs]
