@@ -372,6 +372,21 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("marker_hits").cast("bigint").alias("marker_hits"))
 
 
+def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal sampling-grid surface (decode stays env-gated): a
+    # media table derived deterministically from documents — one row
+    # per sampled frame timestamp
+    from bright_spark.multimodal import frame_sample
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(500) + (F.col("doc_id") * 37) % 9500).cast("int")
+        .alias("duration_ms"))
+    out = frame_sample(media, every_ms=700)
+    return out.select(F.col("media_id").cast("bigint").alias("media_id"),
+                      F.col("frame_idx").cast("bigint").alias("frame_idx"),
+                      F.col("ts_ms").cast("bigint").alias("ts_ms"))
+
+
 def _q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.vectors.similarity import near_duplicates_cosine
     pairs = near_duplicates_cosine(_emb(spark, sf_dir), threshold=0.3,
@@ -505,6 +520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "text_lang_profile": _q_lang_profile,
         "text_lang_id": _q_lang_id,
+        # --- multimodal (sampling grid; decode is env-gated)
+        "media_frame_sample": _q_media_frame_sample,
         # --- similarity search
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,  # deterministic LSH -> full oracle
@@ -996,6 +1013,12 @@ SELECT d.doc_id,
        coalesce(p.m_lang, 'unknown') AS lang_pred,
        coalesce(p.n, 0)::BIGINT AS marker_hits
 FROM documents d LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p USING (doc_id)""",
+        "media_frame_sample": """
+WITH m AS (SELECT doc_id AS media_id,
+                  (500 + (doc_id * 37) % 9500)::BIGINT AS duration_ms
+           FROM documents)
+SELECT media_id, i::BIGINT AS frame_idx, (i * 700)::BIGINT AS ts_ms
+FROM m, unnest(range(0, greatest((duration_ms - 1) // 700, 0) + 1)) r(i)""",
         "ann_near_dup_cosine": _near_dup_cosine_sql(threshold=0.3, n_planes=6,
                                                     dim=64),
         "ann_lsh_topk": _ann_lsh_sql(n_planes=6, dim=64, probe_hamming=2,
