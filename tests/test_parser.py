@@ -131,3 +131,29 @@ def test_unescaped_specials_still_work():
     kinds = [c.kind for c in pq.should]
     assert kinds == ["term", "fuzzy", "wildcard", "phrase", "term"]
     assert pq.should[4].boost == 2.0
+
+
+def test_escape_any_token_roundtrip_property():
+    r"""Property (hypothesis): for ANY token, escaping every special
+    char yields exactly one term clause whose value is the original
+    string — no grammar rule may fire on an escaped char."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    specials = set(':"~^*?+-[]\\')
+    alphabet = list("abz09") + list(specials)
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet=st.sampled_from(alphabet),
+                   min_size=1, max_size=24))
+    def check(s):
+        escaped = "".join("\\" + c if c in specials else c for c in s)
+        pq = parse_query(escaped)
+        assert len(pq.should) == 1 and not pq.must and not pq.must_not
+        c = pq.should[0]
+        assert c.kind == "term", (s, c)
+        assert c.value == s
+        assert c.field_name is None
+        assert c.boost == 1.0 and c.fuzziness == 0
+
+    check()
