@@ -231,6 +231,23 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact-hash cross-corpus containment: docs outside the probe
+    # subset whose exact text also appears inside it (the synthetic
+    # corpus contains repeated texts, so this is non-empty)
+    from bright_spark.text.dedup import cross_corpus_duplicates
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 53 == 0)
+    # the corpus side re-ingests every 3rd reference text under a new
+    # id (a later crawl catching the same pages) — guaranteed hits
+    recrawled = (ref.filter(F.col("doc_id") % 3 == 0)
+                 .select((F.col("doc_id") + 5000000).alias("doc_id"),
+                         "text"))
+    corpus = (docs.filter(F.col("doc_id") % 53 != 0)
+              .select("doc_id", "text").unionByName(recrawled))
+    return cross_corpus_duplicates(corpus, ref)
+
+
 def _q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark decontamination: docs sharing any 3-gram with the
     # deterministic probe subset (doc_id % 97 == 0 poses as the
@@ -508,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_cross": _q_dedup_cross,
         "text_split": _q_text_split,
         "text_pack": _q_text_pack,
         "text_sample": _q_text_sample,
@@ -901,6 +919,17 @@ SELECT id_a, id_b,
        (bit_count(xor(la, lb)) + bit_count(xor(ha, hb)))::BIGINT AS hamming
 FROM pairs
 WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 3""",
+        "dedup_cross": """
+WITH ref AS (SELECT DISTINCT md5(text) AS content_hash FROM documents
+             WHERE doc_id % 53 = 0),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 53 <> 0
+  UNION ALL
+  SELECT doc_id + 5000000, text FROM documents
+  WHERE doc_id % 53 = 0 AND doc_id % 3 = 0)
+SELECT c.doc_id, md5(c.text) AS content_hash
+FROM corpus c
+WHERE md5(c.text) IN (SELECT content_hash FROM ref)""",
         "text_split": ("SELECT doc_id, "
                        + __import__("bright_spark.text.sampling",
                                     fromlist=["split_sql"]).split_sql(

@@ -44,6 +44,25 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
         "doc_id", "content_hash", "canonical_id", "group_size")
 
 
+def cross_corpus_duplicates(corpus: DataFrame, reference: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Docs in ``corpus`` whose EXACT content (md5 of text) also
+    appears in ``reference`` — the drop-eval-set/earlier-crawl
+    duplicates step that runs beside n-gram decontamination
+    (decontaminate.py handles partial overlap; this is the exact-hash
+    containment check). One hash projection per side + a semi-join on
+    the 16-byte digest: the reference side is typically tiny
+    (benchmark suites) and broadcasts; when both sides are large the
+    join shuffles digests only — document text never moves. Returns
+    (doc_id, content_hash)."""
+    ref = (reference.select(F.md5(F.col(text_col)).alias("content_hash"))
+           .distinct())
+    h = corpus.select(F.col(id_col).alias("doc_id"),
+                      F.md5(F.col(text_col)).alias("content_hash"))
+    return h.join(ref, "content_hash", "left_semi")
+
+
 def shingles_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 k: int = 3) -> DataFrame:
     """Distinct k-token shingles per doc (the Jaccard universe)."""

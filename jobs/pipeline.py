@@ -21,6 +21,7 @@ also reads ``lang`` when present):
     sample           deterministic hash sample (--rate)
     pack             sequence packing into --budget-token windows
     decontaminate    docs sharing any n-gram with --probes parquet
+    dedup_cross      docs whose exact text appears in --probes parquet
 
 Prints ONE JSON line: {"op", "rows", "out", "wall_sec"}.
 """
@@ -110,6 +111,11 @@ def main() -> None:
         from bright_spark.text.decontaminate import contaminated_docs
         out = contaminated_docs(docs, spark.read.parquet(args.probes),
                                 n=args.ngram)
+    elif args.op == "dedup_cross":
+        if not args.probes:
+            ap.error("--probes required for dedup_cross")
+        from bright_spark.text.dedup import cross_corpus_duplicates
+        out = cross_corpus_duplicates(docs, spark.read.parquet(args.probes))
     else:
         ap.error(f"unknown --op {args.op}")
         return

@@ -388,3 +388,21 @@ def test_pack_sequences_semantics(spark):
                    for r in pack_sequences(spark.createDataFrame(rows),
                                            budget=5, n_shards=3).collect())
     assert again == [(s, d, r["start_offset"]) for s, d, r in rs]
+
+
+def test_cross_corpus_duplicates(spark):
+    """Exact-hash containment against a reference corpus: only docs
+    with byte-identical text to a reference doc survive the semi-join,
+    regardless of ids."""
+    import pandas as pd
+
+    from bright_spark.text.dedup import cross_corpus_duplicates
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [10, 11, 12],
+        "text": ["shared text a", "unique text b", "shared text c"]}))
+    ref = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [900, 901],
+        "text": ["shared text a", "shared text c"]}))
+    got = sorted(r["doc_id"] for r in
+                 cross_corpus_duplicates(corpus, ref).collect())
+    assert got == [10, 12]
