@@ -103,6 +103,19 @@ def main() -> None:
         timed("q_phrase_not",
               lambda: eng2.search_df('spark -"the fast"', k=10).collect())
 
+        # write path: one 50-doc upsert batch (replacements) through
+        # the copy-on-write mutation + snapshot commit — the incremental
+        # maintenance latency a sync loop pays per batch
+        from bright_spark.index.mutations import IndexMutator
+
+        def _mutate():
+            batch = (docs.limit(50)
+                     .withColumn("text", F.concat(F.col("text"),
+                                                  F.lit(" benchmut"))))
+            IndexMutator(spark, idx_dir2).upsert(batch)
+
+        timed("mutate_upsert_50", _mutate)
+
         timed("dedup_exact", lambda: exact_duplicates(docs).count())
         timed("dedup_minhash_lsh",
               lambda: near_duplicates_minhash(docs, threshold=0.5).count())
