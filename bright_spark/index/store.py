@@ -162,6 +162,50 @@ class IndexStore:
                      **build_kwargs).build(docs)
         self._engines.pop(idx_id, None)
 
+    def delete_documents(self, idx_id: str, ids: list[int] | None = None,
+                         filter_query: str | None = None) -> None:
+        """DELETE /indexes/:id/documents (handlers/documents.go:214-258):
+        delete by explicit id list OR by a query-string filter over the
+        same evaluator as search; providing neither is a request error
+        (the reference refuses a bare delete-all the same way)."""
+        if idx_id not in self.configs:
+            raise KeyError(f"index {idx_id} not found")
+        if not ids and not filter_query:
+            raise ValueError(
+                "must provide ids or filter_query to delete documents")
+        from bright_spark.index.mutations import IndexMutator
+        self._engines.pop(idx_id, None)
+        mut = IndexMutator(self.spark, self._index_dir(idx_id))
+        if ids:
+            mut.delete_ids(list(ids))
+        else:
+            mut.delete_by_query(filter_query)
+        self._engines.pop(idx_id, None)
+
+    def delete_document(self, idx_id: str, doc_id: int) -> None:
+        """DELETE /indexes/:id/documents/:documentid
+        (handlers/documents.go:260-277)."""
+        self.delete_documents(idx_id, ids=[int(doc_id)])
+
+    def update_document(self, idx_id: str, doc_id: int,
+                        fields: dict) -> dict:
+        """PATCH /indexes/:id/documents/:documentid
+        (handlers/documents.go:279-320): fetch the stored doc, merge
+        the given fields, re-index, return the merged record. Missing
+        doc -> KeyError (the reference's 404)."""
+        if idx_id not in self.configs:
+            raise KeyError(f"index {idx_id} not found")
+        from bright_spark.index.mutations import IndexMutator
+        self._engines.pop(idx_id, None)
+        mut = IndexMutator(self.spark, self._index_dir(idx_id))
+        mut.patch(int(doc_id), fields)  # raises KeyError when absent
+        self._engines.pop(idx_id, None)
+        from pyspark.sql import functions as F
+        row = (IndexCatalog(self._index_dir(idx_id))
+               .docs(self.spark).filter(F.col("doc_id") == int(doc_id))
+               .collect())
+        return row[0].asDict() if row else {}
+
     def engine(self, idx_id: str):
         """SearchEngine for a built index (cached per store)."""
         if idx_id not in self.configs:

@@ -101,3 +101,36 @@ def test_adopt_reconciles_on_disk_config(spark, tmp_path_factory):
     s3 = IndexStore(spark, data)
     with pytest.raises(ValueError, match="disagrees"):
         s3.create_index(IndexConfig(id="docs", tokenizer="code"))
+
+
+def test_document_routes(store, spark):
+    """DELETE /documents (ids / filter), DELETE /documents/:id, and
+    PATCH /documents/:id through the store (handlers/documents.go
+    214-320 semantics), with searches reflecting each commit."""
+    store.create_index(IndexConfig(id="docs", tokenizer="simple"))
+    store.add_documents("docs", spark.createDataFrame(_rows(12)),
+                        content_col="text", attr_cols=("kind",))
+    assert store.search("docs", "alpha").total_hits == 12
+
+    # delete by id list
+    store.delete_documents("docs", ids=[0, 1])
+    assert store.search("docs", "alpha").total_hits == 10
+    # single-doc route
+    store.delete_document("docs", 2)
+    assert store.search("docs", "alpha").total_hits == 9
+    # delete by filter query (kind:k1 matches rids 4, 7, 10 of 3..11)
+    store.delete_documents("docs", filter_query="kind:k1")
+    assert store.search("docs", "alpha").total_hits == 6
+    # neither -> request error (no silent delete-all)
+    with pytest.raises(ValueError):
+        store.delete_documents("docs")
+
+    # patch: merge fields, re-index, return merged record
+    rec = store.update_document("docs", 5, {"text": "patched zeta body"})
+    assert rec["text"] == "patched zeta body" and rec["kind"] == "k2"
+    assert store.search("docs", "zeta").total_hits == 1
+    assert store.search("docs", "alpha").total_hits == 5
+    with pytest.raises(KeyError):
+        store.update_document("docs", 9999, {"text": "x"})
+    with pytest.raises(KeyError):
+        store.delete_documents("nope", ids=[1])
