@@ -80,10 +80,13 @@ def shingles_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 8,
-                       k: int = 3) -> DataFrame:
+                       k: int = 3, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h{n-1}) — hi = min over shingles of
-    md5(i || '|' || shingle) (lexicographic min of hex strings)."""
-    sh = shingles_df(df, id_col, text_col, k)
+    md5(i || '|' || shingle) (lexicographic min of hex strings).
+    ``sh`` reuses an already-built shingle frame (callers that also
+    verify share one tokenize pass)."""
+    if sh is None:
+        sh = shingles_df(df, id_col, text_col, k)
     aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
             for i in range(n_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -107,9 +110,10 @@ def lsh_bands(sig: DataFrame, n_hashes: int = 8, bands: int = 4) -> DataFrame:
 
 def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n_hashes: int = 8,
-                            bands: int = 4, k: int = 3) -> DataFrame:
+                            bands: int = 4, k: int = 3,
+                            sh: DataFrame | None = None) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing an LSH band bucket."""
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, k, sh=sh)
     bandsdf = lsh_bands(sig, n_hashes, bands)
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
@@ -123,10 +127,12 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", k: int = 3) -> DataFrame:
+                  text_col: str = "text", k: int = 3,
+                  sh: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs: (id_a, id_b, jaccard)."""
-    sh = (shingles_df(df, id_col, text_col, k)
-          .groupBy("doc_id").agg(F.collect_set("shingle").alias("sh")))
+    if sh is None:
+        sh = shingles_df(df, id_col, text_col, k)
+    sh = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
     j = (pairs
          .join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
@@ -173,9 +179,14 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", threshold: float = 0.7,
                             n_hashes: int = 8, bands: int = 4,
                             k: int = 3) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup pairs with verified Jaccard."""
-    pairs = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands, k)
-    return (jaccard_pairs(df, pairs, id_col, text_col, k)
+    """End-to-end MinHash-LSH near-dup pairs with verified Jaccard.
+    The shingle frame is built ONCE and lazily checkpointed — candidate
+    generation and Jaccard verification share the single tokenize +
+    explode pass instead of re-scanning the corpus."""
+    sh = shingles_df(df, id_col, text_col, k).localCheckpoint(eager=False)
+    pairs = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands,
+                                    k, sh=sh)
+    return (jaccard_pairs(df, pairs, id_col, text_col, k, sh=sh)
             .filter(F.col("jaccard") >= threshold))
 
 
