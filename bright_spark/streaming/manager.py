@@ -86,29 +86,32 @@ class FileIngress:
         """One catch-up pass (the reference poll cycle): drain every
         unseen changefeed file through the checkpointed stream."""
         with self._lock:
-            prev = self.status
-            self.status = "syncing"
-            try:
-                stream = (self.spark.readStream
-                          .schema(self.cfg.config["schema_ddl"])
-                          .parquet(self.cfg.config["source_dir"]))
-                q = (stream.writeStream
-                     .foreachBatch(self._counted_apply)
-                     .option("checkpointLocation",
-                             self._ingestor.checkpoint_dir)
-                     .trigger(availableNow=True)
-                     .start())
-                q.awaitTermination()
-                self.stats.last_sync_at = time.strftime(
-                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
-                self.stats.full_sync_complete = True
-                self.stats.last_error = None
-                self.status = prev if prev != "stopped" else "stopped"
-            except Exception as e:  # failed state, error surfaced
-                self.stats.last_error = str(e)
-                self.stats.error_count += 1
-                self.status = "failed"
-                raise
+            self._sync_once_locked()
+
+    def _sync_once_locked(self) -> None:
+        prev = self.status
+        self.status = "syncing"
+        try:
+            stream = (self.spark.readStream
+                      .schema(self.cfg.config["schema_ddl"])
+                      .parquet(self.cfg.config["source_dir"]))
+            q = (stream.writeStream
+                 .foreachBatch(self._counted_apply)
+                 .option("checkpointLocation",
+                         self._ingestor.checkpoint_dir)
+                 .trigger(availableNow=True)
+                 .start())
+            q.awaitTermination()
+            self.stats.last_sync_at = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            self.stats.full_sync_complete = True
+            self.stats.last_error = None
+            self.status = prev if prev != "stopped" else "stopped"
+        except Exception as e:  # failed state, error surfaced
+            self.stats.last_error = str(e)
+            self.stats.error_count += 1
+            self.status = "failed"
+            raise
 
     # ------------------------------------------------------- lifecycle
 
@@ -122,13 +125,20 @@ class FileIngress:
 
         def loop() -> None:
             while not self._stop.is_set():
-                if not self._paused.is_set():
-                    try:
-                        self.sync_once()
-                    except Exception:
-                        pass  # status/stats already record the failure
-                    if self.status == "syncing":
-                        self.status = "running"
+                # paused-check and sync start are atomic under the
+                # lock: pause() sets the flag THEN acquires the lock,
+                # so once pause() returns no pass is running and none
+                # can start — a batch landing "while paused" can never
+                # be applied by a straggler pass
+                try:
+                    with self._lock:
+                        if (not self._paused.is_set()
+                                and not self._stop.is_set()):
+                            self._sync_once_locked()
+                except Exception:
+                    pass  # status/stats already record the failure
+                if self.status == "syncing":
+                    self.status = "running"
                 self._stop.wait(interval)
 
         self._thread = threading.Thread(target=loop, daemon=True)
@@ -142,8 +152,14 @@ class FileIngress:
         self.status = "stopped"
 
     def pause(self) -> None:
+        """Returns only after any in-flight pass has finished: the
+        flag blocks new passes, the lock acquisition waits out the
+        current one (Pause() in the reference likewise fences the poll
+        loop, ingresses/postgres/ingress.go)."""
         self._paused.set()
-        if self.status == "running":
+        with self._lock:
+            pass
+        if self.status in ("running", "syncing"):
             self.status = "paused"
 
     def resume(self) -> None:

@@ -120,10 +120,10 @@ def test_pause_resume_threaded(spark, setup):
         assert ing.info()["statistics"]["documents_synced"] == 1
         assert ing.status in ("running", "syncing")
 
+        # pause() fences: it returns only after any in-flight pass
+        # finished and no new pass can start, so the counter read here
+        # is final and a batch dropped now can NEVER be applied
         ing.pause()
-        # wait out any in-flight pass, then drop a new batch: it must
-        # NOT be applied while paused
-        time.sleep(1.5)
         synced_at_pause = ing.info()["statistics"]["documents_synced"]
         _batch(spark, feed, "b2", [
             {"rid": 201, "text": "second live row", "kind": "k",
