@@ -42,17 +42,26 @@ from bright_spark.models import IndexConfig, SearchRequest, SearchRequestError
 from bright_spark.query.planner import TooManyClausesError
 
 
+_NUMERIC_PARAMS = {"limit", "offset", "page"}
+
+
 def _qs_params(query: str) -> dict:
     """Query-string params in the reference's wire shape (repeated
-    keys / `[]` suffix become lists; numeric strings stay strings —
-    SearchRequest.from_params handles coercion)."""
+    keys / `[]` suffix become lists). ONLY the known-numeric keys are
+    int-coerced — `?q=123` must stay the string term '123', never an
+    int that crashes the parser."""
     out: dict = {}
     for k, vals in parse_qs(query).items():
         if k.endswith("[]") or len(vals) > 1:
             out[k] = vals
         else:
             v = vals[0]
-            out[k] = int(v) if v.lstrip("-").isdigit() else v
+            if k in _NUMERIC_PARAMS:
+                if not v.lstrip("-").isdigit():
+                    raise SearchRequestError(f"{k} must be an integer")
+                out[k] = int(v)
+            else:
+                out[k] = v
     return out
 
 
@@ -69,6 +78,11 @@ def make_handler(store: IndexStore):
         # ----------------------------------------------------- plumbing
 
         def _json(self, code: int, payload) -> None:
+            if code == 204:  # RFC 9110: No Content carries no body
+                self.send_response(code)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -127,8 +141,8 @@ def make_handler(store: IndexStore):
         # ------------------------------------------------------- routes
 
         def list_indexes(self, parts, params) -> None:
-            cfgs = store.list_indexes(limit=int(params.get("limit", 20)),
-                                      offset=int(params.get("offset", 0)))
+            cfgs = store.list_indexes(limit=params.get("limit", 20),
+                                      offset=params.get("offset", 0))
             self._json(200, [{"id": c.id, "primaryKey": c.primary_key,
                               "excludeAttributes": list(c.exclude_attributes)}
                              for c in cfgs])
@@ -156,12 +170,17 @@ def make_handler(store: IndexStore):
             _, cur = store.get_index(parts[1])
             import dataclasses
             with write_lock:
+                # explicit presence checks: {"excludeAttributes": []}
+                # must CLEAR the exclusions, and {"primaryKey": null}
+                # must null the key — a falsy value is not "absent"
                 store.update_index(parts[1], dataclasses.replace(
                     cur,
-                    primary_key=b.get("primaryKey", cur.primary_key),
+                    primary_key=(b["primaryKey"] if "primaryKey" in b
+                                 else cur.primary_key),
                     exclude_attributes=tuple(
-                        b.get("excludeAttributes")
-                        or cur.exclude_attributes)))
+                        b["excludeAttributes"]
+                        if "excludeAttributes" in b
+                        else cur.exclude_attributes)))
             self._json(200, {"id": parts[1]})
 
         def delete_index(self, parts, params) -> None:

@@ -608,8 +608,12 @@ class IndexBuilder:
         # written — a column-pruned scan of the tiny aggregate instead
         # of persisting the whole table in executor memory across two
         # jobs; n_docs is tracked during doc_id assignment (no extra
-        # docs-table scan)
-        frows = (self.spark.read.parquet(ts_path)
+        # docs-table scan). Explicit schema: an EMPTY corpus (or a
+        # delete-everything mutation) writes zero part files and
+        # schema inference would fail on the bare _SUCCESS marker
+        from bright_spark.index.catalog import TERM_STATS_SCHEMA
+        frows = (self.spark.read.schema(TERM_STATS_SCHEMA)
+                 .parquet(ts_path)
                  .groupBy("field").agg(F.sum("cf").alias("t")).collect())
         field_tokens = {r["field"]: int(r["t"] or 0) for r in frows}
         total_tokens = field_tokens.get(self.content_col, 0)

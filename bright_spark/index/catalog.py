@@ -73,6 +73,9 @@ POSTINGS_SCHEMA = (
     "pos ARRAY<BINARY>"
 )
 
+TERM_STATS_SCHEMA = ("field STRING, term STRING, df BIGINT, cf BIGINT, "
+                     "bucket INT")
+
 LAYOUT_VERSION = 3
 
 
@@ -177,10 +180,13 @@ class PendingSnapshot:
         the loser gets :class:`CommitConflictError` whichever side of
         the winner's CURRENT flip it lands on, and replays. The check-
         then-act window of a bare current_snapshot_id() compare cannot
-        silently clobber. (Pre-commit DATA writes still assume the
-        single-writer contract: two same-parent writers share staging
-        v{N} dirs — the loser must treat its version dirs as orphaned
-        and replay; vacuum reclaims them.)"""
+        silently clobber. A writer that crashed between claim and flip
+        leaves an orphan manifest that blocks its snapshot id;
+        ``vacuum()`` removes above-live orphans (operator-run, safe
+        under the single-writer contract). (Pre-commit DATA writes
+        still assume that contract too: two same-parent writers share
+        staging v{N} dirs — the loser must treat its version dirs as
+        orphaned and replay; vacuum reclaims them.)"""
         cat = self.catalog
         live = cat.current_snapshot_id()
         expected = self.parent["snapshot_id"] if self.parent else None
@@ -207,20 +213,21 @@ class PendingSnapshot:
         try:
             # atomic claim: link fails iff another writer already
             # claimed this snapshot id (readers never see partial
-            # JSON — the linked file is complete)
+            # JSON — the linked file is complete). NO takeover here:
+            # a claim whose CURRENT flip has not landed yet is
+            # indistinguishable from a crashed writer's orphan, and
+            # guessing wrong silently clobbers the winner — the
+            # crashed-orphan case is resolved by vacuum() (an operator
+            # action, safe under the single-writer contract), which
+            # removes above-live orphan manifests
             os.link(tmp_mf, mf)
         except FileExistsError:
-            if cat.current_snapshot_id() != expected:
-                os.unlink(tmp_mf)
-                raise CommitConflictError(
-                    f"snapshot {self.snapshot_id} was claimed and "
-                    f"committed by a concurrent writer; re-begin and "
-                    f"replay") from None
-            # CURRENT never moved: the claim is a crashed writer's
-            # orphan (claimed the manifest, died before the flip) —
-            # take it over so commits cannot wedge forever
-            os.replace(tmp_mf, mf)
-        else:
+            raise CommitConflictError(
+                f"snapshot {self.snapshot_id} is already claimed "
+                f"(a concurrent writer, or a crashed writer's orphan "
+                f"manifest — run vacuum() to reclaim); re-begin and "
+                f"replay") from None
+        finally:
             os.unlink(tmp_mf)
         tmp = cat.current_file + ".tmp"
         with open(tmp, "w") as f:
@@ -364,6 +371,16 @@ class IndexCatalog:
         live = self.current_snapshot_id()
         if live is None:
             return []
+        # above-live manifests are crashed writers' orphan claims
+        # (claimed, never flipped CURRENT) — remove them so their
+        # snapshot ids become claimable again; vacuum is operator-run
+        # with no writer active (single-writer contract), so a live
+        # in-flight claim cannot be here
+        for m in self.snapshots():
+            if m["snapshot_id"] > live:
+                os.remove(os.path.join(
+                    self.snapshots_dir,
+                    _snap_name(m["snapshot_id"]) + ".json"))
         manifests = self.snapshots()
         keep = {m["snapshot_id"] for m in manifests[-keep_last:]} | {live}
         referenced: set[str] = set()
@@ -513,7 +530,10 @@ class IndexCatalog:
         return df.filter(self._pair_filter(pairs))
 
     def term_stats(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.term_stats_path)
+        # explicit schema: an empty index's term_stats dir has zero
+        # part files and inference would fail on the _SUCCESS marker
+        return (spark.read.schema(TERM_STATS_SCHEMA)
+                .parquet(self.term_stats_path))
 
     def term_stats_for_terms(self, spark: SparkSession,
                              pairs: list[tuple[str, str]]) -> DataFrame:

@@ -112,6 +112,12 @@ class SearchRequest:
                 # (search.go:42-62: `if bodyParams.X > 0 / != "" / len>0`)
                 if v in (None, "", 0) or (isinstance(v, list) and not v):
                     continue
+                if attr in ("offset", "limit", "page"):
+                    try:
+                        v = int(v)
+                    except (TypeError, ValueError):
+                        raise SearchRequestError(
+                            f"{k} must be an integer") from None
                 resolved[attr] = v
         return cls(**resolved)
 

@@ -58,11 +58,13 @@ _BOOST_RE = re.compile(r"\^(\d+(?:\.\d+)?)$")
 # lexing (so no grammar rule can see them) and restored on the parsed
 # clause's value/field afterwards.
 _ESC_RE = re.compile(r"\\(.)", re.DOTALL)
-_PROT_RE = re.compile("\x00([0-9a-f]{4})")
+# fixed-width 6-hex sentinel: codepoints reach 0x10ffff (6 digits), so
+# a 4-digit sentinel would mis-restore escaped astral chars
+_PROT_RE = re.compile("\x00([0-9a-f]{6})")
 
 
 def _protect(q: str) -> str:
-    return _ESC_RE.sub(lambda m: "\x00%04x" % ord(m.group(1)), q)
+    return _ESC_RE.sub(lambda m: "\x00%06x" % ord(m.group(1)), q)
 
 
 def _unprotect(s: str | None) -> str | None:

@@ -73,14 +73,19 @@ class FileIngress:
     # ------------------------------------------------------- sync core
 
     def _counted_apply(self, batch, batch_id: int) -> None:
+        # ONE aggregation pass for the stats split (total + tombstone
+        # count together), not two separate count() jobs per micro-batch
         if DELETED_COL in batch.columns:
-            n_del = batch.filter(F.col(DELETED_COL) == True).count()  # noqa: E712
+            row = batch.agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(F.col(DELETED_COL) == True, 1)  # noqa: E712
+                      .otherwise(0)).alias("d")).collect()[0]
+            n_total, n_del = int(row["n"]), int(row["d"] or 0)
         else:
-            n_del = 0
-        n_up = batch.count() - n_del
+            n_total, n_del = batch.count(), 0
         self._ingestor.apply_batch(batch, batch_id)
-        self.stats.documents_synced += int(n_up)
-        self.stats.documents_deleted += int(n_del)
+        self.stats.documents_synced += n_total - n_del
+        self.stats.documents_deleted += n_del
 
     def sync_once(self) -> None:
         """One catch-up pass (the reference poll cycle): drain every
@@ -106,7 +111,15 @@ class FileIngress:
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
             self.stats.full_sync_complete = True
             self.stats.last_error = None
-            self.status = prev if prev != "stopped" else "stopped"
+            # a successful pass RECOVERS from 'failed' (otherwise
+            # status would stick at failed forever — and update()
+            # could then mutate config under a live poll loop)
+            if prev in ("running", "paused"):
+                self.status = prev
+            elif self._thread is not None and self._thread.is_alive():
+                self.status = "running"
+            else:
+                self.status = "stopped"
         except Exception as e:  # failed state, error surfaced
             self.stats.last_error = str(e)
             self.stats.error_count += 1
@@ -170,10 +183,15 @@ class FileIngress:
     def resync(self) -> None:
         """Full resynchronization: discard the checkpoint (every
         changefeed file becomes unseen again) and run one pass.
-        Idempotent — re-applied batches upsert the same keys."""
-        shutil.rmtree(self._ingestor.checkpoint_dir, ignore_errors=True)
-        self.stats.full_sync_complete = False
-        self.sync_once()
+        Idempotent — re-applied batches upsert the same keys. The
+        discard happens under the sync lock: an in-flight poll pass
+        cannot rewrite checkpoint state after the rmtree and silently
+        shrink the re-ingest."""
+        with self._lock:
+            shutil.rmtree(self._ingestor.checkpoint_dir,
+                          ignore_errors=True)
+            self.stats.full_sync_complete = False
+            self._sync_once_locked()
 
     def info(self) -> dict:
         """IngressInfo analog (ingress.go:76-94)."""

@@ -110,3 +110,32 @@ def test_full_api_flow(api):
     assert st == 204
     st, _ = call(base, "POST", "/indexes/docs/searches?q=alpha")
     assert st == 404
+
+
+def test_wire_edge_cases(api):
+    """Review regressions pinned: numeric-looking terms stay strings,
+    malformed numeric params are 400s (not 500s), and PATCH with an
+    explicit empty excludeAttributes CLEARS the exclusions."""
+    base = api
+    st, _ = call(base, "POST", "/indexes",
+                 {"id": "edge", "tokenizer": "simple",
+                  "excludeAttributes": ["secret"]})
+    assert st == 201
+    st, body = call(base, "POST", "/indexes/edge/documents?contentCol=text",
+                    [{"rid": 1, "text": "code 123 here", "secret": "x"}])
+    assert st == 202
+    # ?q=123 searches the TERM '123' (int coercion must not touch q)
+    st, body = call(base, "POST", "/indexes/edge/searches?q=123")
+    assert st == 200 and body["totalHits"] == 1
+    # malformed numerics -> 400, not a 500 TypeError
+    st, _ = call(base, "POST", "/indexes/edge/searches?q=code&limit=abc")
+    assert st == 400
+    st, _ = call(base, "POST", "/indexes/edge/searches",
+                 {"q": "code", "limit": "abc"})
+    assert st == 400
+    # PATCH with explicit [] clears exclusions (falsy is not absent)
+    st, _ = call(base, "PATCH", "/indexes/edge", {"excludeAttributes": []})
+    assert st == 200
+    st, body = call(base, "GET", "/indexes/edge")
+    assert body["excludeAttributes"] == []
+    call(base, "DELETE", "/indexes/edge")

@@ -343,3 +343,24 @@ def test_random_mutation_sequence_equals_rebuild(spark, mut_env):
     from bright_spark.index.catalog import IndexCatalog
     ops = [m["operation"] for m in IndexCatalog(idx).snapshots()]
     assert ops[0] == "build" and len(ops) == 7
+
+
+def test_delete_everything_commits_empty_index(spark, tmp_path):
+    """A filter-delete matching EVERY doc must commit an empty index
+    (zero posting part files — the stats re-read needs its explicit
+    schema here), and searches over it return zero hits."""
+    from bright_spark.index.builder import build_index
+    from bright_spark.index.mutations import IndexMutator
+    from bright_spark.models import IndexConfig
+    from bright_spark.query.engine import SearchEngine
+    idx = str(tmp_path / "empty_idx")
+    rows = [{"rid": i, "text": f"alpha doc {i}"} for i in range(8)]
+    build_index(spark, spark.createDataFrame(rows), idx,
+                IndexConfig(id="e", tokenizer="simple", n_term_buckets=4),
+                content_col="text", id_col="rid", lang_col=None,
+                n_build_partitions=2)
+    IndexMutator(spark, idx).delete_by_query("alpha")
+    eng = SearchEngine(spark, idx)
+    assert eng.meta["n_docs"] == 0 and eng.meta["avgdl"] == 0.0
+    assert eng.search("").total_hits == 0
+    assert eng.search_df("alpha", k=5).count() == 0

@@ -339,13 +339,22 @@ def test_commit_claim_is_atomic(spark, tmp_path_factory):
         b.commit(meta, "upsert")    # loser: claim already taken
     assert cat.current_snapshot_id() == 2
 
-    # orphan claim: manifest exists for id 3 but CURRENT still says 2
+    # orphan claim: manifest exists for id 3 but CURRENT still says 2.
+    # A new committer must NOT guess (a pre-flip winner is
+    # indistinguishable from a crashed writer) — it conflicts, and
+    # vacuum (operator-run, no writers active) reclaims the orphan so
+    # the id becomes claimable again
     import json as _json
     orphan = os.path.join(idx, "snapshots", "s00000003.json")
     with open(orphan, "w") as f:
         _json.dump({"snapshot_id": 3, "stale": True}, f)
     c = IndexCatalog(idx).begin()
     assert c.snapshot_id == 3
-    c.commit(meta, "upsert")        # takes over the orphan, no wedge
+    with pytest.raises(CommitConflictError):
+        c.commit(meta, "upsert")
+    IndexCatalog(idx).vacuum(keep_last=2)
+    assert not os.path.exists(orphan)
+    c2 = IndexCatalog(idx).begin()
+    c2.commit(meta, "upsert")       # claim free again, no wedge
     m = IndexCatalog(idx).manifest()
     assert m["snapshot_id"] == 3 and "stale" not in m
