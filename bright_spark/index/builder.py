@@ -337,15 +337,40 @@ def _make_merge_fn(block_size: int, n_buckets: int,
     return fn
 
 
+def _staged_part_write(prepared: DataFrame, pending: PendingSnapshot,
+                       table: str, part_col: str) -> set[int]:
+    """Write an already repartitioned/sorted frame into per-partition
+    version dirs of ``pending``: one partitionBy job into a staging
+    dir, then a driver-side rename of each ``<part_col>=K`` dir into
+    its immutable ``data/<table>/<prefix>K/v{N}`` home (rename, not
+    copy — same fs). Partitions absent from the output are simply not
+    adopted — the caller decides whether they keep their parent
+    pointer (untouched) or get dropped (emptied). Returns the set of
+    partition keys that received rows."""
+    staging = os.path.join(pending.catalog.index_dir, "data", table,
+                           f".staging-v{pending.snapshot_id:08d}")
+    shutil.rmtree(staging, ignore_errors=True)
+    prepared.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+    written: set[int] = set()
+    for name in os.listdir(staging):
+        if not name.startswith(part_col + "="):
+            continue
+        k = int(name.split("=", 1)[1])
+        dst = pending.adopt_part(table, k)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
+        os.rename(os.path.join(staging, name), dst)
+        written.add(k)
+    shutil.rmtree(staging, ignore_errors=True)
+    return written
+
+
 def stage_postings_write(df: DataFrame, pending: PendingSnapshot,
                          n_buckets: int,
                          files_per_bucket: int = 1) -> set[int]:
-    """Write posting rows into per-bucket version dirs of ``pending``:
-    one partitionBy job into a staging dir, then a driver-side rename
-    of each ``pbucket=B`` dir into its immutable
-    ``data/postings/b{B}/v{N}`` home (rename, not copy — same fs).
-    ``bucket`` stays a DATA column in the files (the partition column
-    is a duplicate), so reads over explicit bucket dirs keep it.
+    """Posting rows -> per-bucket version dirs. ``bucket`` stays a
+    DATA column in the files (the partition column is a duplicate), so
+    reads over explicit bucket dirs keep it.
 
     ``files_per_bucket`` (S) splits each bucket into deterministic
     doc-range slices (pmod(range_id, S)): write parallelism becomes
@@ -354,28 +379,41 @@ def stage_postings_write(df: DataFrame, pending: PendingSnapshot,
     (row-group min/max pruning unchanged) and the per-bucket file
     count stays bounded at S across all mutations. Returns the set of
     buckets that received rows."""
-    staging = os.path.join(pending.catalog.index_dir, "data", "postings",
-                           f".staging-v{pending.snapshot_id:08d}")
-    shutil.rmtree(staging, ignore_errors=True)
     s = max(1, int(files_per_bucket))
     slot = (F.col("bucket").cast("bigint") * s
             + F.pmod(F.col("range_id"), F.lit(s)))
-    (df.withColumn("pbucket", F.col("bucket"))
-       .repartition(max(1, n_buckets) * s, slot)
-       .sortWithinPartitions("term", "field", "range_id")
-       .write.mode("overwrite").partitionBy("pbucket").parquet(staging))
-    written: set[int] = set()
-    for name in os.listdir(staging):
-        if not name.startswith("pbucket="):
-            continue
-        b = int(name.split("=", 1)[1])
-        dst = pending.adopt_postings_bucket(b)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
-        os.rename(os.path.join(staging, name), dst)
-        written.add(b)
-    shutil.rmtree(staging, ignore_errors=True)
-    return written
+    prepared = (df.withColumn("pbucket", F.col("bucket"))
+                  .repartition(max(1, n_buckets) * s, slot)
+                  .sortWithinPartitions("term", "field", "range_id"))
+    return _staged_part_write(prepared, pending, "postings", "pbucket")
+
+
+def stage_docs_write(df: DataFrame, pending: PendingSnapshot,
+                     docs_range_bits: int, n_tasks: int) -> set[int]:
+    """Doc rows -> per-doc-range version dirs (group = doc_id >>
+    docs_range_bits), doc_id-sorted within each group so parquet
+    min/max prunes id lookups. Only groups present in ``df`` are
+    written/adopted — the mutation copy-on-write unit for the docs
+    table. Returns the set of groups that received rows."""
+    prepared = (df.withColumn(
+                    "dgroup", F.shiftright(F.col("doc_id"),
+                                           int(docs_range_bits)))
+                  .repartition(max(1, n_tasks), "dgroup")
+                  .sortWithinPartitions("dgroup", "doc_id"))
+    return _staged_part_write(prepared, pending, "docs", "dgroup")
+
+
+def stage_term_stats_write(ts: DataFrame, pending: PendingSnapshot,
+                           n_buckets: int, n_tasks: int) -> set[int]:
+    """term_stats rows -> per-bucket version dirs (term-sorted files;
+    ``bucket`` stays a data column). Write width: one task per bucket
+    is pure scheduling overhead when buckets outnumber the parallel
+    slots — several buckets per task still land one term-sorted file
+    per bucket dir via partitionBy."""
+    prepared = (ts.withColumn("sbucket", F.col("bucket"))
+                  .repartition(max(1, min(n_buckets, n_tasks)), "bucket")
+                  .sortWithinPartitions("term", "field"))
+    return _staged_part_write(prepared, pending, "term_stats", "sbucket")
 
 
 # ------------------------------------------------------------- driver
@@ -428,6 +466,7 @@ class IndexBuilder:
         self.filter_stopwords = filter_stopwords
         self._id_offsets: dict[int, int] | None = None
         self._n_docs: int | None = None
+        self._docs_schema: str | None = None
 
     @property
     def field_cols(self) -> list[str]:
@@ -525,13 +564,17 @@ class IndexBuilder:
             )
         if not cfg.store_content:
             tokenized = tokenized.drop(self.content_col)
-        if self.id_col:
-            # source-provided ids arrive hash-partitioned but unsorted
-            tokenized = tokenized.sortWithinPartitions("doc_id")
-        # offsets path: doc_id = offset[pid] + local rank over the
-        # already key-sorted partition — monotone within partition, so
-        # no extra sort pass is needed before the write
-        tokenized.write.mode("overwrite").parquet(pending.table_path("docs"))
+        # record the docs DDL in this builder (build_stats puts it in
+        # the manifest meta): reads then survive empty group dirs and
+        # empty corpora, where parquet schema inference fails
+        self._docs_schema = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in tokenized.schema.fields)
+        # a full build replaces EVERY doc group: forget inherited
+        # pointers so groups absent from this corpus drop out
+        pending.reset_parts("docs")
+        stage_docs_write(tokenized, pending, cfg.docs_range_bits,
+                         self.n_build_partitions)
 
     # -------------------------------------------------------- stage 2
 
@@ -550,7 +593,7 @@ class IndexBuilder:
             cols = ["doc_id"] + fields + (
                 [self.lang_col] if self.lang_col else [])
             scan = self.spark.read.parquet(
-                pending.resolved("docs")).select(*cols)
+                *pending.docs_dirs()).select(*cols)
             id_offsets = None
         else:
             cols = list(dict.fromkeys(
@@ -581,47 +624,36 @@ class IndexBuilder:
 
     # -------------------------------------------------------- stage 3
 
-    def build_stats(self, pending: PendingSnapshot) -> dict:
-        """Stage 3 over the PENDING postings (not yet visible to
-        readers): term_stats + index_meta version dirs, returning the
-        corpus-stats dict the caller commits into the manifest."""
+    def _docs_ddl(self, pending: PendingSnapshot) -> str | None:
+        """DDL recorded by build_docs, or (resume path, where the docs
+        stage was skipped this run) inferred from the pending dirs."""
+        if self._docs_schema is None:
+            ddirs = pending.docs_dirs()
+            if ddirs:
+                sch = self.spark.read.parquet(*ddirs).schema
+                self._docs_schema = ", ".join(
+                    f"{f.name} {f.dataType.simpleString()}"
+                    for f in sch.fields)
+        return self._docs_schema
+
+    @staticmethod
+    def _write_index_meta(pending: PendingSnapshot, meta: dict) -> None:
+        # single-row table: driver-side pyarrow write (a whole Spark
+        # job for one row is pure fixed overhead); nested field_stats
+        # stays in the manifest only
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        im = pending.table_path("index_meta")
+        shutil.rmtree(im, ignore_errors=True)
+        os.makedirs(im, exist_ok=True)
+        flat = {k: v for k, v in meta.items() if not isinstance(v, dict)}
+        pq.write_table(pa.Table.from_pylist([flat]),
+                       os.path.join(im, "part-0.parquet"))
+
+    def _make_meta(self, n_docs: int, field_tokens: dict[str, int],
+                   docs_schema: str | None) -> dict:
         cfg = self.config
-        dirs = pending.postings_dirs()
-        # column-pruned read: only (bucket, field, term, df_chunk,
-        # cf_chunk) leave the parquet scan
-        post = (self.spark.read.schema(POSTINGS_SCHEMA).parquet(*dirs)
-                if dirs else
-                self.spark.createDataFrame([], POSTINGS_SCHEMA))
-        ts = (post.groupBy("bucket", "field", "term")
-                  .agg(F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf")))
-        # write width: one task per bucket is pure scheduling overhead
-        # when buckets outnumber the build's parallel slots — several
-        # buckets per task still land one term-sorted file per bucket
-        # dir via partitionBy (directory pruning unchanged)
-        ts_path = pending.table_path("term_stats")
-        (ts.repartition(min(cfg.n_term_buckets, self.n_build_partitions),
-                        "bucket")
-           .sortWithinPartitions("term", "field")
-           .write.mode("overwrite").partitionBy("bucket").parquet(ts_path))
-        # per-field totals: Σ cf (every emitted token lands in exactly
-        # one posting run), re-read from the term_stats files just
-        # written — a column-pruned scan of the tiny aggregate instead
-        # of persisting the whole table in executor memory across two
-        # jobs; n_docs is tracked during doc_id assignment (no extra
-        # docs-table scan). Explicit schema: an EMPTY corpus (or a
-        # delete-everything mutation) writes zero part files and
-        # schema inference would fail on the bare _SUCCESS marker
-        from bright_spark.index.catalog import TERM_STATS_SCHEMA
-        frows = (self.spark.read.schema(TERM_STATS_SCHEMA)
-                 .parquet(ts_path)
-                 .groupBy("field").agg(F.sum("cf").alias("t")).collect())
-        field_tokens = {r["field"]: int(r["t"] or 0) for r in frows}
         total_tokens = field_tokens.get(self.content_col, 0)
-        n_docs = getattr(self, "_n_docs", None)
-        if n_docs is None:
-            n_docs = int(self.spark.read.parquet(
-                pending.resolved("docs")).count())
-            self._n_docs = n_docs
         # per-field BM25 stats: a field absent from a doc contributes
         # length 0, so avgdl_f = Σ dl_f / N over ALL docs
         field_stats = {
@@ -629,7 +661,7 @@ class IndexBuilder:
                 "avgdl": (field_tokens.get(f, 0) / n_docs) if n_docs else 0.0}
             for f in self.field_cols
         }
-        meta = {
+        return {
             "n_docs": n_docs,
             # top-level stats are the default (content) field's
             "total_tokens": total_tokens,
@@ -643,19 +675,115 @@ class IndexBuilder:
             "range_bits": cfg.range_bits,
             "block_size": cfg.block_size,
             "n_term_buckets": cfg.n_term_buckets,
-            "version": 3,  # v3: snapshot manifests (v2: per-field Q5)
+            "docs_range_bits": cfg.docs_range_bits,
+            "docs_schema": docs_schema,
+            "version": 4,  # v4: partitioned docs/term_stats CoW
         }
-        # single-row table: driver-side pyarrow write (a whole Spark job
-        # for one row is pure fixed overhead); nested field_stats stays
-        # in the manifest only
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-        im = pending.table_path("index_meta")
-        shutil.rmtree(im, ignore_errors=True)
-        os.makedirs(im, exist_ok=True)
-        flat = {k: v for k, v in meta.items() if not isinstance(v, dict)}
-        pq.write_table(pa.Table.from_pylist([flat]),
-                       os.path.join(im, "part-0.parquet"))
+
+    def _field_cf_totals(self, dirs: list[str]) -> dict[str, int]:
+        """Per-field Σ cf over a set of term_stats dirs — a column-
+        pruned scan of the tiny aggregate. Explicit schema: an EMPTY
+        selection (delete-everything, emptied buckets) has zero part
+        files and inference would fail on the bare _SUCCESS marker."""
+        from bright_spark.index.catalog import TERM_STATS_SCHEMA
+        if not dirs:
+            return {}
+        frows = (self.spark.read.schema(TERM_STATS_SCHEMA).parquet(*dirs)
+                 .groupBy("field").agg(F.sum("cf").alias("t")).collect())
+        return {r["field"]: int(r["t"] or 0) for r in frows}
+
+    def build_stats(self, pending: PendingSnapshot) -> dict:
+        """Stage 3 over the PENDING postings (not yet visible to
+        readers): per-bucket term_stats version dirs + index_meta,
+        returning the corpus-stats dict the caller commits into the
+        manifest. Full-build form — every bucket is (re)computed; the
+        mutation path uses :meth:`mutate_stats` (affected buckets
+        only)."""
+        cfg = self.config
+        dirs = pending.postings_dirs()
+        # column-pruned read: only (bucket, field, term, df_chunk,
+        # cf_chunk) leave the parquet scan
+        post = (self.spark.read.schema(POSTINGS_SCHEMA).parquet(*dirs)
+                if dirs else
+                self.spark.createDataFrame([], POSTINGS_SCHEMA))
+        ts = (post.groupBy("bucket", "field", "term")
+                  .agg(F.sum("df_chunk").alias("df"), F.sum("cf_chunk").alias("cf")))
+        # a full rebuild replaces every stats bucket
+        pending.reset_parts("term_stats")
+        stage_term_stats_write(ts, pending, cfg.n_term_buckets,
+                               self.n_build_partitions)
+        # per-field totals: Σ cf (every emitted token lands in exactly
+        # one posting run), re-read from the term_stats dirs just
+        # written instead of persisting the whole table across jobs;
+        # n_docs is tracked during doc_id assignment (no extra scan)
+        field_tokens = self._field_cf_totals(
+            pending.part_dirs("term_stats"))
+        n_docs = getattr(self, "_n_docs", None)
+        if n_docs is None:
+            ddirs = pending.docs_dirs()
+            n_docs = (int(self.spark.read.parquet(*ddirs).count())
+                      if ddirs else 0)
+            self._n_docs = n_docs
+        meta = self._make_meta(n_docs, field_tokens,
+                               self._docs_ddl(pending))
+        self._write_index_meta(pending, meta)
+        return meta
+
+    def mutate_stats(self, pending: PendingSnapshot, old_meta: dict,
+                     affected_buckets: list[int], n_docs: int) -> dict:
+        """Stats maintenance for a mutation commit, O(affected
+        buckets) instead of O(corpus): a bucket's term_stats depend
+        only on that bucket's postings, so only the buckets the
+        mutation rewrote are re-aggregated and re-versioned — every
+        other bucket keeps its parent stats pointer. Corpus totals are
+        maintained by integer delta (old total − affected buckets' old
+        Σcf + their new Σcf), so the result is bit-identical to a full
+        re-aggregation (the mutate==rebuild pytest invariant)."""
+        cfg = self.config
+        from bright_spark.index.catalog import TERM_STATS_SCHEMA
+        dirs = pending.postings_dirs(buckets=affected_buckets)
+        post = (self.spark.read.schema(POSTINGS_SCHEMA).parquet(*dirs)
+                if dirs else
+                self.spark.createDataFrame([], POSTINGS_SCHEMA))
+        ts = (post.groupBy("bucket", "field", "term")
+                  .agg(F.sum("df_chunk").alias("df"),
+                       F.sum("cf_chunk").alias("cf")))
+        written = stage_term_stats_write(
+            ts, pending, max(1, len(affected_buckets)),
+            self.n_build_partitions)
+        for b in set(affected_buckets) - written:
+            pending.drop_part("term_stats", b)  # bucket emptied
+        # per-field delta in ONE job: the parent snapshot's affected-
+        # bucket stats contribute -cf, the freshly written ones +cf —
+        # both reads are directory-pruned and tiny
+        spark = self.spark
+
+        def _signed(dirs: list[str], sign: int):
+            if not dirs:
+                return spark.createDataFrame([], "field STRING, d BIGINT")
+            return (spark.read.schema(TERM_STATS_SCHEMA).parquet(*dirs)
+                    .select("field", (F.col("cf") * sign).alias("d")))
+
+        delta_df = _signed(
+            self.catalog.term_stats_dirs(buckets=affected_buckets),
+            -1).unionByName(_signed(
+                pending.part_dirs("term_stats", keys=affected_buckets), 1))
+        delta = {r["field"]: int(r["t"] or 0) for r in
+                 delta_df.groupBy("field").agg(F.sum("d").alias("t"))
+                 .collect()}
+        old_fs = old_meta.get("field_stats") or {}
+        field_tokens = {
+            f: (int((old_fs.get(f) or {}).get("total_tokens", 0))
+                + delta.get(f, 0))
+            for f in self.field_cols
+        }
+        meta = self._make_meta(n_docs, field_tokens,
+                               old_meta.get("docs_schema"))
+        # the snapshot lineage's bits are authoritative (they shaped
+        # the group dirs), not whatever the config file carries
+        meta["docs_range_bits"] = old_meta.get("docs_range_bits",
+                                               cfg.docs_range_bits)
+        self._write_index_meta(pending, meta)
         return meta
 
     # ----------------------------------------------------------- main
@@ -669,6 +797,11 @@ class IndexBuilder:
           ≤2**16-doc spans (the B5 skew bound for web-scale corpora).
         - n_term_buckets: ~the build partition count (bounded [16, 256])
           so the bucket-partitioned postings write parallelizes.
+        - docs_range_bits: docs-table CoW group span, ~one group per
+          build partition, spans bounded [2**12, 2**22]: small enough
+          that a mutation's group rewrite stays proportional to its
+          change set, large enough that the manifest's group map stays
+          compact at 10^12 docs (~2.4e8/2**22 ≈ 60k entries).
         """
         repl: dict = {}
         if self.config.n_term_buckets is None:
@@ -677,12 +810,19 @@ class IndexBuilder:
             nb = repl.get("n_term_buckets", self.config.n_term_buckets)
             repl["files_per_bucket"] = max(1, self.n_build_partitions
                                            // max(1, nb))
-        if self.config.range_bits is None:
-            n_docs = source.count()
-            self._n_docs = int(n_docs)
-            slots = self.spark.sparkContext.defaultParallelism
-            span = max(1024, n_docs // max(4 * slots, 1))
-            repl["range_bits"] = min(16, max(10, int(span).bit_length() - 1))
+        if (self.config.range_bits is None
+                or self.config.docs_range_bits is None):
+            if self._n_docs is None:
+                self._n_docs = int(source.count())
+            n_docs = self._n_docs
+            if self.config.range_bits is None:
+                slots = self.spark.sparkContext.defaultParallelism
+                span = max(1024, n_docs // max(4 * slots, 1))
+                repl["range_bits"] = min(16, max(10, int(span).bit_length() - 1))
+            if self.config.docs_range_bits is None:
+                dspan = max(4096, n_docs // max(1, self.n_build_partitions))
+                repl["docs_range_bits"] = min(
+                    22, max(12, int(dspan).bit_length() - 1))
         if repl:
             self.config = dataclasses.replace(self.config, **repl)
 

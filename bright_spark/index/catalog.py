@@ -3,7 +3,7 @@
 The reference persists one Bleve scorch directory per index under
 ``<dataDir>/<indexID>`` plus a ``configs.json`` (store/store.go:91,
 226-282). Our index is a directory of columnar tables under an
-Iceberg-style snapshot protocol (layout v3):
+Iceberg-style snapshot protocol (layout v4):
 
     <index_dir>/
       config.json        index + build configuration (configs.json analog)
@@ -13,22 +13,35 @@ Iceberg-style snapshot protocol (layout v3):
         s00000007.json   manifest: table-name -> version-dir pointers +
                          corpus stats (n_docs, avgdl, field_stats, ...)
       data/
-        docs/v00000007/            parquet: doc_id, attrs, content,
-                                   content_sha256, doc_len
+        docs/g00000012/v00000007/  per-DOC-RANGE versioned doc dirs;
+                                   group = doc_id >> docs_range_bits
+                                   (doc_id, attrs, content, sha256,
+                                   doc_len — doc_id-sorted files)
         postings/b00003/v00000004/ per-BUCKET versioned posting dirs;
                                    bucket = crc32(term) % B is a data
-                                   column (one term-sorted file per dir)
-        term_stats/v00000007/      parquet by bucket=N: term -> df, cf
+                                   column (term-sorted files)
+        term_stats/b00003/v00000005/ per-BUCKET versioned stats dirs:
+                                   term -> global df, cf
         index_meta/v00000007/      single-row parquet mirror of stats
       checkpoints/       per-shard build lineage rows (resumability)
       segments/          resumable-build staging (not snapshot-tracked)
+
+(Layout v3 — a single version dir for docs and term_stats — is still
+READABLE: a manifest entry that is a plain string resolves as one dir.
+The first mutation on a v3 index migrates those tables to the
+per-group/per-bucket form.)
 
 Write protocol (single writer, any number of readers):
   1. ``begin()`` a :class:`PendingSnapshot` — writers put every table
      they produce into NEW immutable version dirs; tables they do not
      touch keep the parent manifest's pointers (a mutation that
      rewrites 3 of 64 posting buckets shares the other 61 dirs with
-     its parent — pointer copy, zero data copy).
+     its parent — pointer copy, zero data copy). In v4 EVERY big table
+     is partitioned this way — postings by term bucket, docs by
+     doc-range group, term_stats by term bucket — so a mutation commit
+     is O(changed partitions), never O(corpus): a 50-doc upsert
+     re-versions the handful of doc groups and term buckets its ids
+     and terms land in, and nothing else is read, written, or listed.
   2. ``commit()`` writes the manifest JSON, then atomically replaces
      ``CURRENT``. A crash anywhere before that leaves the previous
      snapshot fully intact (orphan version dirs are ignored and later
@@ -52,6 +65,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import zlib
 from dataclasses import asdict
@@ -76,7 +90,11 @@ POSTINGS_SCHEMA = (
 TERM_STATS_SCHEMA = ("field STRING, term STRING, df BIGINT, cf BIGINT, "
                      "bucket INT")
 
-LAYOUT_VERSION = 3
+LAYOUT_VERSION = 4
+
+# partitioned snapshot tables: manifest entry {part_key: version_dir};
+# prefix/width name the partition dirs (data/<table>/<prefix><key>/v<N>)
+PART_TABLES = {"postings": ("b", 5), "docs": ("g", 8), "term_stats": ("b", 5)}
 
 
 def term_bucket(term: str, n_buckets: int) -> int:
@@ -113,9 +131,11 @@ class SnapshotExpiredError(FileNotFoundError):
 class PendingSnapshot:
     """An uncommitted snapshot: new version dirs + inherited pointers.
 
-    ``table_path("docs")`` / ``postings_bucket_path(b)`` hand out the
-    version dir a writer should produce, recording the pointer;
-    ``drop_postings_bucket(b)`` removes a bucket a mutation emptied.
+    ``adopt_part(table, key)`` hands out the version dir a writer
+    should produce for one partition of a partitioned table (postings
+    bucket / docs group / term_stats bucket), recording the pointer;
+    ``drop_part`` removes a partition a mutation emptied;
+    ``table_path("index_meta")`` covers the one whole-table write.
     Nothing is visible to readers until :meth:`commit`.
     """
 
@@ -123,49 +143,99 @@ class PendingSnapshot:
         self.catalog = catalog
         self.parent = parent
         self.snapshot_id = (parent["snapshot_id"] + 1) if parent else 1
-        self.tables: dict[str, Any] = {
-            "postings": dict((parent or {}).get(
-                "tables", {}).get("postings", {}))}
-        for t in ("docs", "term_stats", "index_meta"):
-            if parent and t in parent.get("tables", {}):
-                self.tables[t] = parent["tables"][t]
+        ptabs = (parent or {}).get("tables", {})
+        self.tables: dict[str, Any] = {}
+        for t in PART_TABLES:
+            v = ptabs.get(t, {})
+            # a legacy (v3) string entry is inherited as-is; the writer
+            # that touches the table migrates it to the dict form
+            self.tables[t] = dict(v) if isinstance(v, dict) else v
+        if parent and "index_meta" in ptabs:
+            self.tables["index_meta"] = ptabs["index_meta"]
 
     # ---------------------------------------------------- write targets
 
     def table_path(self, table: str) -> str:
         """Absolute path of this snapshot's NEW version dir for a
-        whole-table rewrite (docs / term_stats / index_meta)."""
+        whole-table rewrite (index_meta — the partitioned tables go
+        through :meth:`adopt_part`)."""
         rel = os.path.join("data", table, f"v{self.snapshot_id:08d}")
         self.tables[table] = rel
         return os.path.join(self.catalog.index_dir, rel)
 
-    def postings_bucket_rel(self, bucket: int) -> str:
-        return os.path.join("data", "postings", f"b{bucket:05d}",
+    def part_rel(self, table: str, key: int) -> str:
+        prefix, width = PART_TABLES[table]
+        return os.path.join("data", table, f"{prefix}{key:0{width}d}",
                             f"v{self.snapshot_id:08d}")
 
-    def adopt_postings_bucket(self, bucket: int) -> str:
-        """Record this snapshot's new version dir for one bucket and
-        return its absolute path (the caller moves/writes data there)."""
-        rel = self.postings_bucket_rel(bucket)
-        self.tables["postings"][str(bucket)] = rel
+    def adopt_part(self, table: str, key: int) -> str:
+        """Record this snapshot's new version dir for one partition of
+        a partitioned table and return its absolute path (the caller
+        moves/writes data there)."""
+        if not isinstance(self.tables.get(table), dict):
+            self.tables[table] = {}  # legacy str entry: migrated now
+        rel = self.part_rel(table, key)
+        self.tables[table][str(key)] = rel
         return os.path.join(self.catalog.index_dir, rel)
 
+    def drop_part(self, table: str, key: int) -> None:
+        if isinstance(self.tables.get(table), dict):
+            self.tables[table].pop(str(key), None)
+
+    def reset_parts(self, table: str) -> None:
+        """Forget inherited pointers — a full rewrite of the table."""
+        self.tables[table] = {}
+
+    def adopt_parts_from_disk(self, table: str) -> set[int]:
+        """Re-adopt THIS snapshot's partition dirs already on disk —
+        the resumable build's recovery path: an interrupted run's
+        version dirs (written, never committed) are found by scanning
+        ``data/<table>/<prefix>*/v<this snapshot id>``."""
+        prefix, _ = PART_TABLES[table]
+        root = os.path.join(self.catalog.index_dir, "data", table)
+        self.tables[table] = {}
+        found: set[int] = set()
+        if not os.path.isdir(root):
+            return found
+        vname = f"v{self.snapshot_id:08d}"
+        for name in os.listdir(root):
+            if not name.startswith(prefix):
+                continue
+            try:
+                key = int(name[len(prefix):])
+            except ValueError:
+                continue
+            if os.path.isdir(os.path.join(root, name, vname)):
+                self.adopt_part(table, key)
+                found.add(key)
+        return found
+
+    # legacy-named wrappers (the postings write path predates v4)
+    def adopt_postings_bucket(self, bucket: int) -> str:
+        return self.adopt_part("postings", bucket)
+
     def drop_postings_bucket(self, bucket: int) -> None:
-        self.tables["postings"].pop(str(bucket), None)
+        self.drop_part("postings", bucket)
 
     # ------------------------------------------------------------ reads
 
-    def postings_dirs(self, buckets=None) -> list[str]:
-        """Resolve (possibly not-yet-committed) posting dirs — stats
-        passes inside a build/mutation read through the pending state."""
-        pmap = self.tables["postings"]
-        keys = (sorted(pmap, key=int) if buckets is None
-                else [str(b) for b in sorted({int(b) for b in buckets})
-                      if str(b) in pmap])
-        return [os.path.join(self.catalog.index_dir, pmap[k]) for k in keys]
+    def part_dirs(self, table: str, keys=None) -> list[str]:
+        """Resolve (possibly not-yet-committed) partition dirs — stats
+        passes inside a build/mutation read through the pending state.
+        A legacy string entry resolves as one dir (keys ignored)."""
+        pmap = self.tables[table]
+        if isinstance(pmap, str):
+            return [os.path.join(self.catalog.index_dir, pmap)]
+        ks = (sorted(pmap, key=int) if keys is None
+              else [str(k) for k in sorted({int(k) for k in keys})
+                    if str(k) in pmap])
+        return [os.path.join(self.catalog.index_dir, pmap[k]) for k in ks]
 
-    def resolved(self, table: str) -> str:
-        return os.path.join(self.catalog.index_dir, self.tables[table])
+    def postings_dirs(self, buckets=None) -> list[str]:
+        return self.part_dirs("postings", buckets)
+
+    def docs_dirs(self, groups=None) -> list[str]:
+        return self.part_dirs("docs", groups)
 
     # ----------------------------------------------------------- commit
 
@@ -207,7 +277,10 @@ class PendingSnapshot:
         }
         name = _snap_name(self.snapshot_id)
         mf = os.path.join(cat.snapshots_dir, name + ".json")
-        tmp_mf = mf + f".tmp-{os.getpid()}"
+        # temp name unique per WRITER, not just per process: two threads
+        # of one process racing commit must not share (and truncate)
+        # each other's temp file between json.dump and os.link
+        tmp_mf = mf + f".tmp-{os.getpid()}-{threading.get_ident()}"
         with open(tmp_mf, "w") as f:
             json.dump(manifest, f, indent=2)
         try:
@@ -228,7 +301,10 @@ class PendingSnapshot:
                 f"manifest — run vacuum() to reclaim); re-begin and "
                 f"replay") from None
         finally:
-            os.unlink(tmp_mf)
+            try:
+                os.unlink(tmp_mf)
+            except FileNotFoundError:
+                pass  # never mask the real outcome
         tmp = cat.current_file + ".tmp"
         with open(tmp, "w") as f:
             f.write(name)
@@ -335,9 +411,12 @@ class IndexCatalog:
         a, b = self.read_manifest(from_id), self.read_manifest(to_id)
 
         def flat(m):
-            t = m["tables"]
-            out = {k: v for k, v in t.items() if k != "postings"}
-            out.update({f"postings/{k}": v for k, v in t["postings"].items()})
+            out = {}
+            for k, v in m["tables"].items():
+                if isinstance(v, dict):
+                    out.update({f"{k}/{kk}": vv for kk, vv in v.items()})
+                else:
+                    out[k] = v
             return out
 
         fa, fb = flat(a), flat(b)
@@ -386,8 +465,8 @@ class IndexCatalog:
         referenced: set[str] = set()
         for m in manifests:
             if m["snapshot_id"] in keep:
-                for t, v in m["tables"].items():
-                    if t == "postings":
+                for v in m["tables"].values():
+                    if isinstance(v, dict):
                         referenced.update(v.values())
                     else:
                         referenced.add(v)
@@ -413,25 +492,38 @@ class IndexCatalog:
                     shutil.rmtree(full, ignore_errors=True)
                     deleted.append(full)
 
-        for t in ("docs", "term_stats", "index_meta"):
-            reclaim(os.path.join(data, t), os.path.join("data", t))
-        pdir = os.path.join(data, "postings")
-        if os.path.isdir(pdir):
-            for b in os.listdir(pdir):
-                if b.startswith(".staging-v"):
+        def reclaim_partitioned(table: str) -> None:
+            """data/<table>/: partition subdirs holding v* dirs, plus
+            legacy flat v* dirs and crashed writers' .staging-v* dirs."""
+            tdir = os.path.join(data, table)
+            if not os.path.isdir(tdir):
+                return
+            reclaim(tdir, os.path.join("data", table))  # legacy flat v*
+            for name in os.listdir(tdir):
+                if name.startswith(".staging-v"):
                     # a crashed writer's staging dir: stale once a
                     # commit at or past its version exists
                     try:
-                        vid = int(b.split("-v")[1])
+                        vid = int(name.split("-v")[1])
                     except ValueError:
                         continue
                     if vid <= live:
-                        full = os.path.join(pdir, b)
+                        full = os.path.join(tdir, name)
                         shutil.rmtree(full, ignore_errors=True)
                         deleted.append(full)
                     continue
-                reclaim(os.path.join(pdir, b),
-                        os.path.join("data", "postings", b))
+                if name.startswith("v"):
+                    continue  # legacy flat, handled above
+                sub = os.path.join(tdir, name)
+                if os.path.isdir(sub):
+                    reclaim(sub, os.path.join("data", table, name))
+                    if not os.listdir(sub):  # partition fully reclaimed
+                        os.rmdir(sub)
+
+        reclaim(os.path.join(data, "index_meta"),
+                os.path.join("data", "index_meta"))
+        for t in PART_TABLES:
+            reclaim_partitioned(t)
         return deleted
 
     # ---------------------------------------------------------- config
@@ -465,35 +557,83 @@ class IndexCatalog:
     # ----------------------------------------------------- table paths
 
     @property
-    def docs_path(self) -> str:
-        return os.path.join(self.index_dir, self.manifest()["tables"]["docs"])
-
-    @property
-    def term_stats_path(self) -> str:
-        return os.path.join(self.index_dir,
-                            self.manifest()["tables"]["term_stats"])
-
-    @property
     def index_meta_path(self) -> str:
         return os.path.join(self.index_dir,
                             self.manifest()["tables"]["index_meta"])
 
+    def part_dirs(self, table: str, keys=None) -> list[str]:
+        """Live version dir per partition (optionally restricted) — the
+        unit of directory pruning AND of mutation copy-on-write. A
+        legacy (v3) string entry resolves as one dir (keys ignored —
+        callers fall back to column filters)."""
+        pmap = self.manifest()["tables"][table]
+        if isinstance(pmap, str):
+            return [os.path.join(self.index_dir, pmap)]
+        ks = (sorted(pmap, key=int) if keys is None
+              else [str(k) for k in sorted({int(k) for k in keys})
+                    if str(k) in pmap])
+        return [os.path.join(self.index_dir, pmap[k]) for k in ks]
+
     def postings_dirs(self, buckets=None) -> list[str]:
-        """Live version dir per bucket (optionally restricted) — the
-        unit of directory pruning AND of mutation copy-on-write."""
-        pmap = self.manifest()["tables"]["postings"]
-        keys = (sorted(pmap, key=int) if buckets is None
-                else [str(b) for b in sorted({int(b) for b in buckets})
-                      if str(b) in pmap])
-        return [os.path.join(self.index_dir, pmap[k]) for k in keys]
+        return self.part_dirs("postings", buckets)
+
+    def docs_dirs(self, groups=None) -> list[str]:
+        return self.part_dirs("docs", groups)
+
+    def term_stats_dirs(self, buckets=None) -> list[str]:
+        return self.part_dirs("term_stats", buckets)
 
     # ----------------------------------------------------------- reads
 
-    def docs(self, spark: SparkSession, include_build_cols: bool = False) -> DataFrame:
-        df = spark.read.parquet(self.docs_path)
+    def docs_schema(self) -> str | None:
+        """DDL of the docs table, recorded in the manifest at build
+        time — lets reads survive empty dirs (zero part files defeat
+        inference) and empty corpora."""
+        return self.load_meta().get("docs_schema")
+
+    def docs(self, spark: SparkSession, include_build_cols: bool = False,
+             groups=None) -> DataFrame:
+        dirs = self.docs_dirs(groups)
+        ddl = self.docs_schema()
+        if not dirs:
+            if ddl is None:
+                raise FileNotFoundError(
+                    f"index at {self.index_dir} has no docs dirs and no "
+                    f"recorded docs schema")
+            return spark.createDataFrame([], ddl)
+        reader = spark.read.schema(ddl) if ddl else spark.read
+        df = reader.parquet(*dirs)
         if not include_build_cols:
             df = df.drop("_term_arr", "_tf_arr", "_pid")
         return df
+
+    def docs_for_ids(self, spark: SparkSession, ids: list[int]) -> DataFrame:
+        """Doc fetch with directory pruning: only the groups containing
+        the requested ids are listed/read (the hit-assembly path of
+        every search — at 10^12 docs a top-10 fetch reads ≤10 group
+        dirs, with doc_id row-group min/max pruning inside each)."""
+        bits = self.load_meta().get("docs_range_bits")
+        ids = [int(i) for i in ids]
+        if bits is None:  # legacy layout: single dir, predicate only
+            return self.docs(spark).filter(F.col("doc_id").isin(ids))
+        groups = {i >> int(bits) for i in ids}
+        return (self.docs(spark, groups=groups)
+                .filter(F.col("doc_id").isin(ids)))
+
+    def max_doc_id(self, spark: SparkSession) -> int | None:
+        """Max assigned doc_id, reading ONLY the top doc-range group
+        (groups are doc_id ranges, so the max lives in the max group) —
+        the O(1-group) input to mutation id assignment."""
+        pmap = self.manifest()["tables"]["docs"]
+        if isinstance(pmap, dict):
+            if not pmap:
+                return None
+            top = max(int(k) for k in pmap)
+            df = self.docs(spark, groups=[top])
+        else:
+            df = self.docs(spark)
+        row = df.agg(F.max("doc_id")).collect()[0][0]
+        return None if row is None else int(row)
 
     def postings(self, spark: SparkSession, buckets=None) -> DataFrame:
         """Postings scan over the live (or pinned) version dirs of the
@@ -529,15 +669,20 @@ class IndexCatalog:
         df = self.postings(spark, buckets=buckets)
         return df.filter(self._pair_filter(pairs))
 
-    def term_stats(self, spark: SparkSession) -> DataFrame:
-        # explicit schema: an empty index's term_stats dir has zero
-        # part files and inference would fail on the _SUCCESS marker
-        return (spark.read.schema(TERM_STATS_SCHEMA)
-                .parquet(self.term_stats_path))
+    def term_stats(self, spark: SparkSession, buckets=None) -> DataFrame:
+        # explicit schema: an empty index (or an emptied bucket) has
+        # zero part files and inference would fail on bare _SUCCESS
+        dirs = self.term_stats_dirs(buckets)
+        if not dirs:
+            return spark.createDataFrame([], TERM_STATS_SCHEMA)
+        return spark.read.schema(TERM_STATS_SCHEMA).parquet(*dirs)
 
     def term_stats_for_terms(self, spark: SparkSession,
                              pairs: list[tuple[str, str]]) -> DataFrame:
+        """Bucket-pruned stats lookup: v4 prunes at the DIRECTORY level
+        (non-matching buckets are never listed); the bucket predicate
+        stays for legacy single-dir layouts."""
         cfg = self.load_config()
         buckets = sorted({term_bucket(t, cfg.n_term_buckets) for _, t in pairs})
-        df = self.term_stats(spark)
+        df = self.term_stats(spark, buckets=buckets)
         return df.filter(F.col("bucket").isin(buckets) & self._pair_filter(pairs))

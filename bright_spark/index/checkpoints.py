@@ -145,17 +145,25 @@ class ResumableIndexBuilder:
         # changes the id and forces a clean rebuild of the stage).
         pending = self.catalog.begin()
 
-        # ---- stage 1: docs
-        docs_dir = pending.table_path("docs")
+        # ---- stage 1: docs (per-doc-range group dirs, layout v4). On
+        # resume the interrupted run's group dirs are re-adopted from
+        # disk (they were written but never committed); a checkpoint
+        # only skips the stage if it recorded THIS pending snapshot id
+        # and those dirs are actually present.
         ck = self.store.get("docs")
-        if not (ck and ck.get("status") == "done"
-                and ck.get("path") == docs_dir and os.path.isdir(docs_dir)):
+        done = bool(ck and ck.get("status") == "done"
+                    and ck.get("snapshot_id") == pending.snapshot_id)
+        if done:
+            groups = pending.adopt_parts_from_disk("docs")
+            done = bool(groups) or ck.get("rows_in") == 0
+        if not done:
             t0 = time.time()
             self.builder.build_docs(source, pending)
-            n = self.spark.read.parquet(docs_dir).count()
+            ddirs = pending.docs_dirs()
+            n = self.spark.read.parquet(*ddirs).count() if ddirs else 0
             self.store.put("docs", {
                 "status": "done", "attempt": (ck or {}).get("attempt", 0) + 1,
-                "rows_in": n, "path": docs_dir,
+                "rows_in": n, "snapshot_id": pending.snapshot_id,
                 "wall_ms": int((time.time() - t0) * 1000)})
 
         # ---- stage 2: per-shard segments (fused tokenize+partials over
@@ -166,7 +174,7 @@ class ResumableIndexBuilder:
                 "store_content=False is not supported")
         b = self.builder
         cols = ["doc_id"] + b.field_cols + ([b.lang_col] if b.lang_col else [])
-        docs = self.spark.read.parquet(docs_dir).select(*cols)
+        docs = self.spark.read.parquet(*pending.docs_dirs()).select(*cols)
         for shard in range(self.n_shards):
             key = f"segment_{shard:05d}"
             ck = self.store.get(key)

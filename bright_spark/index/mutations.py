@@ -57,6 +57,7 @@ from bright_spark.index.builder import (
     _make_merge_fn,
     _make_tokenize_fn,
     _make_tokenize_partials_fn,
+    stage_docs_write,
     stage_postings_write,
 )
 from bright_spark.index.catalog import (
@@ -231,8 +232,9 @@ class IndexMutator:
         # count pass fixes offsets, then each partition assigns locally.
         # No global window — a first full sync through StreamingIngestor
         # IS a large upsert batch, and a single-task rank would be its
-        # straggler at 10^12 docs.
-        max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+        # straggler at 10^12 docs. max_doc_id reads only the top doc
+        # group dir (groups are id ranges), not the whole docs table.
+        max_id = self.catalog.max_doc_id(self.spark)
         max_id = -1 if max_id is None else int(max_id)
         p = int(self.extra.get("n_build_partitions")
                 or self.spark.sparkContext.defaultParallelism)
@@ -283,9 +285,9 @@ class IndexMutator:
         self.delete_where(eng.match_df(q))
 
     def patch(self, doc_id: int, fields: dict) -> None:
-        """U4: fetch stored doc, merge fields, re-index whole doc."""
-        row = (self.catalog.docs(self.spark)
-               .filter(F.col("doc_id") == doc_id).collect())
+        """U4: fetch stored doc, merge fields, re-index whole doc.
+        The fetch is group-dir-pruned (docs_for_ids)."""
+        row = self.catalog.docs_for_ids(self.spark, [int(doc_id)]).collect()
         if not row:
             raise KeyError(f"doc_id {doc_id} not found")
         rec = row[0].asDict()
@@ -313,30 +315,41 @@ class IndexMutator:
         yet far from rebuild territory at 10^12 docs) the drop becomes
         an entry-level anti-join on the changed-id DataFrame."""
         spark = self.spark
-        if changed is not None:
-            ids_df = changed.select("doc_id").distinct()
-        elif deleted_df is not None:
-            ids_df = deleted_df.select("doc_id").distinct()
+        if deleted_ids is not None and changed is None and deleted_df is None:
+            # driver-provided id list: zero Spark jobs to materialize
+            arr = np.unique(np.asarray([int(i) for i in deleted_ids],
+                                       dtype=np.int64))
         else:
-            ids_df = spark.createDataFrame(
-                [(int(i),) for i in (deleted_ids or [])], "doc_id BIGINT")
-        # eager localCheckpoint truncates lineage: a delete-by-query id
-        # set reads the very dirs this apply rewrites, so it must never
-        # be recomputable from them afterwards (persist alone can evict
-        # and silently recompute against rewritten data)
-        ids_df = ids_df.localCheckpoint(eager=True)
-        n_changed = ids_df.count()
-        if n_changed == 0:
+            ids_src = (changed if changed is not None
+                       else deleted_df).select("doc_id").distinct()
+            # ONE probe job collects the whole id set when it fits the
+            # broadcast regime (the overwhelmingly common case) — no
+            # separate count + collect + checkpoint jobs
+            rows = ids_src.limit(self.broadcast_threshold + 1).collect()
+            if len(rows) > self.broadcast_threshold:
+                # huge change set: entry-level anti-join path. Eager
+                # localCheckpoint truncates lineage: a delete-by-query
+                # id set reads the very dirs whose pointers this apply
+                # replaces, and must never be recomputed mid-apply
+                ids_df = ids_src.localCheckpoint(eager=True)
+                n_changed = ids_df.count()
+                if n_changed == 0:
+                    return
+                self._apply_inner(changed, ids_df, drop_bc=None,
+                                  n_changed=n_changed)
+                return
+            arr = np.unique(np.array([r["doc_id"] for r in rows],
+                                     dtype=np.int64))
+        if arr.size == 0:
             return
-        if n_changed > self.broadcast_threshold:
-            self._apply_inner(changed, ids_df, drop_bc=None,
-                              n_changed=n_changed)
-            return
-        changed_id_arr = np.unique(np.array(
-            [r["doc_id"] for r in ids_df.collect()], dtype=np.int64))
-        drop_bc = spark.sparkContext.broadcast(changed_id_arr)
+        # the id set is a driver literal now — rebuilding ids_df from
+        # it (Arrow path) removes the recompute hazard without a
+        # checkpoint job
+        ids_df = spark.createDataFrame(pd.DataFrame({"doc_id": arr}))
+        drop_bc = spark.sparkContext.broadcast(arr)
         try:
-            self._apply_inner(changed, ids_df, drop_bc, n_changed=n_changed)
+            self._apply_inner(changed, ids_df, drop_bc,
+                              n_changed=int(arr.size))
         finally:
             drop_bc.unpersist()
 
@@ -345,23 +358,72 @@ class IndexMutator:
         cfg = self.config
         spark = self.spark
         pending = self.catalog.begin()
-        docs_all = self.catalog.docs(spark, include_build_cols=True)
+        old_meta = self.catalog.load_meta()
         if not self.config.store_content:
             raise ValueError("mutations re-tokenize replaced docs from "
                              "stored content; store_content=False is not "
                              "supported")
+        # layout v3 (single docs/term_stats version dir, no group bits
+        # in meta): this mutation migrates those tables to the v4
+        # partitioned form with ONE full rewrite, then every later
+        # mutation is O(change)
+        legacy = (not isinstance(pending.tables.get("docs"), dict)
+                  or not isinstance(pending.tables.get("term_stats"), dict)
+                  or old_meta.get("docs_range_bits") is None)
+        if legacy and cfg.docs_range_bits is None:
+            import dataclasses
+            n_old = int(old_meta.get("n_docs") or 0)
+            p = int(self.extra.get("n_build_partitions")
+                    or spark.sparkContext.defaultParallelism)
+            dspan = max(4096, n_old // max(1, p))
+            cfg = dataclasses.replace(
+                cfg, docs_range_bits=min(22, max(12, dspan.bit_length() - 1)))
+            self.config = cfg
+        bits = int(old_meta.get("docs_range_bits")
+                   if not legacy else cfg.docs_range_bits)
+
+        # ---- affected doc-range groups: the docs-table CoW unit.
+        # ids_df carries every changed id (replacements, deletes AND
+        # newly assigned ids), so its group set is exactly the set of
+        # group dirs this mutation may rewrite — nothing else is read.
+        # With the broadcast id array on the driver, groups AND the
+        # changed posting ranges come from numpy — zero Spark jobs.
+        range_bits = int(old_meta.get("range_bits") or cfg.range_bits or 0)
+        changed_ranges: list[int] | None = None
+        if drop_bc is not None:
+            arr = np.asarray(drop_bc.value, dtype=np.int64)
+            affected_groups = [int(g) for g in np.unique(arr >> bits)]
+            changed_ranges = [int(r) for r in
+                              np.unique(arr >> np.int64(range_bits))]
+        else:
+            affected_groups = sorted(
+                int(r["g"]) for r in ids_df.select(
+                    F.shiftright("doc_id", bits).alias("g"))
+                .distinct().collect())
+        if legacy:
+            docs_scan = self.catalog.docs(spark, include_build_cols=True)
+        else:
+            docs_scan = self.catalog.docs(spark, include_build_cols=True,
+                                          groups=affected_groups)
         # the docs table stores no token arrays (build module doc) —
         # re-tokenize the replaced set from stored field text, across
-        # EVERY analyzed field (their old entries must leave the index)
-        replaced = docs_all.join(ids_df, "doc_id", "left_semi")
+        # EVERY analyzed field (their old entries must leave the index).
+        # Checkpointing the (small) replaced slice means the pruned
+        # group dirs are scanned ONCE — the tokenize pass and the
+        # n_present count both read the checkpoint.
+        replaced = (docs_scan.join(ids_df, "doc_id", "left_semi")
+                    .localCheckpoint(eager=True))
+        # ids actually present (a delete of an absent id must not move
+        # n_docs) — a count over the tiny checkpoint
+        n_present = replaced.count()
         new_partials = (self._field_partials(changed)
                         if changed is not None else None)
         terms_df = self._field_partials(replaced).select("term")
         if new_partials is not None:
             terms_df = terms_df.unionByName(new_partials.select("term"))
-        # eager lineage truncation, not persist: terms_df reads the
-        # docs dir that gets swapped below, and an evicted cache would
-        # otherwise silently recompute from the rewritten table
+        # eager lineage truncation, not persist: terms_df is consumed
+        # by several downstream joins, and an evicted cache would
+        # silently recompute the tokenize pass each time
         terms_df = terms_df.distinct().localCheckpoint(eager=True)
         # bucket set is tiny (<= n_term_buckets) — the only collect
         affected_buckets = sorted(
@@ -371,20 +433,44 @@ class IndexMutator:
         if not affected_buckets:
             affected_buckets = []
 
-        # ---- docs table: new version dir (visible only at commit)
-        survivors = docs_all.join(ids_df, "doc_id", "left_anti")
+        # ---- docs table: copy-on-write doc-range groups — only the
+        # affected groups' survivors + the changed docs are rewritten
+        # into new version dirs; every other group keeps its parent
+        # pointer (never even listed). Visible only at commit.
+        survivors = docs_scan.join(ids_df, "doc_id", "left_anti")
         new_docs = survivors
         if changed is not None:
             new_docs = survivors.unionByName(changed.select(*survivors.columns))
-        (new_docs.sortWithinPartitions("doc_id")
-         .write.mode("overwrite").parquet(pending.table_path("docs")))
+        par = spark.sparkContext.defaultParallelism
+        if legacy:
+            pending.reset_parts("docs")
+            docs_width = par
+        else:
+            # width ~ the affected group count: a small mutation should
+            # not schedule a full-width shuffle of 50 rows
+            docs_width = min(par, max(2, 2 * len(affected_groups)))
+        written_groups = stage_docs_write(new_docs, pending, bits, docs_width)
+        for g in set(affected_groups or ()) - written_groups:
+            pending.drop_part("docs", g)  # group emptied by a delete
 
         # ---- postings: copy-on-write — ONLY affected buckets' live
         # dirs are read and re-versioned; every other bucket keeps its
-        # parent pointer untouched (never even listed)
+        # parent pointer untouched (never even listed). Within them,
+        # only rows in the CHANGED doc ranges can hold a changed id or
+        # receive a new entry — rows of other ranges bypass the Python
+        # decode/merge entirely (a JVM passthrough), so the kernel work
+        # is O(changed ranges), not O(touched terms' full postings)
         in_buckets = self.catalog.postings(spark, buckets=affected_buckets)
-        untouched = in_buckets.join(terms_df, "term", "left_anti")
-        touched = in_buckets.join(terms_df, "term", "left_semi")
+        if changed_ranges is not None and len(changed_ranges) <= 1024:
+            in_range = F.col("range_id").isin(changed_ranges)
+            untouched = (in_buckets.filter(~in_range)
+                         .unionByName(in_buckets.filter(in_range)
+                                      .join(terms_df, "term", "left_anti")))
+            touched = (in_buckets.filter(in_range)
+                       .join(terms_df, "term", "left_semi"))
+        else:
+            untouched = in_buckets.join(terms_df, "term", "left_anti")
+            touched = in_buckets.join(terms_df, "term", "left_semi")
         touched_sel = touched.select("field", "term", "range_id",
                                      "first_doc", "docs", "tfs", "dls", "pos")
         if drop_bc is not None:
@@ -409,7 +495,8 @@ class IndexMutator:
         partials = surviving_partials
         if new_partials is not None:
             partials = partials.unionByName(new_partials)
-        n_merge = self.spark.sparkContext.defaultParallelism
+        n_merge = min(par, max(4, len(affected_buckets)
+                               * (cfg.files_per_bucket or 1)))
         remerged = (partials.repartition(n_merge, "term", "range_id")
                     .mapInPandas(_make_merge_fn(cfg.block_size,
                                                 cfg.n_term_buckets,
@@ -423,10 +510,21 @@ class IndexMutator:
             if b not in written:
                 pending.drop_postings_bucket(b)  # bucket emptied
 
-        # ---- term_stats + meta recompute (stats pass reuses builder),
+        # ---- term_stats + meta: O(affected buckets) delta maintenance
+        # (mutate_stats) — or, on a legacy index, the one-time full
+        # recompute that migrates stats to the per-bucket layout —
         # then ONE atomic commit for docs + buckets + stats together
-        meta = self._builder().build_stats(pending)
+        n_docs_new = (int(old_meta.get("n_docs") or 0) - n_present
+                      + (n_changed if changed is not None else 0))
+        b = self._builder()
+        if legacy:
+            b._n_docs = n_docs_new
+            meta = b.build_stats(pending)
+        else:
+            meta = b.mutate_stats(pending, old_meta, affected_buckets,
+                                  n_docs_new)
         pending.commit(
             meta, "upsert" if changed is not None else "delete",
             metrics={"n_changed": n_changed,
-                     "buckets_rewritten": len(affected_buckets)})
+                     "buckets_rewritten": len(affected_buckets),
+                     "docs_groups_rewritten": len(written_groups)})

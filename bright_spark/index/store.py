@@ -95,7 +95,8 @@ class IndexStore:
                 # whatever the build resolved
                 and not (getattr(config, f.name) is None
                          and f.name in ("range_bits", "n_term_buckets",
-                                        "files_per_bucket"))
+                                        "files_per_bucket",
+                                        "docs_range_bits"))
             }
             if mismatches:
                 raise ValueError(
@@ -200,10 +201,8 @@ class IndexStore:
         mut = IndexMutator(self.spark, self._index_dir(idx_id))
         mut.patch(int(doc_id), fields)  # raises KeyError when absent
         self._engines.pop(idx_id, None)
-        from pyspark.sql import functions as F
         row = (IndexCatalog(self._index_dir(idx_id))
-               .docs(self.spark).filter(F.col("doc_id") == int(doc_id))
-               .collect())
+               .docs_for_ids(self.spark, [int(doc_id)]).collect())
         return row[0].asDict() if row else {}
 
     def engine(self, idx_id: str):

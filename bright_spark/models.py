@@ -57,6 +57,13 @@ class IndexConfig:
     # count per bucket is BOUNDED at S forever (mutations rewrite whole
     # buckets) — the no-compaction invariant keeps holding.
     files_per_bucket: int | None = None
+    # docs-table copy-on-write group span: group = doc_id >>
+    # docs_range_bits, one version dir per group (catalog layout v4).
+    # None = auto-resolved at build time to ~one group per build
+    # partition (span bounded [2**12, 2**22]) — small enough that a
+    # mutation rewrites only the groups its changed ids land in,
+    # large enough that the manifest's group map stays compact.
+    docs_range_bits: int | None = None
     store_content: bool = True  # keep raw content in docs table (R3 retrieve)
     # store per-emission base positions in postings (Q4 phrase queries
     # verified from the index alone — required for phrases when content
@@ -118,6 +125,16 @@ class SearchRequest:
                     except (TypeError, ValueError):
                         raise SearchRequestError(
                             f"{k} must be an integer") from None
+                elif attr in ("sort", "attributes_to_retrieve",
+                              "attributes_to_exclude"):
+                    # a scalar for a list param (`?sort=-price`, or a
+                    # JSON body string) wraps to a one-element list —
+                    # never iterate a string character by character
+                    if isinstance(v, str):
+                        v = [v]
+                    elif not isinstance(v, list):
+                        raise SearchRequestError(
+                            f"{k} must be a list of strings")
                 resolved[attr] = v
         return cls(**resolved)
 

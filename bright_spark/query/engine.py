@@ -649,11 +649,13 @@ class SearchEngine:
             return SearchResponse(hits=[], total_hits=total, limit=req.limit)
         ids = [int(d) for d, _ in hits]
         scores = {int(d): float(s) for d, s in hits}
-        docs_df = self.catalog.docs(self.spark)
+        # group-dir-pruned fetch: a top-k assembly reads at most k doc
+        # group dirs, never the whole docs table
+        docs_df = self.catalog.docs_for_ids(self.spark, ids)
         if req.attributes_to_retrieve:
             cols = [c for c in req.attributes_to_retrieve if c in docs_df.columns]
             docs_df = docs_df.select("doc_id", *[c for c in cols if c != "doc_id"])
-        rows = docs_df.filter(F.col("doc_id").isin(ids)).collect()
+        rows = docs_df.collect()
         by_id = {int(r["doc_id"]): r.asDict() for r in rows}
         out = []
         for d in ids:

@@ -45,9 +45,9 @@ def test_commit_is_single_pointer_flip(spark, snap_idx):
     m = cat.manifest()
     assert m["operation"] == "build" and m["parent_id"] is None
     # every table pointer resolves to an immutable version dir on disk
-    assert os.path.isdir(cat.docs_path) and "v00000001" in cat.docs_path
-    for d in cat.postings_dirs():
-        assert os.path.isdir(d)
+    assert cat.docs_dirs()
+    for d in cat.docs_dirs() + cat.postings_dirs() + cat.term_stats_dirs():
+        assert os.path.isdir(d) and "v00000001" in d
 
 
 def test_mutation_shares_untouched_bucket_dirs(spark, snap_idx):
@@ -80,10 +80,10 @@ def test_crash_before_commit_leaves_old_snapshot_intact(
                 SearchEngine(spark, snap_idx).search_df("common", k=100)
                 .collect()}
 
-    def boom(self, pending):
+    def boom(self, *a, **k):
         raise RuntimeError("injected crash before commit")
 
-    monkeypatch.setattr(builder_mod.IndexBuilder, "build_stats", boom)
+    monkeypatch.setattr(builder_mod.IndexBuilder, "mutate_stats", boom)
     with pytest.raises(RuntimeError, match="injected"):
         IndexMutator(spark, snap_idx).upsert(spark.createDataFrame(
             [{"rid": 1, "text": "orphan_term common", "kind": "k1"}]))
@@ -150,9 +150,9 @@ def test_time_travel_and_vacuum(spark, tmp_path_factory):
         SearchEngine(spark, idx, snapshot_id=1)
     # every surviving version dir is referenced by the live manifest
     live_refs = set()
-    t = cat.manifest()["tables"]
-    live_refs.add(t["docs"]); live_refs.add(t["term_stats"])
-    live_refs.add(t["index_meta"]); live_refs.update(t["postings"].values())
+    for v in cat.manifest()["tables"].values():
+        live_refs.update(v.values()) if isinstance(v, dict) \
+            else live_refs.add(v)
     on_disk = set()
     data = os.path.join(idx, "data")
     for root, dirs, _ in os.walk(data):
@@ -232,7 +232,7 @@ def test_crash_at_every_write_stage_is_atomic(spark, tmp_path_factory,
     targets = {
         # mutations call stage_postings_write via their own import
         "postings_write": (mutations_mod, "stage_postings_write"),
-        "stats": (builder_mod.IndexBuilder, "build_stats"),
+        "stats": (builder_mod.IndexBuilder, "mutate_stats"),
         "commit": (catalog_mod.PendingSnapshot, "commit"),
     }
     obj, name = targets[crash_point]
@@ -358,3 +358,76 @@ def test_commit_claim_is_atomic(spark, tmp_path_factory):
     c2.commit(meta, "upsert")       # claim free again, no wedge
     m = IndexCatalog(idx).manifest()
     assert m["snapshot_id"] == 3 and "stale" not in m
+
+
+def test_mutation_is_o_change_not_o_corpus(spark, tmp_path_factory):
+    """THE v4 scale contract: a small upsert re-versions only the doc
+    groups its ids land in and only the term buckets its terms hash
+    to — every other docs group, postings bucket AND term_stats bucket
+    keeps its parent pointer (identical relative dir, zero data copy,
+    never listed). The reference gets O(batch) writes from scorch's
+    append-only segments (store/store.go:392-426); this is the
+    snapshot-layer equivalent."""
+    idx = str(tmp_path_factory.mktemp("ochange") / "idx")
+    # docs_range_bits=4 -> 16-doc groups: 120 docs span 8 groups
+    build_index(spark, spark.createDataFrame(_rows(120)), idx,
+                IndexConfig(id="oc", tokenizer="simple", n_term_buckets=8,
+                            docs_range_bits=4),
+                content_col="text", id_col="rid", lang_col=None,
+                attr_cols=("kind",), n_build_partitions=4)
+    before = IndexCatalog(idx).manifest()["tables"]
+    assert len(before["docs"]) == 8
+
+    # one-doc upsert into group 2 (rid 37), one unique term
+    IndexMutator(spark, idx).upsert(spark.createDataFrame(
+        [{"rid": 37, "text": "ochange_marker common", "kind": "k1"}]))
+    after = IndexCatalog(idx).manifest()["tables"]
+
+    # docs: exactly one group re-versioned
+    changed_groups = {g for g in before["docs"]
+                      if after["docs"].get(g) != before["docs"][g]}
+    assert changed_groups == {str(37 >> 4)}
+    for g in set(before["docs"]) - changed_groups:
+        assert after["docs"][g] == before["docs"][g]
+
+    # term_stats: the same CoW as postings — re-versioned buckets are
+    # exactly the postings buckets touched, the rest pointer-shared
+    ts_changed = {b for b in before["term_stats"]
+                  if after["term_stats"].get(b) != before["term_stats"][b]}
+    p_changed = {b for b in before["postings"]
+                 if after["postings"].get(b) != before["postings"][b]}
+    assert ts_changed == p_changed
+    assert set(before["term_stats"]) - ts_changed  # some shared
+    m = IndexCatalog(idx).manifest()
+    assert m["metrics"]["docs_groups_rewritten"] == 1
+
+    # delete every doc of group 0 -> its pointer drops entirely
+    IndexMutator(spark, idx).delete_ids(list(range(16)))
+    t3 = IndexCatalog(idx).manifest()["tables"]
+    assert "0" not in t3["docs"]
+    assert len(t3["docs"]) == 7  # the other 7 groups intact
+    eng = SearchEngine(spark, idx)
+    assert eng.meta["n_docs"] == 104  # 120 (upsert replaced) - 16
+    assert eng.search_df("ochange_marker", k=5).count() == 1
+
+
+def test_docs_for_ids_prunes_group_dirs(spark, tmp_path_factory):
+    """Hit assembly reads only the group dirs of the requested ids:
+    the resolved path list is a strict subset, and the fetch matches a
+    full-scan filter."""
+    idx = str(tmp_path_factory.mktemp("dprune") / "idx")
+    build_index(spark, spark.createDataFrame(_rows(100)), idx,
+                IndexConfig(id="dp", tokenizer="simple", n_term_buckets=4,
+                            docs_range_bits=4),
+                content_col="text", id_col="rid", lang_col=None,
+                n_build_partitions=2)
+    cat = IndexCatalog(idx)
+    assert len(cat.docs_dirs()) == 7  # 100 docs / 16-doc groups
+    assert len(cat.docs_dirs(groups=[1, 5])) == 2
+    got = {r["doc_id"]: r["text"] for r in
+           cat.docs_for_ids(spark, [3, 77]).collect()}
+    want = {r["doc_id"]: r["text"] for r in
+            cat.docs(spark).filter(F.col("doc_id").isin([3, 77])).collect()}
+    assert got == want and set(got) == {3, 77}
+    # max_doc_id reads the top group only
+    assert cat.max_doc_id(spark) == 99
