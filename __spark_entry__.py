@@ -48,9 +48,9 @@ def _engine(spark: SparkSession, sf_dir: str):
     from bright_spark.index.catalog import IndexCatalog
     built = False
     try:
-        # invalidate gate caches from older index layouts (v3 added
-        # snapshot manifests; v2 the per-field postings namespace)
-        built = IndexCatalog(idx_dir).load_meta().get("version") == 3
+        # invalidate gate caches from older index layouts (v4
+        # partitioned docs/term_stats CoW; v3 snapshot manifests)
+        built = IndexCatalog(idx_dir).load_meta().get("version") == 4
     except (FileNotFoundError, KeyError):
         built = False
     if built:
@@ -110,7 +110,7 @@ def _mut_engine(spark: SparkSession, sf_dir: str):
     ok = False
     try:
         cat = IndexCatalog(idx_dir)
-        ok = (cat.load_meta().get("version") == 3
+        ok = (cat.load_meta().get("version") == 4
               and cat.manifest().get("operation") == "delete")
     except Exception:
         ok = False
@@ -209,6 +209,88 @@ def _q_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
     return (docs.join(F.broadcast(hits), "doc_id")
             .orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10))
+
+
+
+def _store(spark: SparkSession, sf_dir: str):
+    """IndexStore-routed surface: the same documents corpus registered
+    through the store lifecycle (create_index with an EXCLUDED
+    attribute -> add_documents -> store.search), so config resolution
+    and server-side exclusion enforcement sit under the oracle too —
+    not just the bare engine (store.go:78-124 adopt/create semantics,
+    exclusion as a disabled field mapping, store.go:127-133)."""
+    from bright_spark.index.catalog import IndexCatalog
+    from bright_spark.index.store import IndexStore
+    from bright_spark.models import IndexConfig
+
+    key = os.path.abspath(sf_dir)
+    ck = key + "|store"
+    st = _ENGINES.get(ck)
+    if st is not None:
+        return st
+    data_dir = os.path.join(_GATE_DIR,
+                            key.strip("/").replace("/", "_") + "_store")
+    store = IndexStore(spark, data_dir)
+    ok = "documents" in store.configs and store.is_built("documents")
+    if ok:
+        try:
+            ok = (IndexCatalog(store._index_dir("documents"))
+                  .load_meta().get("version") == 4)
+        except Exception:
+            ok = False
+    if not ok:
+        import shutil
+        shutil.rmtree(data_dir, ignore_errors=True)
+        store = IndexStore(spark, data_dir)
+        store.create_index(IndexConfig(
+            id="documents", primary_key="doc_id",
+            exclude_attributes=("source",),
+            tokenizer="simple", n_term_buckets=8))
+        store.add_documents(
+            "documents", _docs(spark, sf_dir), content_col="text",
+            attr_cols=("lang", "n_chars", "source"),
+            n_build_partitions=8)
+    _ENGINES[ck] = store
+    return store
+
+
+def _store_ranked(spark, store, q: str, k: int = 10,
+                  with_lang: bool = False) -> DataFrame:
+    """store.search -> ranked rows; over-fetch + re-rank by the
+    ROUNDED score (same float policy as _ranked)."""
+    from bright_spark.models import SearchRequest
+    resp = store.search("documents", SearchRequest(q=q, limit=k + 100))
+    rows = []
+    for h in resp.hits:
+        r = (int(h["doc_id"]), round(float(h["_score"]), 6))
+        if with_lang:
+            r += (h.get("lang"),)
+        rows.append(r)
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    schema = "doc_id BIGINT, score DOUBLE" + (
+        ", lang STRING" if with_lang else "")
+    return spark.createDataFrame(rows[:k], schema)
+
+
+def _q_store_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full store path: registry -> engine -> hits with stored attrs
+    (the excluded 'source' never appears in a hit)."""
+    store = _store(spark, sf_dir)
+    df = _store_ranked(spark, store, "spark join", 10, with_lang=True)
+    from bright_spark.models import SearchRequest
+    probe = store.search("documents", SearchRequest(q="spark", limit=3))
+    assert all("source" not in h for h in probe.hits)
+    return df
+
+
+def _q_store_excluded_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion enforcement under the oracle: 'source' is excluded at
+    create_index, so the `source:src3` clause behaves like an unknown
+    field and contributes NOTHING — results must equal plain 'spark'
+    (on the non-excluded index the same query scores differently; the
+    ft_field_scoped oracle proves src3 is a live signal there)."""
+    store = _store(spark, sf_dir)
+    return _store_ranked(spark, store, "spark source:src3", 10)
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -517,6 +599,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_doc_lookup": _q_doc_lookup,
         "ft_match_all_page": _q_match_all_page,
         "ft_sort_field": _q_sort_field,
+        "ft_store_search": _q_store_search,
+        "ft_store_excluded_field": _q_store_excluded_field,
         # --- training-data pipeline operators
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -847,6 +931,18 @@ FROM documents WHERE doc_id IN (1, 5, 10, 11)""",
         "ft_match_all_page": """
 SELECT doc_id, lang, n_chars::BIGINT AS n_chars
 FROM documents ORDER BY doc_id LIMIT 10 OFFSET 20""",
+
+        "ft_store_search": f'''{_BM25_CTE},
+scores AS (
+  SELECT tf.doc_id, sum({_score()}) AS s
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN meta
+  WHERE tf.term IN ('spark', 'join')
+  GROUP BY tf.doc_id)
+SELECT s.doc_id, round(s.s, 6) AS score, d.lang AS lang
+FROM scores s JOIN documents d USING (doc_id)
+ORDER BY round(s.s, 6) DESC, s.doc_id
+LIMIT 10''',
+        "ft_store_excluded_field": _bm25_sql("tf.term IN ('spark')"),
         "ft_sort_field": """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents)

@@ -1,28 +1,50 @@
 """REST surface over :class:`IndexStore` — the reference's Fiber API
 re-expressed with the stdlib HTTP server (main.go:216-252 routes,
-handlers/{indexes,documents,search}.go semantics):
+handlers/{indexes,documents,search,ingresses}.go semantics):
 
     GET    /health
-    GET    /indexes                     list (limit/offset)
+    GET    /indexes                     {"items": [config...]}
     POST   /indexes                     create {id, primaryKey,
-                                        excludeAttributes[]}
+                                        excludeAttributes[]} -> 201 config
     GET    /indexes/:id                 config
-    PATCH  /indexes/:id                 update config
-    DELETE /indexes/:id
+    PATCH  /indexes/:id                 update config -> 200 config
+    DELETE /indexes/:id                 204
     POST   /indexes/:id/documents       JSON array of docs (first batch
-                                        builds, later batches upsert);
+                                        builds, later batches upsert) ->
+                                        201 {"indexed": n}
+                                        (documents.go:200-202);
                                         ?contentCol= names the analyzed
                                         column (default 'content')
-    DELETE /indexes/:id/documents       ?ids=1,2 or ?filter=<query>
-    DELETE /indexes/:id/documents/:docid
+    DELETE /indexes/:id/documents       ?ids[]=1&ids[]=2 (or ids=1,2)
+                                        or ?filter=<query> -> 204
+    DELETE /indexes/:id/documents/:docid  204
     PATCH  /indexes/:id/documents/:docid  merge-fields partial update
     POST   /indexes/:id/searches        query params + JSON body with
                                         body-over-query override (R7,
                                         handlers/search.go:39-63)
+    GET    /indexes/:id/ingresses       {"ingresses": [info...]}
+    POST   /indexes/:id/ingresses       {id, type, config} -> create +
+                                        auto-start -> 201 info
+                                        (handlers/ingresses.go:57-110)
+    GET    /indexes/:id/ingresses/:iid  info
+    PATCH  /indexes/:id/ingresses/:iid  {"state": "resyncing"|"paused"|
+                                        "running"} -> info
+                                        (handlers/ingresses.go:157-212)
+    DELETE /indexes/:id/ingresses/:iid  204
 
 Error mapping mirrors the reference: request errors -> 400, missing
-index/document -> 404 (errors/ package semantics). Clustering, auth,
-and metrics middleware stay excluded per SURVEY §2.9's disposition.
+index/document/ingress -> 404, no ingress manager -> 503
+(handlers/ingresses.go:30-34). Clustering, auth, and metrics
+middleware stay excluded per SURVEY §2.9's disposition.
+
+Wire safety bound: searches cap the result window at
+``MAX_RESULT_WINDOW`` (offset+limit <= 10,000) with a 400 beyond it —
+the same 10k safety bound the reference applies to its own unbounded
+wire operation (delete-by-filter, handlers/documents.go:240
+``searchRequest.Size = 10000 // Limit for safety``). Library callers
+(SearchEngine/IndexStore) stay uncapped; a deep page there costs a
+driver-side top-(offset+limit) collect, documented on
+SearchEngine.search.
 
 Driver-friendly: one Spark session serves all requests; the server is
 a thin marshalling layer — every operation is the same IndexStore call
@@ -41,31 +63,42 @@ from bright_spark.index.store import IndexStore
 from bright_spark.models import IndexConfig, SearchRequest, SearchRequestError
 from bright_spark.query.planner import TooManyClausesError
 
-
 _NUMERIC_PARAMS = {"limit", "offset", "page"}
+
+# ES-style max result window for the WIRE search route (see module doc)
+MAX_RESULT_WINDOW = 10_000
 
 
 def _qs_params(query: str) -> dict:
-    """Query-string params in the reference's wire shape (repeated
-    keys / `[]` suffix become lists). ONLY the known-numeric keys are
+    """Query-string params in the reference's wire shape: a ``[]``
+    suffix or a repeated key yields a list under the BARE name
+    (`?ids[]=1&ids[]=2` -> {"ids": ["1", "2"]}, matching Fiber's
+    ``query:"ids[]"`` binding). ONLY the known-numeric keys are
     int-coerced — `?q=123` must stay the string term '123', never an
     int that crashes the parser."""
     out: dict = {}
     for k, vals in parse_qs(query).items():
+        name = k[:-2] if k.endswith("[]") else k
         if k.endswith("[]") or len(vals) > 1:
-            out[k] = vals
+            out[name] = vals
         else:
             v = vals[0]
-            if k in _NUMERIC_PARAMS:
+            if name in _NUMERIC_PARAMS:
                 if not v.lstrip("-").isdigit():
-                    raise SearchRequestError(f"{k} must be an integer")
-                out[k] = int(v)
+                    raise SearchRequestError(f"{name} must be an integer")
+                out[name] = int(v)
             else:
-                out[k] = v
+                out[name] = v
     return out
 
 
-def make_handler(store: IndexStore):
+def _config_json(cfg: IndexConfig) -> dict:
+    """The reference's IndexConfig wire shape (models/index.go:4-8)."""
+    return {"id": cfg.id, "primaryKey": cfg.primary_key,
+            "excludeAttributes": list(cfg.exclude_attributes)}
+
+
+def make_handler(store: IndexStore, ingress_manager=None):
     # one lock around store mutations: the reference serializes writes
     # per index via RW locks (store.go:18-25); a coarse lock is the
     # single-writer contract the snapshot layer assumes
@@ -133,9 +166,16 @@ def make_handler(store: IndexStore):
                 table[("DELETE", 3)] = self.delete_documents
             if n == 3 and parts[2] == "searches":
                 table[("POST", 3)] = self.search
+            if n == 3 and parts[2] == "ingresses":
+                table[("GET", 3)] = self.list_ingresses
+                table[("POST", 3)] = self.create_ingress
             if n == 4 and parts[2] == "documents":
                 table[("DELETE", 4)] = self.delete_document
                 table[("PATCH", 4)] = self.update_document
+            if n == 4 and parts[2] == "ingresses":
+                table[("GET", 4)] = self.get_ingress
+                table[("PATCH", 4)] = self.update_ingress
+                table[("DELETE", 4)] = self.delete_ingress
             return table.get((method, n))
 
         # ------------------------------------------------------- routes
@@ -143,27 +183,25 @@ def make_handler(store: IndexStore):
         def list_indexes(self, parts, params) -> None:
             cfgs = store.list_indexes(limit=params.get("limit", 20),
                                       offset=params.get("offset", 0))
-            self._json(200, [{"id": c.id, "primaryKey": c.primary_key,
-                              "excludeAttributes": list(c.exclude_attributes)}
-                             for c in cfgs])
+            # {"items": [...]} — handlers/indexes.go:32
+            self._json(200, {"items": [_config_json(c) for c in cfgs]})
 
         def create_index(self, parts, params) -> None:
             b = self._body() or {}
             if not b.get("id"):
                 raise ValueError("id is required")
+            cfg = IndexConfig(
+                id=b["id"], primary_key=b.get("primaryKey"),
+                exclude_attributes=tuple(b.get("excludeAttributes") or ()),
+                tokenizer=b.get("tokenizer", "code"))
             with write_lock:
-                store.create_index(IndexConfig(
-                    id=b["id"], primary_key=b.get("primaryKey"),
-                    exclude_attributes=tuple(b.get("excludeAttributes")
-                                             or ()),
-                    tokenizer=b.get("tokenizer", "code")))
-            self._json(201, {"id": b["id"]})
+                store.create_index(cfg)
+            # 201 + the config body — handlers/indexes.go:102
+            self._json(201, _config_json(cfg))
 
         def get_index(self, parts, params) -> None:
             _, cfg = store.get_index(parts[1])
-            self._json(200, {"id": cfg.id, "primaryKey": cfg.primary_key,
-                             "excludeAttributes":
-                                 list(cfg.exclude_attributes)})
+            self._json(200, _config_json(cfg))
 
         def update_index(self, parts, params) -> None:
             b = self._body() or {}
@@ -173,15 +211,17 @@ def make_handler(store: IndexStore):
                 # explicit presence checks: {"excludeAttributes": []}
                 # must CLEAR the exclusions, and {"primaryKey": null}
                 # must null the key — a falsy value is not "absent"
-                store.update_index(parts[1], dataclasses.replace(
+                new = dataclasses.replace(
                     cur,
                     primary_key=(b["primaryKey"] if "primaryKey" in b
                                  else cur.primary_key),
                     exclude_attributes=tuple(
                         b["excludeAttributes"]
                         if "excludeAttributes" in b
-                        else cur.exclude_attributes)))
-            self._json(200, {"id": parts[1]})
+                        else cur.exclude_attributes))
+                store.update_index(parts[1], new)
+            # 200 + the config body — handlers/indexes.go:194
+            self._json(200, _config_json(new))
 
         def delete_index(self, parts, params) -> None:
             with write_lock:
@@ -198,12 +238,15 @@ def make_handler(store: IndexStore):
                 kwargs["content_col"] = params["contentCol"]
             with write_lock:
                 store.add_documents(parts[1], df, **kwargs)
-            self._json(202, {"received": len(docs)})
+            # 201 {"indexed": n} — handlers/documents.go:200-202
+            self._json(201, {"indexed": len(docs)})
 
         def delete_documents(self, parts, params) -> None:
             ids = params.get("ids")
             if isinstance(ids, (int, str)):
-                ids = [int(x) for x in str(ids).split(",") if x]
+                ids = [x for x in str(ids).split(",") if x]
+            if ids is not None:
+                ids = [int(x) for x in ids]
             with write_lock:
                 store.delete_documents(parts[1], ids=ids,
                                        filter_query=params.get("filter"))
@@ -223,8 +266,77 @@ def make_handler(store: IndexStore):
 
         def search(self, parts, params) -> None:
             req = SearchRequest.from_params(params, self._body())
+            req.validate()
+            if req.effective_offset + req.limit > MAX_RESULT_WINDOW:
+                raise SearchRequestError(
+                    f"result window (offset+limit) exceeds "
+                    f"{MAX_RESULT_WINDOW}; paginate with a filter or "
+                    f"narrow the query")
             resp = store.search(parts[1], req)
             self._json(200, resp.to_dict())
+
+        # --------------------------------------------- ingress routes
+
+        def _ingresses(self):
+            if ingress_manager is None:
+                # handlers/ingresses.go:30-34 — 503, not 404
+                self._json(503, {"error": "ingress manager not available"})
+                return None
+            return ingress_manager
+
+        def list_ingresses(self, parts, params) -> None:
+            mgr = self._ingresses()
+            if mgr is None:
+                return
+            store.get_index(parts[1])  # 404 when the index is missing
+            self._json(200, {"ingresses": mgr.list(parts[1])})
+
+        def create_ingress(self, parts, params) -> None:
+            mgr = self._ingresses()
+            if mgr is None:
+                return
+            store.get_index(parts[1])  # 404 when the index is missing
+            b = self._body() or {}
+            if not b.get("id"):
+                raise ValueError("id is required")
+            if not b.get("type"):
+                raise ValueError("type is required")
+            ing = mgr.create(parts[1], b["id"], b.get("config") or {},
+                             ingress_type=b["type"])
+            ing.start()  # auto-start — handlers/ingresses.go:100-106
+            self._json(201, ing.info())
+
+        def get_ingress(self, parts, params) -> None:
+            mgr = self._ingresses()
+            if mgr is None:
+                return
+            self._json(200, mgr.get(parts[3]).info())
+
+        def update_ingress(self, parts, params) -> None:
+            mgr = self._ingresses()
+            if mgr is None:
+                return
+            ing = mgr.get(parts[3])  # 404 first, like the reference
+            b = self._body() or {}
+            state = b.get("state")
+            if state == "resyncing":
+                ing.resync()
+            elif state == "paused":
+                ing.pause()
+            elif state == "running":
+                ing.resume()
+            else:
+                raise ValueError(
+                    "invalid state, must be one of: resyncing, paused, "
+                    "running")
+            self._json(200, ing.info())
+
+        def delete_ingress(self, parts, params) -> None:
+            mgr = self._ingresses()
+            if mgr is None:
+                return
+            mgr.delete(parts[3])
+            self._json(204, {})
 
         def do_GET(self):
             self._dispatch("GET")
@@ -241,8 +353,12 @@ def make_handler(store: IndexStore):
     return Handler
 
 
-def make_server(store: IndexStore, port: int = 0) -> ThreadingHTTPServer:
+def make_server(store: IndexStore, port: int = 0,
+                ingress_manager=None) -> ThreadingHTTPServer:
     """Bind (port 0 = ephemeral) and return the server; the caller
     drives serve_forever (jobs/serve.py does, tests run it in a
-    thread)."""
-    return ThreadingHTTPServer(("127.0.0.1", port), make_handler(store))
+    thread). Pass an :class:`IngressManager` to enable the
+    /indexes/:id/ingresses routes (absent -> 503, like the
+    reference)."""
+    return ThreadingHTTPServer(("127.0.0.1", port),
+                               make_handler(store, ingress_manager))

@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from bright_spark.analysis.tokenizer import count_terms_batch
 from bright_spark.index import codec
 from bright_spark.index.catalog import (
+    POSTINGS_KERNEL_SCHEMA,
     POSTINGS_SCHEMA,
     IndexCatalog,
     PendingSnapshot,
@@ -338,7 +339,8 @@ def _make_merge_fn(block_size: int, n_buckets: int,
 
 
 def _staged_part_write(prepared: DataFrame, pending: PendingSnapshot,
-                       table: str, part_col: str) -> set[int]:
+                       table: str, part_col: str,
+                       delta: bool = False) -> set[int]:
     """Write an already repartitioned/sorted frame into per-partition
     version dirs of ``pending``: one partitionBy job into a staging
     dir, then a driver-side rename of each ``<part_col>=K`` dir into
@@ -351,12 +353,13 @@ def _staged_part_write(prepared: DataFrame, pending: PendingSnapshot,
                            f".staging-v{pending.snapshot_id:08d}")
     shutil.rmtree(staging, ignore_errors=True)
     prepared.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+    adopt = pending.adopt_part_delta if delta else pending.adopt_part
     written: set[int] = set()
     for name in os.listdir(staging):
         if not name.startswith(part_col + "="):
             continue
         k = int(name.split("=", 1)[1])
-        dst = pending.adopt_part(table, k)
+        dst = adopt(table, k)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
         os.rename(os.path.join(staging, name), dst)
@@ -367,7 +370,9 @@ def _staged_part_write(prepared: DataFrame, pending: PendingSnapshot,
 
 def stage_postings_write(df: DataFrame, pending: PendingSnapshot,
                          n_buckets: int,
-                         files_per_bucket: int = 1) -> set[int]:
+                         files_per_bucket: int = 1,
+                         delta: bool = False,
+                         width: int | None = None) -> set[int]:
     """Posting rows -> per-bucket version dirs. ``bucket`` stays a
     DATA column in the files (the partition column is a duplicate), so
     reads over explicit bucket dirs keep it.
@@ -383,9 +388,10 @@ def stage_postings_write(df: DataFrame, pending: PendingSnapshot,
     slot = (F.col("bucket").cast("bigint") * s
             + F.pmod(F.col("range_id"), F.lit(s)))
     prepared = (df.withColumn("pbucket", F.col("bucket"))
-                  .repartition(max(1, n_buckets) * s, slot)
+                  .repartition(width or (max(1, n_buckets) * s), slot)
                   .sortWithinPartitions("term", "field", "range_id"))
-    return _staged_part_write(prepared, pending, "postings", "pbucket")
+    return _staged_part_write(prepared, pending, "postings", "pbucket",
+                              delta=delta)
 
 
 def stage_docs_write(df: DataFrame, pending: PendingSnapshot,
@@ -404,7 +410,8 @@ def stage_docs_write(df: DataFrame, pending: PendingSnapshot,
 
 
 def stage_term_stats_write(ts: DataFrame, pending: PendingSnapshot,
-                           n_buckets: int, n_tasks: int) -> set[int]:
+                           n_buckets: int, n_tasks: int,
+                           delta: bool = False) -> set[int]:
     """term_stats rows -> per-bucket version dirs (term-sorted files;
     ``bucket`` stays a data column). Write width: one task per bucket
     is pure scheduling overhead when buckets outnumber the parallel
@@ -413,7 +420,8 @@ def stage_term_stats_write(ts: DataFrame, pending: PendingSnapshot,
     prepared = (ts.withColumn("sbucket", F.col("bucket"))
                   .repartition(max(1, min(n_buckets, n_tasks)), "bucket")
                   .sortWithinPartitions("term", "field"))
-    return _staged_part_write(prepared, pending, "term_stats", "sbucket")
+    return _staged_part_write(prepared, pending, "term_stats", "sbucket",
+                              delta=delta)
 
 
 # ------------------------------------------------------------- driver
@@ -613,7 +621,8 @@ class IndexBuilder:
                   .repartition(n_merge, "term", "range_id")
                   .mapInPandas(_make_merge_fn(cfg.block_size, cfg.n_term_buckets,
                                               cfg.store_positions),
-                               schema=POSTINGS_SCHEMA))
+                               schema=POSTINGS_KERNEL_SCHEMA)
+                  .withColumn("ver", F.lit(pending.snapshot_id)))
         # a full build replaces EVERY bucket: forget inherited pointers
         # so buckets absent from this corpus drop out of the snapshot
         pending.tables["postings"] = {}
@@ -730,51 +739,38 @@ class IndexBuilder:
         return meta
 
     def mutate_stats(self, pending: PendingSnapshot, old_meta: dict,
-                     affected_buckets: list[int], n_docs: int) -> dict:
-        """Stats maintenance for a mutation commit, O(affected
-        buckets) instead of O(corpus): a bucket's term_stats depend
-        only on that bucket's postings, so only the buckets the
-        mutation rewrote are re-aggregated and re-versioned — every
-        other bucket keeps its parent stats pointer. Corpus totals are
-        maintained by integer delta (old total − affected buckets' old
-        Σcf + their new Σcf), so the result is bit-identical to a full
-        re-aggregation (the mutate==rebuild pytest invariant)."""
+                     delta_df: DataFrame, n_docs: int) -> dict:
+        """Stats maintenance for a mutation commit, O(batch): the
+        caller derives SIGNED per-(field, term) df/cf deltas from the
+        re-tokenized replaced docs (−) and the new batch (+) — no
+        postings read at all. The deltas land as append rows in the
+        affected buckets' term_stats chains (the reader view sums per
+        term; compaction consolidates), and the per-field corpus
+        totals advance by the same integer deltas, so results stay
+        bit-identical to a full re-aggregation (the mutate==rebuild
+        pytest invariant)."""
         cfg = self.config
-        from bright_spark.index.catalog import TERM_STATS_SCHEMA
-        dirs = pending.postings_dirs(buckets=affected_buckets)
-        post = (self.spark.read.schema(POSTINGS_SCHEMA).parquet(*dirs)
-                if dirs else
-                self.spark.createDataFrame([], POSTINGS_SCHEMA))
-        ts = (post.groupBy("bucket", "field", "term")
-                  .agg(F.sum("df_chunk").alias("df"),
-                       F.sum("cf_chunk").alias("cf")))
+        from bright_spark.index.catalog import term_bucket_col
+        rows = (delta_df
+                .withColumn("bucket", term_bucket_col(
+                    F.col("term"), cfg.n_term_buckets))
+                .select("field", "term", "df", "cf", "bucket"))
         written = stage_term_stats_write(
-            ts, pending, max(1, len(affected_buckets)),
-            self.n_build_partitions)
-        for b in set(affected_buckets) - written:
-            pending.drop_part("term_stats", b)  # bucket emptied
-        # per-field delta in ONE job: the parent snapshot's affected-
-        # bucket stats contribute -cf, the freshly written ones +cf —
-        # both reads are directory-pruned and tiny
-        spark = self.spark
-
-        def _signed(dirs: list[str], sign: int):
-            if not dirs:
-                return spark.createDataFrame([], "field STRING, d BIGINT")
-            return (spark.read.schema(TERM_STATS_SCHEMA).parquet(*dirs)
-                    .select("field", (F.col("cf") * sign).alias("d")))
-
-        delta_df = _signed(
-            self.catalog.term_stats_dirs(buckets=affected_buckets),
-            -1).unionByName(_signed(
-                pending.part_dirs("term_stats", keys=affected_buckets), 1))
-        delta = {r["field"]: int(r["t"] or 0) for r in
-                 delta_df.groupBy("field").agg(F.sum("d").alias("t"))
-                 .collect()}
+            rows, pending, cfg.n_term_buckets,
+            min(self.n_build_partitions, 8), delta=True)
+        # per-field totals delta: Σ of the SIGNED cf rows just written
+        # — one tiny directory-pruned read-back (an Observation on the
+        # write would save it, but observed metrics do not propagate
+        # inside Structured Streaming's foreachBatch, where the sync
+        # loop runs this very path)
+        new_dirs = [os.path.join(self.catalog.index_dir,
+                                 pending.part_rel("term_stats", b))
+                    for b in sorted(written)]
+        field_delta = self._field_cf_totals(new_dirs)
         old_fs = old_meta.get("field_stats") or {}
         field_tokens = {
             f: (int((old_fs.get(f) or {}).get("total_tokens", 0))
-                + delta.get(f, 0))
+                + field_delta.get(f, 0))
             for f in self.field_cols
         }
         meta = self._make_meta(n_docs, field_tokens,
@@ -820,9 +816,9 @@ class IndexBuilder:
                 span = max(1024, n_docs // max(4 * slots, 1))
                 repl["range_bits"] = min(16, max(10, int(span).bit_length() - 1))
             if self.config.docs_range_bits is None:
-                dspan = max(4096, n_docs // max(1, self.n_build_partitions))
+                dspan = max(1024, n_docs // max(1, self.n_build_partitions))
                 repl["docs_range_bits"] = min(
-                    22, max(12, int(dspan).bit_length() - 1))
+                    22, max(10, int(dspan).bit_length() - 1))
         if repl:
             self.config = dataclasses.replace(self.config, **repl)
 

@@ -76,7 +76,8 @@ from pyspark.sql import functions as F
 
 from bright_spark.models import IndexConfig
 
-POSTINGS_SCHEMA = (
+# kernel-output posting row (what the merge kernels emit)
+POSTINGS_KERNEL_SCHEMA = (
     "bucket INT, field STRING, term STRING, range_id BIGINT, "
     "df_chunk INT, cf_chunk BIGINT, "
     "first_doc ARRAY<BIGINT>, max_doc ARRAY<BIGINT>, n ARRAY<INT>, "
@@ -86,6 +87,13 @@ POSTINGS_SCHEMA = (
     # built with store_positions=False)
     "pos ARRAY<BINARY>"
 )
+
+# on-disk posting row: adds the writing snapshot's id (`ver`) — the
+# generation stamp append-mode tombstones compare against (an entry is
+# dead iff its doc_id is tombstoned at a LATER version). Files from
+# older layouts lack the column; Spark fills null, which readers treat
+# as version 0 (the oldest).
+POSTINGS_SCHEMA = POSTINGS_KERNEL_SCHEMA + ", ver BIGINT"
 
 TERM_STATS_SCHEMA = ("field STRING, term STRING, df BIGINT, cf BIGINT, "
                      "bucket INT")
@@ -110,6 +118,11 @@ def term_bucket_col(term_col, n_buckets: int):
 
 def _snap_name(snapshot_id: int) -> str:
     return f"s{snapshot_id:08d}"
+
+
+def _entry_dirs(v) -> list[str]:
+    """A partition pointer is one dir (str) or a delta chain (list)."""
+    return [v] if isinstance(v, str) else list(v)
 
 
 class CommitConflictError(RuntimeError):
@@ -150,8 +163,9 @@ class PendingSnapshot:
             # a legacy (v3) string entry is inherited as-is; the writer
             # that touches the table migrates it to the dict form
             self.tables[t] = dict(v) if isinstance(v, dict) else v
-        if parent and "index_meta" in ptabs:
-            self.tables["index_meta"] = ptabs["index_meta"]
+        for t in ("index_meta", "tombstones"):
+            if parent and t in ptabs:
+                self.tables[t] = ptabs[t]
 
     # ---------------------------------------------------- write targets
 
@@ -171,11 +185,29 @@ class PendingSnapshot:
     def adopt_part(self, table: str, key: int) -> str:
         """Record this snapshot's new version dir for one partition of
         a partitioned table and return its absolute path (the caller
-        moves/writes data there)."""
+        moves/writes data there). REPLACES the partition's pointer —
+        any delta chain collapses to the one new dir (the consolidation
+        form; :meth:`adopt_part_delta` is the append form)."""
         if not isinstance(self.tables.get(table), dict):
             self.tables[table] = {}  # legacy str entry: migrated now
         rel = self.part_rel(table, key)
         self.tables[table][str(key)] = rel
+        return os.path.join(self.catalog.index_dir, rel)
+
+    def adopt_part_delta(self, table: str, key: int) -> str:
+        """APPEND this snapshot's version dir to the partition's
+        pointer chain instead of replacing it — the O(batch) mutation
+        form (scorch's segment append): readers union the chain's
+        dirs; a later consolidation (adopt_part) collapses it."""
+        if not isinstance(self.tables.get(table), dict):
+            self.tables[table] = {}
+        cur = self.tables[table].get(str(key))
+        chain = ([] if cur is None
+                 else [cur] if isinstance(cur, str) else list(cur))
+        rel = self.part_rel(table, key)
+        if rel not in chain:
+            chain.append(rel)
+        self.tables[table][str(key)] = chain if len(chain) > 1 else rel
         return os.path.join(self.catalog.index_dir, rel)
 
     def drop_part(self, table: str, key: int) -> None:
@@ -217,19 +249,42 @@ class PendingSnapshot:
     def drop_postings_bucket(self, bucket: int) -> None:
         self.drop_part("postings", bucket)
 
+    def drop_table(self, table: str) -> None:
+        self.tables.pop(table, None)
+
+    def write_tombstones(self, ids, vers) -> None:
+        """Write this snapshot's tombstone table — (doc_id, ver) pairs
+        meaning: posting entries for doc_id written BEFORE ver are
+        dead. The whole table is rewritten per commit (driver-side
+        pyarrow, no Spark job): it only ever holds the ids changed
+        since the last compaction, so it stays tiny."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        path = self.table_path("tombstones")
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        order = np.argsort(np.asarray(ids, dtype=np.int64))
+        pq.write_table(pa.table({
+            "doc_id": np.asarray(ids, dtype=np.int64)[order],
+            "ver": np.asarray(vers, dtype=np.int64)[order]}),
+            os.path.join(path, "part-0.parquet"))
+
     # ------------------------------------------------------------ reads
 
     def part_dirs(self, table: str, keys=None) -> list[str]:
         """Resolve (possibly not-yet-committed) partition dirs — stats
         passes inside a build/mutation read through the pending state.
-        A legacy string entry resolves as one dir (keys ignored)."""
+        A legacy string entry resolves as one dir (keys ignored); a
+        delta chain resolves to all its dirs in append order."""
         pmap = self.tables[table]
         if isinstance(pmap, str):
             return [os.path.join(self.catalog.index_dir, pmap)]
         ks = (sorted(pmap, key=int) if keys is None
               else [str(k) for k in sorted({int(k) for k in keys})
                     if str(k) in pmap])
-        return [os.path.join(self.catalog.index_dir, pmap[k]) for k in ks]
+        return [os.path.join(self.catalog.index_dir, d)
+                for k in ks for d in _entry_dirs(pmap[k])]
 
     def postings_dirs(self, buckets=None) -> list[str]:
         return self.part_dirs("postings", buckets)
@@ -411,23 +466,32 @@ class IndexCatalog:
         a, b = self.read_manifest(from_id), self.read_manifest(to_id)
 
         def flat(m):
-            out = {}
+            out: dict[str, set[str]] = {}
             for k, v in m["tables"].items():
                 if isinstance(v, dict):
-                    out.update({f"{k}/{kk}": vv for kk, vv in v.items()})
+                    for kk, vv in v.items():
+                        out[f"{k}/{kk}"] = set(_entry_dirs(vv))
                 else:
-                    out[k] = v
+                    out[k] = {v}
             return out
 
         fa, fb = flat(a), flat(b)
-        return {
-            "added": sorted(fb[k] for k in fb.keys() - fa.keys()),
-            "removed": sorted(fa[k] for k in fa.keys() - fb.keys()),
-            "changed": sorted(fb[k] for k in fa.keys() & fb.keys()
-                              if fa[k] != fb[k]),
-            "unchanged": sorted(fb[k] for k in fa.keys() & fb.keys()
-                                if fa[k] == fb[k]),
-        }
+        out = {"added": [], "removed": [], "changed": [], "unchanged": []}
+        for k in sorted(fa.keys() | fb.keys()):
+            va, vb = fa.get(k, set()), fb.get(k, set())
+            if not va:
+                out["added"] += sorted(vb)      # entry born in `to`
+            elif not vb:
+                out["removed"] += sorted(va)    # entry dropped
+            elif va == vb:
+                out["unchanged"] += sorted(vb)
+            else:
+                # pointer moved or chain grew: the follower fetches the
+                # new dirs; dirs `to` no longer references are its GC set
+                out["changed"] += sorted(vb - va)
+                out["unchanged"] += sorted(vb & va)
+                out["removed"] += sorted(va - vb)
+        return out
 
     def begin(self) -> PendingSnapshot:
         sid = self.current_snapshot_id()
@@ -467,7 +531,8 @@ class IndexCatalog:
             if m["snapshot_id"] in keep:
                 for v in m["tables"].values():
                     if isinstance(v, dict):
-                        referenced.update(v.values())
+                        for vv in v.values():
+                            referenced.update(_entry_dirs(vv))
                     else:
                         referenced.add(v)
             else:
@@ -520,8 +585,8 @@ class IndexCatalog:
                     if not os.listdir(sub):  # partition fully reclaimed
                         os.rmdir(sub)
 
-        reclaim(os.path.join(data, "index_meta"),
-                os.path.join("data", "index_meta"))
+        for t in ("index_meta", "tombstones"):
+            reclaim(os.path.join(data, t), os.path.join("data", t))
         for t in PART_TABLES:
             reclaim_partitioned(t)
         return deleted
@@ -572,7 +637,8 @@ class IndexCatalog:
         ks = (sorted(pmap, key=int) if keys is None
               else [str(k) for k in sorted({int(k) for k in keys})
                     if str(k) in pmap])
-        return [os.path.join(self.index_dir, pmap[k]) for k in ks]
+        return [os.path.join(self.index_dir, d)
+                for k in ks for d in _entry_dirs(pmap[k])]
 
     def postings_dirs(self, buckets=None) -> list[str]:
         return self.part_dirs("postings", buckets)
@@ -669,13 +735,70 @@ class IndexCatalog:
         df = self.postings(spark, buckets=buckets)
         return df.filter(self._pair_filter(pairs))
 
+    def tombstones(self):
+        """(sorted doc_ids, aligned versions) of the live tombstone
+        table, or None. An entry (d, v) kills posting entries for d
+        written before snapshot v (append-mode deletes/replacements);
+        compaction clears the table. Driver-side pyarrow read, cached
+        per pointer — the table is bounded by ids changed since the
+        last compaction."""
+        rel = self.manifest()["tables"].get("tombstones")
+        if not rel:
+            return None
+        if getattr(self, "_tomb_cache", None) and self._tomb_cache[0] == rel:
+            return self._tomb_cache[1]
+        import glob as _glob
+
+        import numpy as np
+        import pyarrow.parquet as pq
+        files = sorted(_glob.glob(os.path.join(self.index_dir, rel,
+                                               "*.parquet")))
+        if not files:
+            return None
+        tab = pq.read_table(files[0]) if len(files) == 1 else None
+        if tab is None:
+            import pyarrow as pa
+            tab = pa.concat_tables([pq.read_table(f) for f in files])
+        ids = tab["doc_id"].to_numpy().astype(np.int64)
+        vers = tab["ver"].to_numpy().astype(np.int64)
+        order = np.argsort(ids)
+        out = (ids[order], vers[order])
+        self._tomb_cache = (rel, out)
+        return out
+
+    def delta_depth(self, table: str = "postings") -> int:
+        """Longest partition pointer chain — the compaction trigger."""
+        pmap = self.manifest()["tables"].get(table)
+        if not pmap:
+            return 0
+        if isinstance(pmap, str):
+            return 1
+        return max((len(_entry_dirs(v)) for v in pmap.values()), default=0)
+
+    def _stats_dirty(self, buckets=None) -> bool:
+        pmap = self.manifest()["tables"].get("term_stats")
+        if not isinstance(pmap, dict):
+            return False
+        items = (pmap.values() if buckets is None else
+                 [pmap[str(b)] for b in buckets if str(b) in pmap])
+        return any(isinstance(v, list) for v in items)
+
     def term_stats(self, spark: SparkSession, buckets=None) -> DataFrame:
         # explicit schema: an empty index (or an emptied bucket) has
         # zero part files and inference would fail on bare _SUCCESS
         dirs = self.term_stats_dirs(buckets)
         if not dirs:
             return spark.createDataFrame([], TERM_STATS_SCHEMA)
-        return spark.read.schema(TERM_STATS_SCHEMA).parquet(*dirs)
+        raw = spark.read.schema(TERM_STATS_SCHEMA).parquet(*dirs)
+        if not self._stats_dirty(buckets):
+            return raw
+        # append-mode delta chains: a term's stats are the SUM of its
+        # base row and signed delta rows; net-zero terms (fully
+        # deleted) vanish. Buckets without deltas skip this agg.
+        return (raw.groupBy("bucket", "field", "term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .filter(F.col("df") > 0)
+                .select("field", "term", "df", "cf", "bucket"))
 
     def term_stats_for_terms(self, spark: SparkSession,
                              pairs: list[tuple[str, str]]) -> DataFrame:

@@ -33,7 +33,7 @@ from bright_spark.index.builder import (
     _make_tokenize_partials_fn,
     stage_postings_write,
 )
-from bright_spark.index.catalog import POSTINGS_SCHEMA, IndexCatalog
+from bright_spark.index.catalog import POSTINGS_KERNEL_SCHEMA, IndexCatalog
 from bright_spark.models import IndexConfig
 
 
@@ -212,7 +212,8 @@ class ResumableIndexBuilder:
                   .mapInPandas(_make_merge_fn(self.config.block_size,
                                               self.config.n_term_buckets,
                                               self.config.store_positions),
-                               schema=POSTINGS_SCHEMA))
+                               schema=POSTINGS_KERNEL_SCHEMA)
+                  .withColumn("ver", F.lit(pending.snapshot_id)))
         pending.tables["postings"] = {}
         stage_postings_write(merged, pending, self.config.n_term_buckets,
                              self.config.files_per_bucket or 1)

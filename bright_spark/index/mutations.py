@@ -12,32 +12,50 @@ Reference semantics:
   changed rows; checkpointing the watermark belongs to the caller's
   ingestion job (see checkpoints.CheckpointStore).
 
-Physical strategy (the Iceberg MERGE INTO analog on plain parquet):
-only the term-hash **buckets touched by changed terms are rewritten**
-— into NEW immutable version dirs of a pending snapshot; every other
-bucket keeps its parent-manifest pointer (pointer copy, zero data
-copy). Changed doc ids are removed from decoded posting runs (via one
-numpy broadcast up to ``broadcast_threshold`` ids, an entry-level
-anti-join above it), new entries merged in per analyzed field, blocks
-re-encoded — all Arrow-batched. New natural keys get dense ids above
-the current max via the builder's per-partition offset scheme (no
-global window). Corpus stats (N, per-field avgdl) are recomputed; the
-docs rewrite, bucket rewrites, and stats tables become visible in ONE
-atomic manifest commit (catalog.py write protocol) — a crash
-mid-mutation leaves the previous snapshot untouched, and readers
-pinned to it (SearchEngine pins at construction) never see a torn
-index. Block (max_tf, min_dl) skip metadata stays sound because
-bounds are evaluated against current stats at query time (codec.py).
+Physical strategy — the scorch model (`store/store.go:392-426` hands
+batches to Bleve scorch, which appends immutable segments, masks dead
+docs with a deleted-bitmap, and merges in the background) rebuilt on
+the snapshot catalog, so a mutation commit is **O(batch)**:
 
-Invariant (tested): mutate-then-query == full-rebuild-then-query.
+  append mode (default for broadcast-sized change sets):
+    docs        only the doc-range GROUPS containing changed ids are
+                re-versioned (copy-on-write; new version dirs)
+    postings    the new batch's entries merge into small DELTA version
+                dirs APPENDED to their buckets' pointer chains — the
+                existing postings are never read, decoded or rewritten
+    tombstones  replaced/deleted ids land in a tiny (doc_id, ver)
+                table; query kernels mask entries written before their
+                doc's tombstone version (newer re-adds stay live)
+    term_stats  SIGNED df/cf delta rows (− from re-tokenizing the
+                replaced docs, + from the new batch) append to the
+                affected buckets' stats chains; readers sum per term
+    meta        n_docs / per-field token totals advance by integer
+                deltas — bit-identical to recomputation
 
-No background compaction is needed (the reference's Bleve scorch runs
-a background segment merger): every write — initial build and every
-mutation — repartitions on (bucket, range-slice) before a partitionBy
-write, so each bucket directory always holds at most
-``files_per_bucket`` term-sorted files (tested in test_mutations.py);
-file count never grows with mutation count — there is no segment
-accumulation to merge away.
+  consolidation (``compact()``, auto-triggered when a pointer chain
+  exceeds ``compact_threshold``): re-merges chained buckets (and, when
+  tombstones exist, the tombstoned doc-ranges of every bucket) into
+  single version dirs with dead entries physically dropped, collapses
+  stats chains via the summed view, clears the tombstone table. This
+  is scorch's background merger as an explicit, amortized operator —
+  between compactions every file in a bucket chain remains term-sorted
+  and bounded (files_per_bucket per dir), so reads stay pruned.
+
+  rewrite mode (forced via ``mode="rewrite"``, and the automatic path
+  for beyond-broadcast change sets): the pre-append behavior — affected
+  buckets' touched rows decode (restricted to the CHANGED doc ranges;
+  other rows are a JVM passthrough), changed ids drop ver-aware against
+  existing tombstones (no resurrection), and those buckets consolidate
+  in place. Stats maintenance is the same signed-delta path.
+
+Everything becomes visible in ONE atomic manifest commit (catalog.py
+write protocol) — a crash mid-mutation leaves the previous snapshot
+untouched, and readers pinned to it never see a torn index. Block
+(max_tf, min_dl) skip metadata stays sound under masking: dead entries
+only lower true scores below the stored upper bounds.
+
+Invariant (tested): mutate-then-query == full-rebuild-then-query, in
+both modes, including across compaction.
 """
 
 from __future__ import annotations
@@ -61,23 +79,49 @@ from bright_spark.index.builder import (
     stage_postings_write,
 )
 from bright_spark.index.catalog import (
-    POSTINGS_SCHEMA,
+    POSTINGS_KERNEL_SCHEMA,
     IndexCatalog,
     term_bucket_col,
 )
 
+# columns the decode kernels need from a posting row
+_DECODE_COLS = ["field", "term", "range_id",
+                "first_doc", "docs", "tfs", "dls", "pos", "ver"]
+
+
+def _tomb_drop(d: np.ndarray, row_ver: np.int64, tomb) -> np.ndarray | None:
+    """Boolean drop mask for one row's decoded doc ids under the
+    (sorted ids, vers) tombstone pair — dead iff tombstoned at a LATER
+    version than the row. None = nothing to drop."""
+    if tomb is None or d.size == 0:
+        return None
+    tids, tvers = tomb
+    idx = np.searchsorted(tids, d)
+    idxc = np.minimum(idx, tids.size - 1)
+    drop = (tids[idxc] == d) & (row_ver < tvers[idxc])
+    return drop if drop.any() else None
+
+
+def _row_ver(row) -> np.int64:
+    v = getattr(row, "ver", None)
+    return np.int64(v) if v is not None and pd.notna(v) else np.int64(0)
+
 
 def _decode_to_partials(range_bits: int, store_positions: bool = False,
-                        drop_bc=None):
-    """Posting rows -> partial-run rows, dropping the doc ids in the
-    ``drop_bc`` broadcast (a sorted int64 numpy array: broadcast, not a
-    plan-literal array, so million-row change sets don't explode the
-    query plan)."""
+                        drop_bc=None, tomb_bc=None):
+    """Posting rows -> partial-run rows, dropping (a) every doc id in
+    the ``drop_bc`` broadcast (the mutation's change set — a sorted
+    int64 numpy array, broadcast rather than a plan literal so
+    million-row change sets don't explode the query plan), and (b)
+    tombstoned entries, VERSION-AWARE: an entry survives if its row was
+    written at or after its doc's tombstone version — re-encoding at
+    the new snapshot version must never resurrect dead entries."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         empty = np.empty(0, dtype=np.int64)
-        drop = (np.asarray(drop_bc.value, dtype=np.int64)
-                if drop_bc is not None else empty)
+        drop_ids = (np.asarray(drop_bc.value, dtype=np.int64)
+                    if drop_bc is not None else empty)
+        tomb = tomb_bc.value if tomb_bc is not None else None
         for pdf in batches:
             fields, terms, ranges, ds, ts, ls, ps = [], [], [], [], [], [], []
             for row in pdf.itertuples(index=False):
@@ -86,8 +130,14 @@ def _decode_to_partials(range_bits: int, store_positions: bool = False,
                     "tfs": row.tfs, "dls": row.dls})
                 pos = (codec.decode_concat(list(row.pos)).astype(np.int64)
                        if store_positions else empty)
-                if drop.size:
-                    keep = ~np.isin(d, drop)
+                drop = None
+                if drop_ids.size:
+                    drop = np.isin(d, drop_ids)
+                tdrop = _tomb_drop(d, _row_ver(row), tomb)
+                if tdrop is not None:
+                    drop = tdrop if drop is None else (drop | tdrop)
+                if drop is not None and drop.any():
+                    keep = ~drop
                     if store_positions and pos.size:
                         pos = pos[np.repeat(keep, t)]
                     d, t, l = d[keep], t[keep], l[keep]
@@ -113,25 +163,35 @@ ENTRIES_SCHEMA = ("field STRING, term STRING, range_id BIGINT, "
                   "doc_id BIGINT, tf BIGINT, dl BIGINT, pos ARRAY<BIGINT>")
 
 
-def _decode_to_entries(store_positions: bool = False):
+def _decode_to_entries(store_positions: bool = False, tomb_bc=None):
     """Posting rows -> one row per posting ENTRY (the exploded form the
     huge-change-set path anti-joins against the changed-id DataFrame —
-    no driver collect, no executor broadcast)."""
+    no driver collect, no executor broadcast). Tombstoned entries are
+    dropped here, version-aware."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         empty = np.empty(0, dtype=np.int64)
+        tomb = tomb_bc.value if tomb_bc is not None else None
         for pdf in batches:
             parts = []
             for row in pdf.itertuples(index=False):
                 d, t, l = codec.decode_all_blocks({
                     "first_doc": row.first_doc, "docs": row.docs,
                     "tfs": row.tfs, "dls": row.dls})
+                pos_flat = (codec.decode_concat(
+                    list(row.pos)).astype(np.int64)
+                    if store_positions else None)
+                drop = _tomb_drop(d, _row_ver(row), tomb)
+                if drop is not None:
+                    keep = ~drop
+                    if pos_flat is not None and pos_flat.size:
+                        pos_flat = pos_flat[np.repeat(keep, t)]
+                    d, t, l = d[keep], t[keep], l[keep]
                 if d.size == 0:
                     continue
                 if store_positions:
-                    pos = codec.decode_concat(list(row.pos)).astype(np.int64)
                     bounds = np.concatenate(([0], np.cumsum(t)))
-                    segs = [pos[bounds[i]:bounds[i + 1]]
+                    segs = [pos_flat[bounds[i]:bounds[i + 1]]
                             for i in range(d.size)]
                 else:
                     segs = [empty] * d.size
@@ -146,13 +206,21 @@ def _decode_to_entries(store_positions: bool = False):
 
 
 class IndexMutator:
-    # change sets up to this many ids travel as one numpy broadcast into
-    # the posting-drop kernel; above it (a driver-OOM regime at ~10^8
-    # ids) the drop switches to an entry-level anti-join
+    # change sets up to this many ids travel as one numpy broadcast
+    # (append mode / broadcast drop); above it (a driver-OOM regime at
+    # ~10^8 ids) the mutation switches to the rewrite path with an
+    # entry-level anti-join
     BROADCAST_THRESHOLD = 2_000_000
 
     def __init__(self, spark: SparkSession, index_dir: str,
-                 broadcast_threshold: int | None = None):
+                 broadcast_threshold: int | None = None,
+                 mode: str = "auto", compact_threshold: int = 8):
+        """``mode``: 'auto' (append when the change set fits the
+        broadcast regime, else rewrite), 'append', or 'rewrite'.
+        ``compact_threshold``: auto-compact when any bucket's pointer
+        chain grows past this many dirs (0 disables)."""
+        if mode not in ("auto", "append", "rewrite"):
+            raise ValueError(f"unknown mutation mode {mode!r}")
         self.spark = spark
         self.catalog = IndexCatalog(index_dir)
         self.config = self.catalog.load_config()
@@ -160,6 +228,8 @@ class IndexMutator:
         self.broadcast_threshold = (self.BROADCAST_THRESHOLD
                                     if broadcast_threshold is None
                                     else broadcast_threshold)
+        self.mode = mode
+        self.compact_threshold = compact_threshold
 
     # ------------------------------------------------------- internals
 
@@ -188,6 +258,30 @@ class IndexMutator:
                 b.filter_stopwords, self.config.range_bits,
                 store_positions=self.config.store_positions),
             schema=PARTIALS_SCHEMA)
+
+    @staticmethod
+    def _signed_stats(partials: DataFrame, sign: int) -> DataFrame:
+        """Partial posting rows -> SIGNED per-(field, term) df/cf
+        contributions: df = ±(docs in the run), cf = ±Σtf."""
+        return partials.select(
+            "field", "term",
+            (F.lit(sign) * F.size("doc_ids").cast("bigint")).alias("df"),
+            (F.lit(sign) * F.expr(
+                "aggregate(tfs, 0L, (acc, x) -> acc + x)")).alias("cf"))
+
+    def _stats_delta(self, replaced_partials: DataFrame | None,
+                     new_partials: DataFrame | None) -> DataFrame:
+        parts = []
+        if replaced_partials is not None:
+            parts.append(self._signed_stats(replaced_partials, -1))
+        if new_partials is not None:
+            parts.append(self._signed_stats(new_partials, 1))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return (u.groupBy("field", "term")
+                .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+                .filter((F.col("df") != 0) | (F.col("cf") != 0)))
 
     def _key_cols(self) -> list[str]:
         if self.extra.get("id_col"):
@@ -310,10 +404,10 @@ class IndexMutator:
         """Change sets travel as DataFrames/joins — never as
         plan-literal IN-lists — so a million-document sync batch plans
         the same as a 10-document one. Up to ``broadcast_threshold``
-        ids the posting drop runs inside the decode kernel against one
-        numpy broadcast; above it (too large to ship to every executor,
-        yet far from rebuild territory at 10^12 docs) the drop becomes
-        an entry-level anti-join on the changed-id DataFrame."""
+        ids the change set rides one numpy broadcast (append mode /
+        broadcast drop); above it (too large to ship to every executor,
+        yet far from rebuild territory at 10^12 docs) the mutation
+        falls back to the rewrite path with an entry-level anti-join."""
         spark = self.spark
         if deleted_ids is not None and changed is None and deleted_df is None:
             # driver-provided id list: zero Spark jobs to materialize
@@ -375,12 +469,14 @@ class IndexMutator:
             n_old = int(old_meta.get("n_docs") or 0)
             p = int(self.extra.get("n_build_partitions")
                     or spark.sparkContext.defaultParallelism)
-            dspan = max(4096, n_old // max(1, p))
+            dspan = max(1024, n_old // max(1, p))
             cfg = dataclasses.replace(
-                cfg, docs_range_bits=min(22, max(12, dspan.bit_length() - 1)))
+                cfg, docs_range_bits=min(22, max(10, dspan.bit_length() - 1)))
             self.config = cfg
         bits = int(old_meta.get("docs_range_bits")
                    if not legacy else cfg.docs_range_bits)
+        use_append = (self.mode != "rewrite" and not legacy
+                      and drop_bc is not None)
 
         # ---- affected doc-range groups: the docs-table CoW unit.
         # ids_df carries every changed id (replacements, deletes AND
@@ -407,31 +503,26 @@ class IndexMutator:
                                           groups=affected_groups)
         # the docs table stores no token arrays (build module doc) —
         # re-tokenize the replaced set from stored field text, across
-        # EVERY analyzed field (their old entries must leave the index).
-        # Checkpointing the (small) replaced slice means the pruned
-        # group dirs are scanned ONCE — the tokenize pass and the
-        # n_present count both read the checkpoint.
+        # EVERY analyzed field (their old entries must leave the index:
+        # append mode tombstones them and subtracts their stats; rewrite
+        # mode drops them from the decoded runs). Checkpointing the
+        # (small) replaced slice means the pruned group dirs are
+        # scanned ONCE — every downstream pass reads the checkpoint.
         replaced = (docs_scan.join(ids_df, "doc_id", "left_semi")
                     .localCheckpoint(eager=True))
-        # ids actually present (a delete of an absent id must not move
-        # n_docs) — a count over the tiny checkpoint
-        n_present = replaced.count()
+        if use_append:
+            # the ids actually present become tombstones (an absent id
+            # needs none and must not move n_docs) — tiny collect
+            present_ids = np.array(
+                [r["doc_id"] for r in replaced.select("doc_id").collect()],
+                dtype=np.int64)
+            n_present = int(present_ids.size)
+        else:
+            present_ids = None
+            n_present = replaced.count()
         new_partials = (self._field_partials(changed)
                         if changed is not None else None)
-        terms_df = self._field_partials(replaced).select("term")
-        if new_partials is not None:
-            terms_df = terms_df.unionByName(new_partials.select("term"))
-        # eager lineage truncation, not persist: terms_df is consumed
-        # by several downstream joins, and an evicted cache would
-        # silently recompute the tokenize pass each time
-        terms_df = terms_df.distinct().localCheckpoint(eager=True)
-        # bucket set is tiny (<= n_term_buckets) — the only collect
-        affected_buckets = sorted(
-            r["b"] for r in terms_df.select(
-                term_bucket_col(F.col("term"), cfg.n_term_buckets).alias("b"))
-            .distinct().collect())
-        if not affected_buckets:
-            affected_buckets = []
+        replaced_partials = self._field_partials(replaced)
 
         # ---- docs table: copy-on-write doc-range groups — only the
         # affected groups' survivors + the changed docs are rewritten
@@ -453,13 +544,117 @@ class IndexMutator:
         for g in set(affected_groups or ()) - written_groups:
             pending.drop_part("docs", g)  # group emptied by a delete
 
-        # ---- postings: copy-on-write — ONLY affected buckets' live
-        # dirs are read and re-versioned; every other bucket keeps its
-        # parent pointer untouched (never even listed). Within them,
-        # only rows in the CHANGED doc ranges can hold a changed id or
-        # receive a new entry — rows of other ranges bypass the Python
-        # decode/merge entirely (a JVM passthrough), so the kernel work
-        # is O(changed ranges), not O(touched terms' full postings)
+        tomb_bc = None
+        old_tomb = self.catalog.tombstones()
+        try:
+            if use_append:
+                metrics = self._apply_append(
+                    pending, cfg, new_partials, present_ids, old_tomb, par,
+                    n_changed)
+            else:
+                if old_tomb is not None:
+                    tomb_bc = spark.sparkContext.broadcast(old_tomb)
+                metrics = self._apply_rewrite(
+                    pending, cfg, ids_df, drop_bc, tomb_bc, new_partials,
+                    replaced_partials, changed_ranges, legacy, par)
+
+            # ---- term_stats + meta: O(batch) signed-delta maintenance
+            # in BOTH modes (mutate_stats) — or, on a legacy index, the
+            # one-time full recompute that migrates stats to the
+            # per-bucket layout — then ONE atomic commit for docs +
+            # postings + tombstones + stats together
+            n_docs_new = (int(old_meta.get("n_docs") or 0) - n_present
+                          + (n_changed if changed is not None else 0))
+            b = self._builder()
+            if legacy:
+                b._n_docs = n_docs_new
+                meta = b.build_stats(pending)
+            else:
+                delta = self._stats_delta(replaced_partials, new_partials)
+                meta = b.mutate_stats(pending, old_meta, delta, n_docs_new)
+            pending.commit(
+                meta, "upsert" if changed is not None else "delete",
+                metrics={"n_changed": n_changed,
+                         "docs_groups_rewritten": len(written_groups),
+                         **metrics})
+        finally:
+            if tomb_bc is not None:
+                tomb_bc.unpersist()
+        if (self.compact_threshold
+                and max(self.catalog.delta_depth("postings"),
+                        self.catalog.delta_depth("term_stats"))
+                > self.compact_threshold):
+            self.compact()
+
+    def _apply_append(self, pending, cfg, new_partials,
+                      present_ids: np.ndarray, old_tomb, par: int,
+                      n_changed: int = 0) -> dict:
+        """Append-mode postings + tombstones: the new batch's entries
+        merge into DELTA dirs appended to their buckets' chains (the
+        existing postings are never read); replaced/deleted ids land
+        in the tombstone table at this snapshot's version."""
+        appended: set[int] = set()
+        if new_partials is not None:
+            if n_changed <= 10_000:
+                # small batch: coalesce satisfies the merge kernel's
+                # co-location requirement with NO shuffle at all
+                width = 1
+                grouped = new_partials.coalesce(1)
+            else:
+                width = min(par, max(8, n_changed // 50_000))
+                grouped = new_partials.repartition(width, "term", "range_id")
+            rows = (grouped
+                    .mapInPandas(_make_merge_fn(cfg.block_size,
+                                                cfg.n_term_buckets,
+                                                cfg.store_positions),
+                                 schema=POSTINGS_KERNEL_SCHEMA)
+                    .withColumn("ver", F.lit(pending.snapshot_id)))
+            appended = stage_postings_write(
+                rows, pending, cfg.n_term_buckets,
+                cfg.files_per_bucket or 1, delta=True, width=width)
+        if present_ids.size:
+            sid = pending.snapshot_id
+            if old_tomb is not None:
+                allids = np.concatenate([old_tomb[0], present_ids])
+                allvers = np.concatenate(
+                    [old_tomb[1], np.full(present_ids.size, sid, np.int64)])
+                order = np.lexsort((allvers, allids))
+                allids, allvers = allids[order], allvers[order]
+                last = np.concatenate([allids[1:] != allids[:-1], [True]])
+                pending.write_tombstones(allids[last], allvers[last])
+            else:
+                pending.write_tombstones(
+                    present_ids, np.full(present_ids.size, sid, np.int64))
+        return {"mode": "append", "buckets_appended": len(appended),
+                "tombstones_added": int(present_ids.size)}
+
+    def _apply_rewrite(self, pending, cfg, ids_df, drop_bc, tomb_bc,
+                       new_partials, replaced_partials,
+                       changed_ranges, legacy: bool, par: int) -> dict:
+        """Rewrite-mode postings: consolidate the affected buckets in
+        place — ONLY their live dirs are read and re-versioned; every
+        other bucket keeps its parent pointer untouched (never even
+        listed). Within them, only rows in the CHANGED doc ranges can
+        hold a changed id or receive a new entry — rows of other
+        ranges bypass the Python decode/merge entirely (a JVM
+        passthrough), so the kernel work is O(changed ranges), not
+        O(touched terms' full postings). Existing tombstones apply
+        version-aware during the decode, so re-encoding at the new
+        snapshot version cannot resurrect dead entries."""
+        spark = self.spark
+        terms_df = replaced_partials.select("term")
+        if new_partials is not None:
+            terms_df = terms_df.unionByName(new_partials.select("term"))
+        # eager lineage truncation, not persist: terms_df is consumed
+        # by several downstream joins, and an evicted cache would
+        # silently recompute the tokenize pass each time
+        terms_df = terms_df.distinct().localCheckpoint(eager=True)
+        # bucket set is tiny (<= n_term_buckets) — the only collect
+        affected_buckets = sorted(
+            r["b"] for r in terms_df.select(
+                term_bucket_col(F.col("term"), cfg.n_term_buckets).alias("b"))
+            .distinct().collect())
+
         in_buckets = self.catalog.postings(spark, buckets=affected_buckets)
         if changed_ranges is not None and len(changed_ranges) <= 1024:
             in_range = F.col("range_id").isin(changed_ranges)
@@ -471,19 +666,18 @@ class IndexMutator:
         else:
             untouched = in_buckets.join(terms_df, "term", "left_anti")
             touched = in_buckets.join(terms_df, "term", "left_semi")
-        touched_sel = touched.select("field", "term", "range_id",
-                                     "first_doc", "docs", "tfs", "dls", "pos")
+        touched_sel = touched.select(*_DECODE_COLS)
         if drop_bc is not None:
             surviving_partials = touched_sel.mapInPandas(
                 _decode_to_partials(cfg.range_bits, cfg.store_positions,
-                                    drop_bc=drop_bc),
+                                    drop_bc=drop_bc, tomb_bc=tomb_bc),
                 schema=PARTIALS_SCHEMA)
         else:
             # huge change set: entry-level anti-join instead of a
             # broadcast drop; survivors re-enter the merge as singleton
             # partial runs (the merge kernel regroups them anyway)
             entries = touched_sel.mapInPandas(
-                _decode_to_entries(cfg.store_positions),
+                _decode_to_entries(cfg.store_positions, tomb_bc=tomb_bc),
                 schema=ENTRIES_SCHEMA)
             surviving_partials = (
                 entries.join(ids_df, "doc_id", "left_anti")
@@ -501,7 +695,8 @@ class IndexMutator:
                     .mapInPandas(_make_merge_fn(cfg.block_size,
                                                 cfg.n_term_buckets,
                                                 cfg.store_positions),
-                                 schema=POSTINGS_SCHEMA))
+                                 schema=POSTINGS_KERNEL_SCHEMA)
+                    .withColumn("ver", F.lit(pending.snapshot_id)))
         rebuilt = untouched.unionByName(remerged)
         written = stage_postings_write(rebuilt, pending,
                                        len(affected_buckets) or 1,
@@ -509,22 +704,97 @@ class IndexMutator:
         for b in affected_buckets:
             if b not in written:
                 pending.drop_postings_bucket(b)  # bucket emptied
+        return {"mode": "rewrite",
+                "buckets_rewritten": len(affected_buckets)}
 
-        # ---- term_stats + meta: O(affected buckets) delta maintenance
-        # (mutate_stats) — or, on a legacy index, the one-time full
-        # recompute that migrates stats to the per-bucket layout —
-        # then ONE atomic commit for docs + buckets + stats together
-        n_docs_new = (int(old_meta.get("n_docs") or 0) - n_present
-                      + (n_changed if changed is not None else 0))
-        b = self._builder()
-        if legacy:
-            b._n_docs = n_docs_new
-            meta = b.build_stats(pending)
-        else:
-            meta = b.mutate_stats(pending, old_meta, affected_buckets,
-                                  n_docs_new)
-        pending.commit(
-            meta, "upsert" if changed is not None else "delete",
-            metrics={"n_changed": n_changed,
-                     "buckets_rewritten": len(affected_buckets),
-                     "docs_groups_rewritten": len(written_groups)})
+    # ---------------------------------------------------- consolidation
+
+    def compact(self) -> None:
+        """Consolidate append-mode state — scorch's background merger
+        as an explicit, amortized operator (auto-triggered past
+        ``compact_threshold``): every bucket with a delta chain fully
+        re-merges into one version dir; when tombstones exist, every
+        bucket's rows in the TOMBSTONED doc ranges are additionally
+        cleaned (other rows pass through JVM-side); stats chains
+        collapse via the summed view; the tombstone table clears.
+        Corpus totals are untouched — compaction changes layout, not
+        content (the mutate==rebuild invariant holds across it)."""
+        spark = self.spark
+        cfg = self.config
+        cat = self.catalog
+        pending = cat.begin()
+        old_meta = cat.load_meta()
+        tomb = cat.tombstones()
+        pmap = cat.manifest()["tables"].get("postings") or {}
+        if isinstance(pmap, str):
+            return  # legacy layout: nothing append-shaped to compact
+        chained = sorted(int(k) for k, v in pmap.items()
+                         if isinstance(v, list))
+        smap = cat.manifest()["tables"].get("term_stats") or {}
+        schained = (sorted(int(k) for k, v in smap.items()
+                           if isinstance(v, list))
+                    if isinstance(smap, dict) else [])
+        if tomb is None and not chained and not schained:
+            return  # already consolidated
+        par = spark.sparkContext.defaultParallelism
+        range_bits = int(old_meta.get("range_bits") or cfg.range_bits or 0)
+        tomb_bc = (spark.sparkContext.broadcast(tomb)
+                   if tomb is not None else None)
+        try:
+            targets = (sorted(int(k) for k in pmap) if tomb is not None
+                       else chained)
+            written: set[int] = set()
+            if targets:
+                rows = cat.postings(spark, buckets=targets)
+                if tomb is not None:
+                    tranges = np.unique(tomb[0] >> np.int64(range_bits))
+                    cond = F.col("bucket").isin(chained) if chained \
+                        else F.lit(False)
+                    if tranges.size <= 1024:
+                        cond = cond | F.col("range_id").isin(
+                            [int(r) for r in tranges])
+                    else:
+                        cond = F.lit(True)
+                else:
+                    cond = F.col("bucket").isin(chained)
+                touched = rows.filter(cond)
+                untouched = rows.filter(~cond)
+                surviving = touched.select(*_DECODE_COLS).mapInPandas(
+                    _decode_to_partials(cfg.range_bits, cfg.store_positions,
+                                        drop_bc=None, tomb_bc=tomb_bc),
+                    schema=PARTIALS_SCHEMA)
+                n_merge = min(par, max(4, len(targets)
+                                       * (cfg.files_per_bucket or 1)))
+                remerged = (surviving
+                            .repartition(n_merge, "term", "range_id")
+                            .mapInPandas(
+                                _make_merge_fn(cfg.block_size,
+                                               cfg.n_term_buckets,
+                                               cfg.store_positions),
+                                schema=POSTINGS_KERNEL_SCHEMA)
+                            .withColumn("ver",
+                                        F.lit(pending.snapshot_id)))
+                rebuilt = untouched.unionByName(remerged)
+                written = stage_postings_write(rebuilt, pending,
+                                               len(targets) or 1,
+                                               cfg.files_per_bucket or 1)
+                for b in targets:
+                    if b not in written:
+                        pending.drop_postings_bucket(b)
+            if schained:
+                ts = cat.term_stats(spark, buckets=schained)  # summed view
+                from bright_spark.index.builder import stage_term_stats_write
+                written_s = stage_term_stats_write(
+                    ts, pending, max(1, len(schained)), min(par, 8))
+                for b in set(schained) - written_s:
+                    pending.drop_part("term_stats", b)
+            pending.drop_table("tombstones")
+            meta = dict(old_meta)  # content unchanged, layout only
+            IndexBuilder._write_index_meta(pending, meta)
+            pending.commit(meta, "compact", metrics={
+                "buckets_compacted": len(targets),
+                "stats_buckets_compacted": len(schained),
+                "tombstones_cleared": int(tomb[0].size) if tomb else 0})
+        finally:
+            if tomb_bc is not None:
+                tomb_bc.unpersist()

@@ -206,13 +206,20 @@ class IndexStore:
         return row[0].asDict() if row else {}
 
     def engine(self, idx_id: str):
-        """SearchEngine for a built index (cached per store)."""
+        """SearchEngine for a built index, cached per store BUT
+        re-pinned whenever the live snapshot moved — an out-of-band
+        writer (the ingress sync loop commits through its own mutator,
+        not through this store) must become visible to the next
+        search, exactly like the reference's store serving fresh
+        results after a poll cycle. The staleness check is one tiny
+        CURRENT read per call."""
         if idx_id not in self.configs:
             raise KeyError(f"index {idx_id} not found")
         if not self.is_built(idx_id):
             return None
         eng = self._engines.get(idx_id)
-        if eng is None:
+        live = IndexCatalog(self._index_dir(idx_id)).current_snapshot_id()
+        if eng is None or eng.snapshot_id != live:
             from bright_spark.query.engine import SearchEngine
             eng = SearchEngine(self.spark, self._index_dir(idx_id))
             self._engines[idx_id] = eng

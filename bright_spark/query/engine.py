@@ -35,7 +35,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bright_spark.analysis.tokenizer import tokenize_with_positions
 from bright_spark.index.catalog import IndexCatalog
 from bright_spark.models import SearchRequest, SearchRequestError, SearchResponse
 from bright_spark.query import scorer
@@ -72,6 +71,11 @@ class SearchEngine:
         self.meta = self.planner.meta
         self.extra = self.planner.extra
         self._df_cache: dict[tuple[str, str], int] = {}
+        # append-mode tombstones of the pinned snapshot, broadcast once
+        # per engine: every decode kernel masks dead entries with it
+        tomb = self.catalog.tombstones()
+        self._tomb_bc = (spark.sparkContext.broadcast(tomb)
+                         if tomb is not None else None)
 
     # ----------------------------------------------------------- utils
 
@@ -170,12 +174,14 @@ class SearchEngine:
                 .withColumn("term",
                             F.concat_ws(FIELD_SEP, "field", "term"))
                 .drop("field"))
+        tomb_bc = self._tomb_bc
 
         def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             docs, scores, n_matched = scorer.score_range_topk(
                 pdf, weights, must_groups, should, must_not,
                 k=k, avgdl=avgdl, k1=k1, b=b, prune=prune,
-                need_total=need_total, avgdl_by_term=avgdls)
+                need_total=need_total, avgdl_by_term=avgdls,
+                tomb=tomb_bc.value if tomb_bc is not None else None)
             return pd.DataFrame({
                 "doc_id": docs, "score": scores,
                 "range_id": np.full(docs.size, int(key[0]), dtype=np.int64),
@@ -191,10 +197,13 @@ class SearchEngine:
         varint decode in mapInPandas; everything downstream is built-in
         ops."""
         rows = self.catalog.postings_for_terms(self.spark, pairs)
-        sel = rows.select("field", "term", "first_doc", "n", "docs", "tfs", "dls")
+        sel = rows.select("field", "term", "first_doc", "n",
+                          "docs", "tfs", "dls", "ver")
+        tomb_bc = self._tomb_bc
 
         def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from bright_spark.index import codec
+            tomb = tomb_bc.value if tomb_bc is not None else None
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -211,9 +220,24 @@ class SearchEngine:
                 l = codec.decode_concat(bufs_l).astype(np.int64)
                 block_terms = np.repeat(pdf["term"].to_numpy(), nb)
                 block_fields = np.repeat(pdf["field"].to_numpy(), nb)
+                fields_e = np.repeat(block_fields, ns)
+                terms_e = np.repeat(block_terms, ns)
+                if tomb is not None and d.size:
+                    # append-mode mask: entry dead iff its doc is
+                    # tombstoned at a LATER version than its row
+                    tids, tvers = tomb
+                    ever = np.repeat(np.repeat(
+                        pdf["ver"].fillna(0).to_numpy(np.int64), nb), ns)
+                    idx = np.searchsorted(tids, d)
+                    idxc = np.minimum(idx, tids.size - 1)
+                    drop = (tids[idxc] == d) & (ever < tvers[idxc])
+                    if drop.any():
+                        keep = ~drop
+                        d, t, l = d[keep], t[keep], l[keep]
+                        fields_e, terms_e = fields_e[keep], terms_e[keep]
                 yield pd.DataFrame({
-                    "field": np.repeat(block_fields, ns),
-                    "term": np.repeat(block_terms, ns),
+                    "field": fields_e,
+                    "term": terms_e,
                     "doc_id": d,
                     "tf": t,
                     "dl": l,
@@ -372,12 +396,14 @@ class SearchEngine:
                 .withColumn("term",
                             F.concat_ws(FIELD_SEP, "field", "term"))
                 .drop("field"))
+        tomb_bc = self._tomb_bc
 
         def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             docs, scores, _ = scorer.score_range_phrase(
                 pdf, weights, must_groups, should, must_not, phrase_keys,
                 base=int(key[0]) << range_bits, avgdl=avgdl, k1=k1, b=b,
-                avgdl_by_term=avgdls)
+                avgdl_by_term=avgdls,
+                tomb=tomb_bc.value if tomb_bc is not None else None)
             return pd.DataFrame({"doc_id": docs, "score": scores})
 
         return rows.groupBy("range_id").applyInPandas(
@@ -387,10 +413,13 @@ class SearchEngine:
         """(field, term, doc_id, pos ARRAY<BIGINT>) decoded from
         positional postings (store_positions indexes only)."""
         rows = self.catalog.postings_for_terms(self.spark, pairs)
-        sel = rows.select("field", "term", "first_doc", "n", "docs", "tfs", "pos")
+        sel = rows.select("field", "term", "first_doc", "n",
+                          "docs", "tfs", "pos", "ver")
+        tomb_bc = self._tomb_bc
 
         def decode_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from bright_spark.index import codec
+            tomb = tomb_bc.value if tomb_bc is not None else None
             for pdf in batches:
                 if not len(pdf):
                     continue
@@ -402,6 +431,17 @@ class SearchEngine:
                         list(row.docs))
                     tf = codec.decode_concat(list(row.tfs)).astype(np.int64)
                     pos = codec.decode_concat(list(row.pos)).astype(np.int64)
+                    if tomb is not None and d.size:
+                        tids, tvers = tomb
+                        rv = (np.int64(row.ver) if pd.notna(row.ver)
+                              else np.int64(0))
+                        idx = np.searchsorted(tids, d)
+                        idxc = np.minimum(idx, tids.size - 1)
+                        drop = (tids[idxc] == d) & (rv < tvers[idxc])
+                        if drop.any():
+                            keep = ~drop
+                            pos = pos[np.repeat(keep, tf)]
+                            d, tf = d[keep], tf[keep]
                     bounds = np.concatenate(([0], np.cumsum(tf)))
                     out_f.extend([row.field] * d.size)
                     out_t.extend([row.term] * d.size)
@@ -480,12 +520,15 @@ class SearchEngine:
         """Q4 positional adjacency: keep only ``cand`` docs matching ALL
         ``phrases``. Positional indexes verify from the postings alone
         (:meth:`_verify_phrases_positional`); otherwise re-run the
-        analyzer over only the AND-candidate docs' own field text and
-        check consecutive base positions (Arrow-batched)."""
+        BATCH analyzer over only the AND-candidate docs' own field text
+        and chain packed ``doc<<32 | pos`` keys — the same flat-array
+        adjacency algebra as the positional kernel, with zero per-row
+        Python (the tokenizer's regex scan is the only per-doc work)."""
         if self.meta.get("store_positions"):
             return self._verify_phrases_positional(cand, phrases)
         lang_col = self.extra.get("lang_col")
         mode = self.meta.get("tokenizer", "code")
+        stops = bool(self.meta.get("filter_stopwords"))
         fields = sorted({ph.field for ph in phrases})
         by_field = [(f, [list(ph.tokens) for ph in phrases if ph.field == f])
                     for f in fields]
@@ -494,29 +537,69 @@ class SearchEngine:
             F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
 
         def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from bright_spark.analysis.tokenizer import count_terms_batch
+            empty = np.empty(0, dtype=np.int64)
             for pdf in batches:
-                ok_ids = []
-                for row in pdf.itertuples(index=False):
-                    good = True
-                    for f, phs in by_field:
-                        text = getattr(row, f) or ""
-                        toks = tokenize_with_positions(text, mode=mode)
-                        pos_by_term: dict[str, set[int]] = {}
-                        for t, p in toks:
-                            pos_by_term.setdefault(t, set()).add(p)
-                        for ph in phs:
-                            starts = pos_by_term.get(ph[0], set())
-                            hit = any(all((s + i) in pos_by_term.get(t, ())
-                                          for i, t in enumerate(ph[1:], 1))
-                                      for s in starts)
-                            if not hit:
-                                good = False
+                n = len(pdf)
+                if n == 0:
+                    continue
+                langs = (pdf[lang_col].tolist() if lang_col else [None] * n)
+                ok = np.ones(n, dtype=bool)
+                for f, phs in by_field:
+                    texts = pdf[f].fillna("").tolist()
+                    term_arr, tf_arr, _, pos_arr = count_terms_batch(
+                        texts, mode, langs, stops, positions=True)
+                    lens = np.fromiter((len(t) for t in term_arr),
+                                       np.int64, n)
+                    if lens.sum() == 0:
+                        ok[:] = False
+                        continue
+                    flat_terms = np.concatenate(
+                        [np.asarray(t, dtype=object) for t in term_arr])
+                    flat_tf = np.concatenate(
+                        [np.asarray(t, dtype=np.int64) for t in tf_arr])
+                    flat_doc = np.repeat(np.arange(n, dtype=np.int64), lens)
+                    flat_pos = np.concatenate(
+                        [np.asarray(p, dtype=np.int64) for p in pos_arr])
+                    ent_start = np.concatenate(
+                        ([0], np.cumsum(flat_tf)[:-1]))
+                    keys_cache: dict[str, np.ndarray] = {}
+
+                    def keys_of(token: str) -> np.ndarray:
+                        """Sorted doc<<32|pos keys of one token over
+                        the whole batch (ragged gather, no row loop)."""
+                        if token in keys_cache:
+                            return keys_cache[token]
+                        sel = np.flatnonzero(flat_terms == token)
+                        if sel.size == 0:
+                            keys_cache[token] = empty
+                            return empty
+                        L = flat_tf[sel]
+                        total = int(L.sum())
+                        offs = np.concatenate(([0], np.cumsum(L)[:-1]))
+                        ar = (np.arange(total, dtype=np.int64)
+                              - np.repeat(offs, L)
+                              + np.repeat(ent_start[sel], L))
+                        keys = ((np.repeat(flat_doc[sel], L) << np.int64(32))
+                                | flat_pos[ar])
+                        keys.sort()
+                        keys_cache[token] = keys
+                        return keys
+
+                    for ph in phs:
+                        cur = keys_of(ph[0])
+                        for i, t in enumerate(ph[1:], 1):
+                            if cur.size == 0:
                                 break
-                        if not good:
-                            break
-                    if good:
-                        ok_ids.append(row.doc_id)
-                yield pd.DataFrame({"doc_id": pd.Series(ok_ids, dtype="int64")})
+                            cur = cur[np.isin(cur + np.int64(i),
+                                              keys_of(t))]
+                        docs_ph = (np.unique(cur >> np.int64(32))
+                                   if cur.size else empty)
+                        hit = np.zeros(n, dtype=bool)
+                        hit[docs_ph] = True
+                        ok &= hit
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"].to_numpy(dtype=np.int64)[ok]})
 
         ok = joined.mapInPandas(verify, "doc_id BIGINT")
         return cand.join(ok, "doc_id", "left_semi")
@@ -540,12 +623,14 @@ class SearchEngine:
                     .withColumn("term",
                                 F.concat_ws(FIELD_SEP, "field", "term"))
                     .drop("field"))
+            tomb_bc = self._tomb_bc
 
             def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
                 docs, _, _ = scorer.score_range_phrase(
                     pdf, weights, [], [], [], phrase_keys,
                     base=int(key[0]) << range_bits, avgdl=1.0,
-                    k1=1.2, b=0.75, need_scores=False)
+                    k1=1.2, b=0.75, need_scores=False,
+                    tomb=tomb_bc.value if tomb_bc is not None else None)
                 return pd.DataFrame({"doc_id": docs})
 
             return rows.groupBy("range_id").applyInPandas(
@@ -660,6 +745,10 @@ class SearchEngine:
         out = []
         for d in ids:
             rec = dict(by_id.get(d, {"doc_id": d}))
+            if "content_sha256" not in req.attributes_to_retrieve:
+                # internal build column — the reference returns the
+                # user's document fields, not index bookkeeping
+                rec.pop("content_sha256", None)
             for c in req.attributes_to_exclude:
                 rec.pop(c, None)  # R4 post-filter (search.go:161-166)
             if "id" not in rec:

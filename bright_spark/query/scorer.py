@@ -76,7 +76,15 @@ class RangeBlocks:
 
     def __init__(self, pdf: pd.DataFrame, weights: dict[str, float],
                  avgdl: float = 1.0,
-                 avgdl_by_term: dict[str, float] | None = None):
+                 avgdl_by_term: dict[str, float] | None = None,
+                 tomb: tuple | None = None):
+        # append-mode deletion mask: ``tomb`` = (sorted doc_ids, vers);
+        # an entry is dead iff its doc is tombstoned at a version LATER
+        # than the entry's row version (newer re-adds stay alive). A
+        # term's postings may span several rows (base + delta dirs) —
+        # factorize unifies them under one code, and every consumer
+        # sorts/uniques, so split lists need no special handling.
+        self.tomb_ids, self.tomb_vers = tomb if tomb else (None, None)
         codes, uniq = pd.factorize(pdf["term"].to_numpy(), sort=False)
         self.terms = [str(t) for t in uniq]
         self.code_of = {t: c for c, t in enumerate(self.terms)}
@@ -111,6 +119,15 @@ class RangeBlocks:
         self.b_docs: list[bytes] = [buf for row in pdf["docs"] for buf in row]
         self.b_tfs: list[bytes] = [buf for row in pdf["tfs"] for buf in row]
         self.b_dls: list[bytes] = [buf for row in pdf["dls"] for buf in row]
+        # per-block writer version (rows from pre-`ver` layouts read as
+        # null -> version 0, the oldest)
+        if self.tomb_ids is None:
+            self.b_ver = None
+        elif "ver" in pdf.columns:
+            vrow = pdf["ver"].fillna(0).to_numpy(dtype=np.int64)
+            self.b_ver = np.repeat(vrow, nb)
+        else:
+            self.b_ver = np.zeros(self.b_code.size, dtype=np.int64)
         # positional payloads ride along only when the caller kept the
         # ``pos`` column (phrase kernels on store_positions indexes)
         self.b_pos: list[bytes] | None = (
@@ -137,8 +154,26 @@ class RangeBlocks:
 
     # ------------------------------------------------------ bulk decode
 
-    def decode_docs(self, bsel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(flat doc_ids, per-entry block index) for selected blocks."""
+    def entry_keep(self, d: np.ndarray, eb: np.ndarray) -> np.ndarray | None:
+        """Tombstone mask for raw-decoded entries: None = keep all,
+        else a boolean keep array. Dead iff the doc is tombstoned at a
+        version later than the entry's row version."""
+        if self.tomb_ids is None or d.size == 0:
+            return None
+        idx = np.searchsorted(self.tomb_ids, d)
+        idxc = np.minimum(idx, self.tomb_ids.size - 1)
+        hit = self.tomb_ids[idxc] == d
+        if not hit.any():
+            return None
+        drop = hit & (self.b_ver[eb] < self.tomb_vers[idxc])
+        if not drop.any():
+            return None
+        return ~drop
+
+    def decode_docs_raw(self, bsel: np.ndarray):
+        """(flat doc_ids, per-entry block index), UNMASKED — callers
+        that decode aligned side arrays (positions) apply
+        :meth:`entry_keep` themselves."""
         if bsel.size == 0:
             return _EMPTY_I, _EMPTY_I
         d = codec.decode_doc_blocks_bulk(
@@ -146,16 +181,29 @@ class RangeBlocks:
             [self.b_docs[int(i)] for i in bsel])
         return d, np.repeat(bsel, self.b_n[bsel])
 
+    def decode_docs(self, bsel: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(flat doc_ids, per-entry block index) for selected blocks,
+        tombstone-masked."""
+        d, eb = self.decode_docs_raw(bsel)
+        keep = self.entry_keep(d, eb)
+        if keep is None:
+            return d, eb
+        return d[keep], eb[keep]
+
     def decode_full(self, bsel: np.ndarray):
-        """(doc_ids, tfs, dls, per-entry block idx) for selected blocks."""
+        """(doc_ids, tfs, dls, per-entry block idx) for selected
+        blocks, tombstone-masked."""
         if bsel.size == 0:
             return _EMPTY_I, _EMPTY_I, _EMPTY_I, _EMPTY_I
-        d, eb = self.decode_docs(bsel)
+        d, eb = self.decode_docs_raw(bsel)
         tf = codec.decode_concat(
             [self.b_tfs[int(i)] for i in bsel]).astype(np.int64)
         dl = codec.decode_concat(
             [self.b_dls[int(i)] for i in bsel]).astype(np.int64)
-        return d, tf, dl, eb
+        keep = self.entry_keep(d, eb)
+        if keep is None:
+            return d, tf, dl, eb
+        return d[keep], tf[keep], dl[keep], eb[keep]
 
     def union_docs(self, codes: np.ndarray) -> np.ndarray:
         """Sorted unique docIDs matching ANY of the term codes."""
@@ -195,6 +243,7 @@ def score_range_topk(
     prune: bool = True,
     need_total: bool = True,
     avgdl_by_term: dict[str, float] | None = None,
+    tomb: tuple | None = None,
 ):
     """Exact top-k for one doc-range chunk of posting rows.
 
@@ -205,9 +254,11 @@ def score_range_topk(
     are all must-group members + should terms. ``n_matched`` is -1 when
     ``need_total`` is False and the pruned path skipped the exact count.
     ``avgdl_by_term`` overrides the scalar avgdl per term key (per-field
-    BM25 stats, Q5).
+    BM25 stats, Q5). ``tomb`` masks append-mode tombstoned entries
+    (see RangeBlocks); block skip metadata stays sound because masked
+    entries only LOWER true scores below the stored upper bounds.
     """
-    rb = RangeBlocks(pdf, weights, avgdl, avgdl_by_term)
+    rb = RangeBlocks(pdf, weights, avgdl, avgdl_by_term, tomb=tomb)
     must_groups = [sorted(set(g)) for g in must_groups]
     scoring_terms = sorted(
         {t for g in must_groups for t in g if weights.get(t)}
@@ -351,6 +402,7 @@ def score_range_phrase(
     b: float,
     avgdl_by_term: dict[str, float] | None = None,
     need_scores: bool = True,
+    tomb: tuple | None = None,
 ):
     """Full match set of one doc-range chunk for a phrase-bearing query
     — the single-scan phrase plan (Q4). Every posting buffer of the
@@ -370,21 +422,34 @@ def score_range_phrase(
     re-scan + positions scan) with one partition-pruned postings read.
     Returns (docs asc, scores, n_matched). ``need_scores=False`` skips
     step 3 (NOT-phrase membership checks) and returns zero scores.
+    ``tomb`` masks append-mode tombstoned entries, positions included.
     """
-    rb = RangeBlocks(pdf, weights, avgdl, avgdl_by_term)
+    rb = RangeBlocks(pdf, weights, avgdl, avgdl_by_term, tomb=tomb)
     base64 = np.int64(base)
     cache: dict[int, tuple] = {}
 
     def full(code: int):
         """Memoized whole-term decode: (docs, tfs, dls, entry-block,
-        flat positions aligned to repeat(docs, tfs))."""
+        flat positions aligned to repeat(docs, tfs)) — raw-decoded,
+        then tombstone-masked consistently across ALL five arrays."""
         if code not in cache:
             bsel = rb.block_sel(np.array([code], dtype=np.int64))
-            d, tf, dl, eb = rb.decode_full(bsel)
+            d, eb = rb.decode_docs_raw(bsel)
+            tf = (codec.decode_concat(
+                [rb.b_tfs[int(i)] for i in bsel]).astype(np.int64)
+                if bsel.size else _EMPTY_I)
+            dl = (codec.decode_concat(
+                [rb.b_dls[int(i)] for i in bsel]).astype(np.int64)
+                if bsel.size else _EMPTY_I)
             pos = None
             if rb.b_pos is not None and bsel.size:
                 pos = codec.decode_concat(
                     [rb.b_pos[int(i)] for i in bsel]).astype(np.int64)
+            keep = rb.entry_keep(d, eb)
+            if keep is not None:
+                if pos is not None:
+                    pos = pos[np.repeat(keep, tf)]
+                d, tf, dl, eb = d[keep], tf[keep], dl[keep], eb[keep]
             cache[code] = (d, tf, dl, eb, pos)
         return cache[code]
 

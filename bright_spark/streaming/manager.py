@@ -266,7 +266,12 @@ class IngressManager:
 
     def update(self, ingress_id: str, config: dict) -> FileIngress:
         ing = self.get(ingress_id)
-        if ing.status not in ("stopped", "failed"):
+        # status alone is not enough: a 'failed' ingress's poll thread
+        # is typically still alive (retrying), and swapping config
+        # under a live loop lets the next pass silently run against it
+        # — require the thread to actually be dead
+        alive = ing._thread is not None and ing._thread.is_alive()
+        if ing.status not in ("stopped", "failed") or alive:
             raise ValueError("stop the ingress before updating its config")
         ing.cfg.config = dict(config)
         self._save()

@@ -27,11 +27,13 @@ def main() -> None:
     from bright_spark.api.server import make_server
     from bright_spark.index.store import IndexStore
     from bright_spark.session import get_spark
+    from bright_spark.streaming.manager import IngressManager
 
     spark = get_spark("serve", master=args.master,
                       shuffle_partitions=args.partitions)
     store = IndexStore(spark, args.data_dir)
-    srv = make_server(store, args.port)
+    manager = IngressManager(spark, args.data_dir)
+    srv = make_server(store, args.port, ingress_manager=manager)
     print(f"serving on http://127.0.0.1:{srv.server_address[1]} "
           f"(data: {args.data_dir})", flush=True)
     try:

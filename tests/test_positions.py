@@ -47,7 +47,7 @@ def test_phrase_positional_equals_content_verify(spark, repos_parquet,
                                                  pos_index, tmp_path_factory):
     idx2 = str(tmp_path_factory.mktemp("nopos") / "idx")
     src = spark.read.parquet(repos_parquet)
-    build_index(spark, src, idx2, IndexConfig(id="nopos"),
+    build_index(spark, src, idx2, IndexConfig(id="nopos", store_positions=False),
                 n_build_partitions=4)
     ep = SearchEngine(spark, pos_index)
     ec = SearchEngine(spark, idx2)

@@ -151,8 +151,11 @@ def test_time_travel_and_vacuum(spark, tmp_path_factory):
     # every surviving version dir is referenced by the live manifest
     live_refs = set()
     for v in cat.manifest()["tables"].values():
-        live_refs.update(v.values()) if isinstance(v, dict) \
-            else live_refs.add(v)
+        if isinstance(v, dict):
+            for vv in v.values():  # str or delta chain
+                live_refs.update([vv] if isinstance(vv, str) else vv)
+        else:
+            live_refs.add(v)
     on_disk = set()
     data = os.path.join(idx, "data")
     for root, dirs, _ in os.walk(data):
@@ -202,7 +205,8 @@ def test_manifest_lineage_metrics(spark, snap_idx):
     assert build["metrics"]["n_docs"] == 60
     assert build["metrics"]["buckets_written"] >= 1
     mut = [m for m in ms if m["operation"] in ("upsert", "delete")]
-    assert mut and all("buckets_rewritten" in m["metrics"] for m in mut)
+    assert mut and all("buckets_rewritten" in m["metrics"]
+                       or "buckets_appended" in m["metrics"] for m in mut)
     assert all(m["metrics"].get("n_changed", 0) >= 1 for m in mut)
 
 
@@ -266,13 +270,20 @@ def test_snapshot_diff_is_the_replication_unit(spark, tmp_path_factory):
         [{"rid": 0, "text": "diff_marker common"}]))
     cat = IndexCatalog(idx)
     d = cat.snapshot_diff(1, 2)
-    # docs/term_stats/index_meta always re-version on mutation; only
-    # the touched buckets join them
+    # the touched docs group + appended buckets re-version; the
+    # tombstone table appears (the upsert replaced rid 0); everything
+    # else is unchanged
     assert any("data/docs/" in p for p in d["changed"])
     changed_buckets = [p for p in d["changed"] if "postings" in p]
     unchanged_buckets = [p for p in d["unchanged"] if "postings" in p]
     assert changed_buckets and unchanged_buckets
-    assert not d["added"] and not d["removed"]
+    assert d["added"] == ["data/tombstones/v00000002"]
+    # the only dirs the new snapshot dropped are the rewritten docs
+    # groups' + index_meta's old versions (postings/term_stats only
+    # ever GREW delta dirs)
+    assert d["removed"] and all(
+        p.startswith(("data/docs/", "data/index_meta/"))
+        for p in d["removed"])
     # the diff'd dirs all exist and total far less than the index
     for p in d["changed"]:
         assert os.path.isdir(os.path.join(idx, p))
@@ -361,13 +372,11 @@ def test_commit_claim_is_atomic(spark, tmp_path_factory):
 
 
 def test_mutation_is_o_change_not_o_corpus(spark, tmp_path_factory):
-    """THE v4 scale contract: a small upsert re-versions only the doc
-    groups its ids land in and only the term buckets its terms hash
-    to — every other docs group, postings bucket AND term_stats bucket
-    keeps its parent pointer (identical relative dir, zero data copy,
-    never listed). The reference gets O(batch) writes from scorch's
-    append-only segments (store/store.go:392-426); this is the
-    snapshot-layer equivalent."""
+    """The v4 rewrite-mode scale contract: a small upsert re-versions
+    only the doc groups its ids land in and only the term buckets its
+    terms hash to — every other docs group, postings bucket AND
+    term_stats bucket keeps its parent pointer (identical relative
+    dir, zero data copy, never listed)."""
     idx = str(tmp_path_factory.mktemp("ochange") / "idx")
     # docs_range_bits=4 -> 16-doc groups: 120 docs span 8 groups
     build_index(spark, spark.createDataFrame(_rows(120)), idx,
@@ -379,7 +388,7 @@ def test_mutation_is_o_change_not_o_corpus(spark, tmp_path_factory):
     assert len(before["docs"]) == 8
 
     # one-doc upsert into group 2 (rid 37), one unique term
-    IndexMutator(spark, idx).upsert(spark.createDataFrame(
+    IndexMutator(spark, idx, mode="rewrite").upsert(spark.createDataFrame(
         [{"rid": 37, "text": "ochange_marker common", "kind": "k1"}]))
     after = IndexCatalog(idx).manifest()["tables"]
 
@@ -390,25 +399,114 @@ def test_mutation_is_o_change_not_o_corpus(spark, tmp_path_factory):
     for g in set(before["docs"]) - changed_groups:
         assert after["docs"][g] == before["docs"][g]
 
-    # term_stats: the same CoW as postings — re-versioned buckets are
-    # exactly the postings buckets touched, the rest pointer-shared
-    ts_changed = {b for b in before["term_stats"]
-                  if after["term_stats"].get(b) != before["term_stats"][b]}
+    # postings: touched buckets re-versioned, the rest pointer-shared;
+    # term_stats appends delta rows only into touched-term buckets
     p_changed = {b for b in before["postings"]
                  if after["postings"].get(b) != before["postings"][b]}
-    assert ts_changed == p_changed
-    assert set(before["term_stats"]) - ts_changed  # some shared
+    ts_changed = {b for b in before["term_stats"]
+                  if after["term_stats"].get(b) != before["term_stats"][b]}
+    assert p_changed and set(before["postings"]) - p_changed
+    assert ts_changed and set(before["term_stats"]) - ts_changed
     m = IndexCatalog(idx).manifest()
     assert m["metrics"]["docs_groups_rewritten"] == 1
+    assert m["metrics"]["mode"] == "rewrite"
 
     # delete every doc of group 0 -> its pointer drops entirely
-    IndexMutator(spark, idx).delete_ids(list(range(16)))
+    IndexMutator(spark, idx, mode="rewrite").delete_ids(list(range(16)))
     t3 = IndexCatalog(idx).manifest()["tables"]
     assert "0" not in t3["docs"]
     assert len(t3["docs"]) == 7  # the other 7 groups intact
     eng = SearchEngine(spark, idx)
     assert eng.meta["n_docs"] == 104  # 120 (upsert replaced) - 16
     assert eng.search_df("ochange_marker", k=5).count() == 1
+
+
+def test_append_mutation_is_o_batch(spark, tmp_path_factory):
+    """The append-mode (default) scale contract — scorch's segment
+    model (store/store.go:392-426): an upsert touches NO existing
+    postings at all. Every base bucket dir stays pointer-identical;
+    the new batch lands as small DELTA dirs appended to its buckets'
+    chains; replaced ids are tombstoned; queries mask dead entries;
+    compact() consolidates chains, physically drops dead entries and
+    clears the tombstones — with identical query results throughout."""
+    idx = str(tmp_path_factory.mktemp("appendmut") / "idx")
+    build_index(spark, spark.createDataFrame(_rows(120)), idx,
+                IndexConfig(id="ap", tokenizer="simple", n_term_buckets=8,
+                            docs_range_bits=4),
+                content_col="text", id_col="rid", lang_col=None,
+                attr_cols=("kind",), n_build_partitions=4)
+    before = IndexCatalog(idx).manifest()["tables"]
+
+    mut = IndexMutator(spark, idx)  # auto -> append
+    mut.upsert(spark.createDataFrame(
+        [{"rid": 37, "text": "appendmark common", "kind": "k1"}]))
+    m = IndexCatalog(idx).manifest()
+    after = m["tables"]
+    assert m["metrics"]["mode"] == "append"
+    # every bucket keeps its base dir; appended buckets grew a chain
+    for b, v in before["postings"].items():
+        av = after["postings"][b]
+        assert av == v or (isinstance(av, list) and av[0] == v)
+    chains = [b for b, v in after["postings"].items()
+              if isinstance(v, list)]
+    assert chains  # the new entries landed as deltas
+    assert "tombstones" in after  # rid 37 was replaced
+
+    eng = SearchEngine(spark, idx)
+    assert eng.search_df("appendmark", k=5).count() == 1
+    # the replaced doc's OLD content no longer matches (tombstone mask)
+    old37 = {r["doc_id"] for r in eng.search_df("tok2", k=200).collect()}
+    assert 37 not in old37  # 37 % 7 == 2 -> old text had tok2
+    assert eng.meta["n_docs"] == 120
+
+    # delete appends only tombstones (no postings writes at all)
+    mut.delete_ids([5])
+    m2 = IndexCatalog(idx).manifest()
+    assert m2["metrics"]["mode"] == "append"
+    assert m2["metrics"]["buckets_appended"] == 0
+    eng2 = SearchEngine(spark, idx)
+    assert eng2.meta["n_docs"] == 119
+    baseline = {r["doc_id"]: round(r["score"], 9)
+                for r in eng2.search_df("common", k=200).collect()}
+    assert 5 not in baseline
+
+    # compaction: chains collapse, tombstones clear, results identical
+    mut.compact()
+    m3 = IndexCatalog(idx).manifest()
+    assert m3["operation"] == "compact"
+    assert "tombstones" not in m3["tables"]
+    assert all(isinstance(v, str) for v in m3["tables"]["postings"].values())
+    assert all(isinstance(v, str) for v in m3["tables"]["term_stats"].values())
+    eng3 = SearchEngine(spark, idx)
+    got = {r["doc_id"]: round(r["score"], 9)
+           for r in eng3.search_df("common", k=200).collect()}
+    assert got == baseline
+    assert eng3.search_df("appendmark", k=5).count() == 1
+
+
+def test_auto_compact_bounds_chain_depth(spark, tmp_path_factory):
+    """File/dir growth is BOUNDED: with compact_threshold=T, chains
+    never exceed T+... — the (T+1)th append triggers consolidation in
+    the same mutator call, so no compaction operator has to be
+    remembered by the operator."""
+    idx = str(tmp_path_factory.mktemp("autocompact") / "idx")
+    build_index(spark, spark.createDataFrame(_rows(40)), idx,
+                IndexConfig(id="ac", tokenizer="simple", n_term_buckets=4,
+                            docs_range_bits=4),
+                content_col="text", id_col="rid", lang_col=None,
+                n_build_partitions=2)
+    mut = IndexMutator(spark, idx, compact_threshold=3)
+    for i in range(6):
+        mut.upsert(spark.createDataFrame(
+            [{"rid": i, "text": f"auto_{i} common", "kind": "k0"}]))
+        assert max(IndexCatalog(idx).delta_depth("postings"),
+                   IndexCatalog(idx).delta_depth("term_stats")) <= 4
+    ops = [m["operation"] for m in IndexCatalog(idx).snapshots()]
+    assert "compact" in ops
+    eng = SearchEngine(spark, idx)
+    assert eng.meta["n_docs"] == 40
+    for i in range(6):
+        assert eng.search_df(f"auto_{i}", k=5).count() == 1
 
 
 def test_docs_for_ids_prunes_group_dirs(spark, tmp_path_factory):
