@@ -3,11 +3,18 @@
 Images / audio / video ride through the engine as opaque ``binary``
 columns plus a typed metadata struct; the decode / feature-extract /
 resize / frame-sample kernels are ``mapInPandas`` Arrow-batch
-operators. The container has no image/audio libraries, so the actual
-byte -> pixels/samples step is stubbed behind ``decoder=`` hooks with
-a deterministic fake (documented NotImplementedError for real codecs);
-everything Spark-side — schema, batch shape, partition sizing,
-metadata propagation — is real and tested.
+operators.
+
+Decoding: self-contained formats decode FOR REAL with stdlib + numpy
+— PPM/PGM images (:func:`decode_ppm`), uncompressed 24/32-bit BMP
+(:func:`decode_bmp`), PCM WAV audio (:func:`decode_wav`, stdlib
+``wave``). The default hooks (:func:`auto_decode_image`,
+:func:`auto_decode_audio`) sniff magic bytes and use those; payloads
+in compressed containers (JPEG/PNG/FLAC/MP4...) fall back to a
+deterministic sha256-keystream fake, because this container has no
+codec libraries — a production deployment swaps the hook for
+PIL/soundfile/ffmpeg. Everything Spark-side — schema, batch shape,
+partition sizing, metadata propagation — is identical either way.
 
 Scale notes: binary payloads dominate partition size, so operators
 repartition by ``bytes`` budget, not row count; feature outputs are
@@ -18,6 +25,8 @@ blobs.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -32,10 +41,11 @@ MEDIA_SCHEMA = (
 
 
 def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic stand-in for an image decoder: derives an
-    (h, w, 3) uint8 array from the payload's sha256 keystream. Real
-    codecs (PIL/libjpeg) are not in this container:
-    a production deployment swaps this hook."""
+    """Deterministic stand-in for a compressed-image decoder: derives
+    an (h, w, 3) uint8 array from the payload's sha256 keystream.
+    Used by :func:`auto_decode_image` for containers this environment
+    cannot decode (JPEG/PNG need libjpeg/zlib codec bindings);
+    a production deployment swaps the hook for PIL."""
     if payload is None:
         raise NotImplementedError("real image decode requires PIL/libjpeg")
     need = width * height * 3
@@ -48,9 +58,74 @@ def fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.frombuffer(bytes(out[:need]), dtype=np.uint8).reshape(height, width, 3)
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decode of binary PPM (P6, RGB) / PGM (P5, grayscale) —
+    the netpbm formats are raw samples behind an ASCII header, so
+    numpy alone decodes them. Returns (h, w, 3) uint8 (grayscale is
+    broadcast to 3 channels). maxval <= 255 supported."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    # header = magic + 3 ints (w, h, maxval), '#' comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    ch = 3 if payload[:2] == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8,
+                        count=w * h * ch, offset=pos)
+    arr = arr.reshape(h, w, ch)
+    return np.repeat(arr, 3, axis=2) if ch == 1 else arr
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decode of uncompressed 24/32-bit BMP (BITMAPINFOHEADER,
+    BI_RGB): fixed-offset header fields + row-padded BGR(A) samples —
+    struct + numpy suffice. Returns (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, "
+                         f"compression={compression})")
+    flip = h > 0  # positive height = bottom-up row order
+    h = abs(h)
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3  # rows pad to 4 bytes
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    px = rows[:, :w * nb].reshape(h, w, nb)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB
+    return rgb[::-1] if flip else rgb
+
+
+def auto_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Default image hook: sniff the container. Netpbm and
+    uncompressed BMP decode for real; anything else (JPEG/PNG/...)
+    uses the deterministic fake (no codec libs in this container)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(bytes(payload))
+    if payload[:2] == b"BM":
+        return decode_bmp(bytes(payload))
+    return fake_decode_image(payload, width, height)
+
+
 def image_features(
     df: DataFrame,
-    decoder: Callable[[bytes, int, int], np.ndarray] = fake_decode_image,
+    decoder: Callable[[bytes, int, int], np.ndarray] = auto_decode_image,
     target: tuple[int, int] = (8, 8),
 ) -> DataFrame:
     """Decode -> resize(target) -> channel-mean feature vector.
@@ -79,10 +154,11 @@ def image_features(
 
 def fake_decode_audio(payload: bytes, duration_ms: int,
                       sample_rate: int = 8000) -> np.ndarray:
-    """Deterministic stand-in for an audio decoder: float32 PCM in
-    [-1, 1) derived from the payload's sha256 keystream. Real codecs
-    (soundfile/ffmpeg) are not in this container; production swaps
-    this hook."""
+    """Deterministic stand-in for a compressed-audio decoder: float32
+    PCM in [-1, 1) derived from the payload's sha256 keystream. Used
+    by :func:`auto_decode_audio` for containers this environment
+    cannot decode (MP3/FLAC/...); production swaps the hook for
+    soundfile/ffmpeg."""
     if payload is None:
         raise NotImplementedError("real audio decode requires soundfile/ffmpeg")
     n = max(1, int(duration_ms * sample_rate / 1000))
@@ -96,9 +172,45 @@ def fake_decode_audio(payload: bytes, duration_ms: int,
     return (raw.astype(np.float32) / 32768.0) - 1.0
 
 
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL decode of PCM WAV via the stdlib ``wave`` module + numpy:
+    8/16/32-bit integer PCM -> mono float32 in [-1, 1] (channels
+    averaged)."""
+    with wave_module().open(io.BytesIO(payload), "rb") as w:
+        nch, sw, _rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                   w.getframerate(), w.getnframes())
+        raw = w.readframes(nframes)
+    if sw == 1:  # 8-bit WAV is unsigned
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+               - 128.0) / 128.0
+    elif sw == 2:
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sw == 4:
+        pcm = (np.frombuffer(raw, dtype="<i4").astype(np.float32)
+               / 2147483648.0)
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    return pcm
+
+
+def wave_module():
+    import wave
+    return wave
+
+
+def auto_decode_audio(payload: bytes, duration_ms: int) -> np.ndarray:
+    """Default audio hook: RIFF/WAVE magic decodes for real; anything
+    else uses the deterministic fake."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(bytes(payload))
+    return fake_decode_audio(payload, duration_ms)
+
+
 def audio_features(
     df: DataFrame,
-    decoder: Callable[[bytes, int], np.ndarray] = fake_decode_audio,
+    decoder: Callable[[bytes, int], np.ndarray] = auto_decode_audio,
     n_windows: int = 8,
 ) -> DataFrame:
     """Decode -> fixed-window RMS energy profile + overall stats.

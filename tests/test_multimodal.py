@@ -76,3 +76,103 @@ def test_audio_features_deterministic_shape(spark):
     # determinism: same payload -> same features
     again = audio_features(media, n_windows=8).collect()
     assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def _ppm_bytes(arr):
+    h, w, _ = arr.shape
+    return (f"P6\n# test\n{w} {h}\n255\n".encode() + arr.tobytes())
+
+
+def _bmp_bytes(arr):
+    import struct
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = arr[y][:, [2, 1, 0]].tobytes()  # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(rows), 2835, 2835, 0, 0))
+    return bytes(header + rows)
+
+
+def _wav_bytes(pcm16, rate=8000):
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm16.tobytes())
+    return buf.getvalue()
+
+
+def test_real_image_decode_roundtrip():
+    """PPM/PGM/BMP decode with stdlib+numpy, byte-exact."""
+    import numpy as np
+    from bright_spark.multimodal import (auto_decode_image, decode_bmp,
+                                         decode_ppm)
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert (decode_ppm(_ppm_bytes(img)) == img).all()
+    assert (decode_bmp(_bmp_bytes(img)) == img).all()
+    # the auto hook sniffs containers; unknown magic -> fake, same shape
+    assert (auto_decode_image(_ppm_bytes(img), 5, 6) == img).all()
+    fake = auto_decode_image(b"\x89PNG fake payload", 5, 6)
+    assert fake.shape == (6, 5, 3)
+    # grayscale PGM broadcasts to 3 channels
+    g = rng.integers(0, 256, (4, 7, 1), dtype=np.uint8)
+    ppm5 = b"P5\n7 4\n255\n" + g.tobytes()
+    got = decode_ppm(ppm5)
+    assert got.shape == (4, 7, 3) and (got[:, :, 0] == g[:, :, 0]).all()
+
+
+def test_real_wav_decode_roundtrip():
+    import numpy as np
+    from bright_spark.multimodal import auto_decode_audio, decode_wav
+    pcm = (np.sin(np.linspace(0, 40, 4000)) * 20000).astype("<i2")
+    wav = _wav_bytes(pcm)
+    got = decode_wav(wav)
+    assert got.dtype == np.float32 and got.size == 4000
+    assert np.allclose(got, pcm.astype(np.float32) / 32768.0, atol=1e-6)
+    assert (auto_decode_audio(wav, 500) == got).all()
+    # non-RIFF payloads fall back to the deterministic fake
+    fake = auto_decode_audio(b"\xffILLEGAL", 250)
+    assert fake.size == 2000  # 250ms at the fake's 8kHz
+
+
+def test_media_operators_decode_real_formats(spark):
+    """End-to-end through the Spark operators: REAL containers in the
+    payload column produce features derived from the true pixels and
+    samples (checked against a direct numpy computation), side by side
+    with fake-decoded compressed payloads in the same batch."""
+    import numpy as np
+    from bright_spark.multimodal import audio_features, image_features
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    pcm = (np.sin(np.linspace(0, 80, 8000)) * 15000).astype("<i2")
+    rows = [
+        (1, "image", "image/x-portable-pixmap",
+         bytearray(_ppm_bytes(img)), 16, 16, 0),
+        (2, "image", "image/png", bytearray(b"\x89PNG not real"), 8, 8, 0),
+        (3, "audio", "audio/wav", bytearray(_wav_bytes(pcm)), 0, 0, 1000),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id BIGINT, kind STRING, mime STRING, payload BINARY, "
+              "width INT, height INT, duration_ms INT")
+    feats = {r["media_id"]: r for r in
+             image_features(media.filter("kind = 'image'"),
+                            target=(4, 4)).collect()}
+    # real PPM: mean luma equals the true downsampled pixel mean
+    ys = (np.arange(4) * 16 // 4)
+    xs = (np.arange(4) * 16 // 4)
+    want = float((img[np.ix_(ys, xs)].astype(np.float64) / 255.0).mean())
+    assert abs(feats[1]["mean_luma"] - want) < 1e-9
+    assert 0.0 <= feats[2]["mean_luma"] <= 1.0  # fake path still flows
+    a = audio_features(media.filter("kind = 'audio'"),
+                       n_windows=4).collect()[0]
+    want_peak = float(np.abs(pcm.astype(np.float32) / 32768.0).max())
+    assert abs(a["peak"] - want_peak) < 1e-6
