@@ -222,7 +222,12 @@ def main() -> None:
         "pass_normalized": eff_norm >= 0.8,
         "pass_vs_kernel_ceiling": eff_norm_tok >= 0.8,
     }
-    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+    # Never clobber the curated BENCH/BASELINE.md + scaling.json (they
+    # accumulate multi-session history by hand): write session-stamped
+    # outputs and fold the numbers into the curated files manually.
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    with open(os.path.join(REPO, "BENCH", f"scaling_run_{stamp}.json"),
+              "w") as f:
         json.dump(payload, f, indent=2)
 
     import platform
@@ -311,7 +316,8 @@ benchmark_results/ holds only a README; results are produced per CI
 run). Its protocol (index 1k/5k/10k docs + 3 queries) is subsumed by
 bench.py, which the driver runs per round (BENCH_r{{N}}.json).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_run_{stamp}.md"),
+              "w") as f:
         f.write(md)
     print(json.dumps(payload["throughput_docs_per_sec"]),
           f"raw_eff={eff:.3f} ceiling={ceiling:.3f} normalized={eff_norm:.3f}")
