@@ -381,6 +381,17 @@ def _q_text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_split(_docs(spark, sf_dir), _SPLIT_WEIGHTS)
 
 
+
+def _q_text_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: per-language deterministic sampling
+    rates (keep all 'de', half of 'en', 30% of everything else) — the
+    pretraining-mix step, oracle-checked row for row."""
+    from bright_spark.text.sampling import stratified_sample
+    return stratified_sample(
+        _docs(spark, sf_dir), rates={"de": 1.0, "en": 0.5},
+        group_col="lang", default_rate=0.3).select("doc_id", "lang")
+
+
 def _q_text_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.sampling import sample_by_hash
     return sample_by_hash(_docs(spark, sf_dir), rate=0.25).select("doc_id")
@@ -613,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split": _q_text_split,
         "text_pack": _q_text_pack,
         "text_sample": _q_text_sample,
+        "text_stratified": _q_text_stratified,
         "text_token_stats": _q_text_token_stats,
         "text_bpe_tokens": _q_text_bpe_tokens,
         "text_decontaminate": _q_text_decontaminate,
@@ -1054,6 +1066,12 @@ FROM s""",
 SELECT doc_id FROM documents
 WHERE (('0x' || substr(md5('sample|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
        % 1000000) < 250000""",
+        "text_stratified": """
+SELECT doc_id, lang FROM documents
+WHERE (('0x' || substr(md5('strat|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       % 1000000)
+      < (CASE lang WHEN 'de' THEN 1.0 WHEN 'en' THEN 0.5
+         ELSE 0.3 END * 1000000)::BIGINT""",
         "text_decontaminate": """
 WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle

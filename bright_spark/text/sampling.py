@@ -34,6 +34,46 @@ def sample_by_hash(df: DataFrame, rate: float, key_col: str = "doc_id",
                      < int(rate * BUCKETS))
 
 
+def stratified_sample(df: DataFrame, rates: dict[str, float] | None = None,
+                      targets: dict[str, int] | None = None,
+                      group_col: str = "lang", key_col: str = "doc_id",
+                      salt: str = "strat",
+                      default_rate: float = 1.0) -> DataFrame:
+    """Per-group deterministic sampling — the domain-mix rebalancing
+    step of a pretraining pipeline (downsample the web crawl to 30%,
+    keep 100% of code, ...): a row survives iff its hash bucket falls
+    below its GROUP's rate. ``rates`` maps group value -> fraction
+    (groups not listed keep ``default_rate``); ``targets`` instead
+    gives absolute per-group row budgets, converted to rates with one
+    per-group count aggregation (rate = min(1, target/count) — the
+    realized size is within hash noise of the budget, and membership
+    stays a pure function of (salt, key), so reruns and engines
+    agree row for row).
+
+    Scale shape: the rate table is a tiny broadcast-joined dim (or a
+    CASE literal — either way the text column never shuffles), and
+    the membership test is the same JVM md5 expression as
+    :func:`sample_by_hash` — no RNG state, no Python, WSCG-able."""
+    if (rates is None) == (targets is None):
+        raise ValueError("provide exactly one of rates= or targets=")
+    if targets is not None:
+        counts = {r["g"]: int(r["c"]) for r in
+                  df.groupBy(F.col(group_col).alias("g"))
+                  .agg(F.count("*").alias("c")).collect()}
+        rates = {g: min(1.0, t / counts[g]) for g, t in targets.items()
+                 if counts.get(g)}
+    spark = df.sparkSession
+    rate_dim = spark.createDataFrame(
+        [(g, float(r)) for g, r in sorted(rates.items())],
+        f"{group_col} STRING, _rate DOUBLE")
+    bucket = hash_bucket(F.col(key_col), salt)
+    return (df.join(F.broadcast(rate_dim), group_col, "left")
+            .withColumn("_rate", F.coalesce(F.col("_rate"),
+                                            F.lit(float(default_rate))))
+            .filter(bucket < (F.col("_rate") * BUCKETS).cast("bigint"))
+            .drop("_rate"))
+
+
 def deterministic_split(df: DataFrame, weights: dict[str, float],
                         key_col: str = "doc_id",
                         salt: str = "split") -> DataFrame:

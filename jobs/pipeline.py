@@ -19,6 +19,8 @@ also reads ``lang`` when present):
     lang_id          marker-based language prediction
     split            deterministic train/val/test assignment
     sample           deterministic hash sample (--rate)
+    stratified_sample per-group rates (--rates lang:0.5,...; domain
+                     mix rebalancing — unlisted groups keep --rate)
     pack             sequence packing into --budget-token windows
     decontaminate    docs sharing any n-gram with --probes parquet
     dedup_cross      docs whose exact text appears in --probes parquet
@@ -49,6 +51,10 @@ def main() -> None:
     ap.add_argument("--budget", type=int, default=2048)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--weights", default="train:0.9,val:0.05,test:0.05")
+    ap.add_argument("--rates", default="en:0.5",
+                    help="group:rate list for stratified_sample "
+                         "(--rate is the default for unlisted groups)")
+    ap.add_argument("--group-col", default="lang")
     ap.add_argument("--ngram", type=int, default=3)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
@@ -102,6 +108,12 @@ def main() -> None:
     elif args.op == "sample":
         from bright_spark.text.sampling import sample_by_hash
         out = sample_by_hash(docs, rate=args.rate)
+    elif args.op == "stratified_sample":
+        from bright_spark.text.sampling import stratified_sample
+        rates = {k: float(v) for k, v in
+                 (p.split(":") for p in args.rates.split(","))}
+        out = stratified_sample(docs, rates=rates, group_col=args.group_col,
+                                default_rate=args.rate)
     elif args.op == "pack":
         from bright_spark.text.sampling import pack_sequences
         out = pack_sequences(docs, budget=args.budget, n_shards=args.shards)

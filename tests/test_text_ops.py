@@ -406,3 +406,50 @@ def test_cross_corpus_duplicates(spark):
     got = sorted(r["doc_id"] for r in
                  cross_corpus_duplicates(corpus, ref).collect())
     assert got == [10, 12]
+
+
+def test_stratified_sample(spark):
+    """Per-group deterministic rates: exact membership by (salt, key)
+    hash, group rates honored, default for unlisted groups, targets=
+    derives rates from one count pass."""
+    import pandas as pd
+    from bright_spark.text.sampling import (BUCKETS, hash_bucket,
+                                            stratified_sample)
+    from pyspark.sql import functions as F
+    rows = [{"doc_id": i, "lang": ["en", "de", "fr"][i % 3],
+             "text": f"doc {i}"} for i in range(900)]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = stratified_sample(df, rates={"en": 0.5, "de": 1.0},
+                            default_rate=0.2)
+    got = {r["doc_id"] for r in out.collect()}
+    # oracle: recompute membership per row driver-side
+    import hashlib
+    rate_of = {"en": 0.5, "de": 1.0, "fr": 0.2}
+    want = set()
+    for r in rows:
+        b = int(hashlib.md5(
+            f"strat|{r['doc_id']}".encode()).hexdigest()[:8], 16) % BUCKETS
+        if b < int(rate_of[r["lang"]] * BUCKETS):
+            want.add(r["doc_id"])
+    assert got == want
+    # all de kept; en ~half; fr ~20%
+    by_lang = {l: sum(1 for r in rows
+                      if r["lang"] == l and r["doc_id"] in got)
+               for l in ("en", "de", "fr")}
+    assert by_lang["de"] == 300
+    assert 100 < by_lang["en"] < 200 and 30 < by_lang["fr"] < 100
+    # determinism across invocations
+    again = {r["doc_id"] for r in stratified_sample(
+        df, rates={"en": 0.5, "de": 1.0}, default_rate=0.2).collect()}
+    assert again == got
+    # targets= path: realized sizes near the budget, subset semantics
+    t = stratified_sample(df, targets={"en": 100, "de": 300},
+                          default_rate=0.0)
+    rows_t = t.collect()
+    n_en = sum(1 for r in rows_t if r["lang"] == "en")
+    n_de = sum(1 for r in rows_t if r["lang"] == "de")
+    assert n_de == 300 and 70 <= n_en <= 130
+    assert all(r["lang"] != "fr" for r in rows_t)  # default 0 drops
+    import pytest
+    with pytest.raises(ValueError):
+        stratified_sample(df)
