@@ -232,12 +232,11 @@ def make_handler(store: IndexStore, ingress_manager=None):
             docs = self._body()
             if not isinstance(docs, list) or not docs:
                 raise ValueError("body must be a non-empty JSON array")
-            df = store.spark.createDataFrame(docs)
             kwargs = {}
             if "contentCol" in params:
                 kwargs["content_col"] = params["contentCol"]
             with write_lock:
-                store.add_documents(parts[1], df, **kwargs)
+                store.add_document_rows(parts[1], docs, **kwargs)
             # 201 {"indexed": n} — handlers/documents.go:200-202
             self._json(201, {"indexed": len(docs)})
 

@@ -212,15 +212,28 @@ class IndexMutator:
     # entry-level anti-join
     BROADCAST_THRESHOLD = 2_000_000
 
+    # change sets up to this many ids run entirely on the driver with
+    # the same kernels (fastpath.py) — a head-node operation, like the
+    # reference's in-process Bleve batch; above it the distributed
+    # stages take over
+    FAST_THRESHOLD = 10_000
+    FAST_MAX_GROUP_BYTES = 256 << 20
+
     def __init__(self, spark: SparkSession, index_dir: str,
                  broadcast_threshold: int | None = None,
-                 mode: str = "auto", compact_threshold: int = 8):
+                 mode: str = "auto", compact_threshold: int = 8,
+                 fast: str = "auto", fast_threshold: int | None = None,
+                 fast_max_group_bytes: int | None = None):
         """``mode``: 'auto' (append when the change set fits the
         broadcast regime, else rewrite), 'append', or 'rewrite'.
         ``compact_threshold``: auto-compact when any bucket's pointer
-        chain grows past this many dirs (0 disables)."""
+        chain grows past this many dirs (0 disables).
+        ``fast``: 'auto' (small batches commit driver-side, zero Spark
+        jobs) or 'never' (always run the distributed stages)."""
         if mode not in ("auto", "append", "rewrite"):
             raise ValueError(f"unknown mutation mode {mode!r}")
+        if fast not in ("auto", "never"):
+            raise ValueError(f"unknown fast mode {fast!r}")
         self.spark = spark
         self.catalog = IndexCatalog(index_dir)
         self.config = self.catalog.load_config()
@@ -230,6 +243,15 @@ class IndexMutator:
                                     else broadcast_threshold)
         self.mode = mode
         self.compact_threshold = compact_threshold
+        self.fast = fast
+        self.fast_threshold = (self.FAST_THRESHOLD if fast_threshold is None
+                               else fast_threshold)
+        self.fast_max_group_bytes = (
+            self.FAST_MAX_GROUP_BYTES if fast_max_group_bytes is None
+            else fast_max_group_bytes)
+
+    def _fast_enabled(self) -> bool:
+        return self.fast == "auto" and self.mode != "rewrite"
 
     # ------------------------------------------------------- internals
 
@@ -355,15 +377,41 @@ class IndexMutator:
 
     def upsert(self, updates: DataFrame) -> None:
         """U1/U4: replace-or-insert documents from source-shaped rows.
-        The tokenized batch joins the current docs table for id
-        assignment, so its lineage is truncated (localCheckpoint)
-        before _apply rewrites that table."""
+        A batch that fits the fast regime commits driver-side with the
+        same kernels (one probe job total — fastpath.py); otherwise the
+        tokenized batch joins the current docs table for id assignment,
+        its lineage truncated (localCheckpoint) before _apply rewrites
+        that table."""
+        if self._fast_enabled() and self.extra.get("id_col"):
+            head = updates.limit(self.fast_threshold + 1).toPandas()
+            if len(head) <= self.fast_threshold:
+                from bright_spark.index.fastpath import apply_fast
+                if apply_fast(self, changed_pdf=head):
+                    return
         tok = self._tokenize_updates(updates).localCheckpoint(eager=True)
         self._apply(changed=tok)
 
+    def upsert_rows(self, rows: list[dict]) -> None:
+        """Upsert from driver-resident records (the REST/store path):
+        in the fast regime this never touches Spark at all."""
+        if not rows:
+            return
+        if (self._fast_enabled() and self.extra.get("id_col")
+                and len(rows) <= self.fast_threshold):
+            from bright_spark.index.fastpath import apply_fast
+            if apply_fast(self, changed_pdf=pd.DataFrame(rows)):
+                return
+        self.upsert(self.spark.createDataFrame(rows))
+
     def delete_ids(self, doc_ids: list[int]) -> None:
-        """U2: delete by id list."""
-        self._apply(deleted_ids=[int(i) for i in doc_ids])
+        """U2: delete by id list — zero Spark jobs in the fast regime
+        (the id set is already a driver literal)."""
+        ids = [int(i) for i in doc_ids]
+        if self._fast_enabled() and len(ids) <= self.fast_threshold:
+            from bright_spark.index.fastpath import apply_fast
+            if apply_fast(self, deleted=np.asarray(ids, dtype=np.int64)):
+                return
+        self._apply(deleted_ids=ids)
 
     def delete_where(self, ids_df: DataFrame) -> None:
         """U2/U3 bulk form: delete every doc_id in a DataFrame — the
@@ -436,6 +484,13 @@ class IndexMutator:
                                      dtype=np.int64))
         if arr.size == 0:
             return
+        if (changed is None and self._fast_enabled()
+                and arr.size <= self.fast_threshold):
+            # delete set fits the fast regime: the probe job above was
+            # the mutation's ONLY Spark job
+            from bright_spark.index.fastpath import apply_fast
+            if apply_fast(self, deleted=arr):
+                return
         # the id set is a driver literal now — rebuilding ids_df from
         # it (Arrow path) removes the recompute hazard without a
         # checkpoint job

@@ -163,6 +163,22 @@ class IndexStore:
                      **build_kwargs).build(docs)
         self._engines.pop(idx_id, None)
 
+    def add_document_rows(self, idx_id: str, rows: list[dict],
+                          **build_kwargs) -> None:
+        """Driver-resident form of :meth:`add_documents` — the wire
+        path. Against a built index the batch goes straight to the
+        mutator's fast regime (zero Spark jobs for small batches); the
+        first batch still builds through Spark."""
+        if idx_id not in self.configs:
+            raise KeyError(f"index {idx_id} not found")
+        if self.is_built(idx_id):
+            self._engines.pop(idx_id, None)
+            from bright_spark.index.mutations import IndexMutator
+            IndexMutator(self.spark, self._index_dir(idx_id)).upsert_rows(rows)
+            return
+        self.add_documents(idx_id, self.spark.createDataFrame(rows),
+                           **build_kwargs)
+
     def delete_documents(self, idx_id: str, ids: list[int] | None = None,
                          filter_query: str | None = None) -> None:
         """DELETE /indexes/:id/documents (handlers/documents.go:214-258):

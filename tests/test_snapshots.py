@@ -85,8 +85,12 @@ def test_crash_before_commit_leaves_old_snapshot_intact(
 
     monkeypatch.setattr(builder_mod.IndexBuilder, "mutate_stats", boom)
     with pytest.raises(RuntimeError, match="injected"):
-        IndexMutator(spark, snap_idx).upsert(spark.createDataFrame(
-            [{"rid": 1, "text": "orphan_term common", "kind": "k1"}]))
+        # fast="never": this test injects into the DISTRIBUTED write
+        # sequence (the fast path's crash atomicity is pinned in
+        # test_fastpath.py)
+        IndexMutator(spark, snap_idx, fast="never").upsert(
+            spark.createDataFrame(
+                [{"rid": 1, "text": "orphan_term common", "kind": "k1"}]))
     monkeypatch.undo()
 
     cat2 = IndexCatalog(snap_idx)
@@ -242,7 +246,9 @@ def test_crash_at_every_write_stage_is_atomic(spark, tmp_path_factory,
     obj, name = targets[crash_point]
     monkeypatch.setattr(obj, name, boom)
     with pytest.raises(RuntimeError, match="injected"):
-        IndexMutator(spark, idx).upsert(spark.createDataFrame(
+        # fast="never": the injected functions are the distributed
+        # stages; the fast path's crash points live in test_fastpath.py
+        IndexMutator(spark, idx, fast="never").upsert(spark.createDataFrame(
             [{"rid": 0, "text": f"crash_{crash_point} common"}]))
     monkeypatch.undo()
 
@@ -421,15 +427,20 @@ def test_mutation_is_o_change_not_o_corpus(spark, tmp_path_factory):
     assert eng.search_df("ochange_marker", k=5).count() == 1
 
 
-def test_append_mutation_is_o_batch(spark, tmp_path_factory):
+@pytest.mark.parametrize("fast,expect_mode",
+                         [("never", "append"), ("auto", "append-fast")])
+def test_append_mutation_is_o_batch(spark, tmp_path_factory, fast,
+                                    expect_mode):
     """The append-mode (default) scale contract — scorch's segment
     model (store/store.go:392-426): an upsert touches NO existing
     postings at all. Every base bucket dir stays pointer-identical;
     the new batch lands as small DELTA dirs appended to its buckets'
     chains; replaced ids are tombstoned; queries mask dead entries;
     compact() consolidates chains, physically drops dead entries and
-    clears the tombstones — with identical query results throughout."""
-    idx = str(tmp_path_factory.mktemp("appendmut") / "idx")
+    clears the tombstones — with identical query results throughout.
+    Both the distributed stages and the driver-side fast path must
+    honor the same contract."""
+    idx = str(tmp_path_factory.mktemp(f"appendmut{fast}") / "idx")
     build_index(spark, spark.createDataFrame(_rows(120)), idx,
                 IndexConfig(id="ap", tokenizer="simple", n_term_buckets=8,
                             docs_range_bits=4),
@@ -437,12 +448,12 @@ def test_append_mutation_is_o_batch(spark, tmp_path_factory):
                 attr_cols=("kind",), n_build_partitions=4)
     before = IndexCatalog(idx).manifest()["tables"]
 
-    mut = IndexMutator(spark, idx)  # auto -> append
+    mut = IndexMutator(spark, idx, fast=fast)  # auto -> append
     mut.upsert(spark.createDataFrame(
         [{"rid": 37, "text": "appendmark common", "kind": "k1"}]))
     m = IndexCatalog(idx).manifest()
     after = m["tables"]
-    assert m["metrics"]["mode"] == "append"
+    assert m["metrics"]["mode"] == expect_mode
     # every bucket keeps its base dir; appended buckets grew a chain
     for b, v in before["postings"].items():
         av = after["postings"][b]
@@ -462,7 +473,7 @@ def test_append_mutation_is_o_batch(spark, tmp_path_factory):
     # delete appends only tombstones (no postings writes at all)
     mut.delete_ids([5])
     m2 = IndexCatalog(idx).manifest()
-    assert m2["metrics"]["mode"] == "append"
+    assert m2["metrics"]["mode"] == expect_mode
     assert m2["metrics"]["buckets_appended"] == 0
     eng2 = SearchEngine(spark, idx)
     assert eng2.meta["n_docs"] == 119
