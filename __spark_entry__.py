@@ -344,6 +344,32 @@ def _q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "first_ngram"))
 
 
+def _q_text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fuzzy decontamination: per (doc, probe) containment — the
+    # fraction of the probe's distinct 3-grams present in the doc
+    # (the "drop if >= X% of an eval example appears" rule); same
+    # deterministic probe subset as text_decontaminate, plus planted
+    # PARTIAL leaks (first ~60% of every 3rd probe's tokens under a
+    # new id — the edited/truncated benchmark leak a verbatim check
+    # misses and a single-collision check can't rank)
+    from bright_spark.text.decontaminate import probe_containment
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    toks = F.split(F.lower(F.trim("text")), " ")
+    keep = F.greatest(F.lit(1), F.ceil(F.size(toks) * 0.6).cast("int"))
+    leaked = (probes.filter(F.col("doc_id") % 3 == 0)
+              .select((F.col("doc_id") + 7000000).alias("doc_id"),
+                      F.array_join(F.slice(toks, 1, keep), " ").alias("text")))
+    corpus = (docs.filter(F.col("doc_id") % 97 != 0)
+              .select("doc_id", "text").unionByName(leaked))
+    return (probe_containment(corpus, probes, n=3, min_ratio=0.2)
+            .select("doc_id",
+                    F.col("probe_id").cast("bigint").alias("probe_id"),
+                    F.col("probe_hits").cast("bigint").alias("probe_hits"),
+                    F.col("probe_ngrams").cast("bigint").alias("probe_ngrams"),
+                    F.round("containment", 6).alias("containment")))
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.dedup import simhash
     return simhash(_docs(spark, sf_dir)).select(
@@ -504,6 +530,21 @@ def _q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_ann_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semantic dedup end-to-end: embedding near-dup pairs (LSH bucket
+    # candidates + exact cosine verify) -> connected components ->
+    # canonical cluster_id per vector (keep one per cluster). The
+    # cluster step reuses the generic min-label propagation from the
+    # text dedup family — pairs frames compose across modalities.
+    from bright_spark.text.dedup import duplicate_clusters
+    from bright_spark.vectors.similarity import near_duplicates_cosine
+    emb = _emb(spark, sf_dir)
+    pairs = near_duplicates_cosine(emb, threshold=0.3, n_planes=6, dim=64)
+    return (duplicate_clusters(emb, pairs, id_col="vec_id")
+            .select(F.col("doc_id").cast("bigint").alias("vec_id"),
+                    F.col("cluster_id").cast("bigint").alias("cluster_id")))
+
+
 def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.vectors.similarity import cosine_topk
     emb = _emb(spark, sf_dir)
@@ -628,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": _q_text_token_stats,
         "text_bpe_tokens": _q_text_bpe_tokens,
         "text_decontaminate": _q_text_decontaminate,
+        "text_decontaminate_fuzzy": _q_text_decontaminate_fuzzy,
         "text_quality": _q_text_quality,
         "text_redact": _q_text_redact,
         "text_repetition": _q_text_repetition,
@@ -641,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh,  # deterministic LSH -> full oracle
         "ann_ivf_topk": _q_ann_ivf,  # deterministic IVF -> full oracle
         "ann_near_dup_cosine": _q_near_dup_cosine,
+        "ann_dup_clusters": _q_ann_dup_clusters,
     }
 
 
@@ -836,6 +879,36 @@ p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 SELECT id_a, id_b, round(cos, 4) AS cosine FROM p WHERE cos >= {threshold}"""
 
 
+def _ann_dup_clusters_sql(threshold: float, n_planes: int, dim: int) -> str:
+    """Near-dup cosine pairs (same inlined plane constants as
+    :func:`_near_dup_cosine_sql`) -> recursive min-label connected
+    components over the pair graph, keyed by vec_id."""
+    from bright_spark.vectors.similarity import _hyperplane
+    sig_terms = []
+    for j in range(n_planes):
+        coeffs = ", ".join(repr(_hyperplane(j, d)) for d in range(dim))
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(e, [{coeffs}]) >= 0 "
+            f"THEN {1 << j} ELSE 0 END)")
+    sig_expr = " + ".join(sig_terms)
+    return f"""
+WITH RECURSIVE
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+sig AS (SELECT vec_id, e, {sig_expr} AS sig FROM v),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b ON a.sig = b.sig AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))) >= {threshold}),
+e AS (SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b, id_a FROM p),
+r(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.id)
+SELECT id AS vec_id, min(lbl) AS cluster_id FROM r GROUP BY id"""
+
+
 def oracle_sql() -> dict[str, str]:
     sql = {
         "ft_bm25_single": _bm25_sql("tf.term IN ('spark')"),
@@ -990,6 +1063,28 @@ SELECT i.id_a, i.id_b,
 FROM inter i JOIN cnt ca ON ca.doc_id = i.id_a
              JOIN cnt cb ON cb.doc_id = i.id_b
 WHERE i.i::DOUBLE / (ca.n + cb.n - i.i) >= 0.5""",
+        "text_decontaminate_fuzzy": """
+WITH base AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t
+              FROM documents),
+corpus AS (
+  SELECT doc_id, t FROM base WHERE doc_id % 97 <> 0
+  UNION ALL
+  SELECT doc_id + 7000000,
+         t[1:greatest(1, ceil(len(t) * 0.6)::INT)]
+  FROM base WHERE doc_id % 97 = 0 AND doc_id % 3 = 0),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+       FROM corpus, unnest(range(1, len(t) - 1)) AS r(i)),
+psh AS (SELECT DISTINCT doc_id AS probe_id,
+               array_to_string(t[i:i+2], ' ') AS shingle
+        FROM base, unnest(range(1, len(t) - 1)) AS r(i)
+        WHERE doc_id % 97 = 0),
+tot AS (SELECT probe_id, count(*)::BIGINT AS probe_ngrams FROM psh GROUP BY 1),
+hits AS (SELECT s.doc_id, p.probe_id, count(*)::BIGINT AS probe_hits
+         FROM sh s JOIN psh p USING (shingle) GROUP BY 1, 2)
+SELECT h.doc_id, h.probe_id, h.probe_hits, t.probe_ngrams,
+       round(h.probe_hits::DOUBLE / t.probe_ngrams, 6) AS containment
+FROM hits h JOIN tot t USING (probe_id)
+WHERE h.probe_hits::DOUBLE / t.probe_ngrams >= 0.2""",
         "dedup_clusters": f"""WITH RECURSIVE {_MINHASH_PAIR_CTES},
 e AS (SELECT id_a AS src, id_b AS dst FROM ver
       UNION SELECT id_b, id_a FROM ver),
@@ -1162,6 +1257,8 @@ WITH m AS (SELECT doc_id AS media_id,
            FROM documents)
 SELECT media_id, i::BIGINT AS frame_idx, (i * 700)::BIGINT AS ts_ms
 FROM m, unnest(range(0, greatest((duration_ms - 1) // 700, 0) + 1)) r(i)""",
+        "ann_dup_clusters": _ann_dup_clusters_sql(threshold=0.3, n_planes=6,
+                                                  dim=64),
         "ann_near_dup_cosine": _near_dup_cosine_sql(threshold=0.3, n_planes=6,
                                                     dim=64),
         "ann_lsh_topk": _ann_lsh_sql(n_planes=6, dim=64, probe_hamming=2,

@@ -35,3 +35,42 @@ def contaminated_docs(corpus: DataFrame, probes: DataFrame, n: int = 5,
             .agg(F.count("*").alias("n_hits"),
                  F.min("shingle").alias("first_ngram"))
             .filter(F.col("n_hits") >= min_hits))
+
+
+def probe_containment(corpus: DataFrame, probes: DataFrame, n: int = 5,
+                      min_ratio: float = 0.5,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      probe_id_col: str = "doc_id",
+                      probe_text_col: str = "text") -> DataFrame:
+    """Fuzzy decontamination: per (corpus doc, probe doc) containment —
+    the fraction of the PROBE's distinct n-grams present in the corpus
+    doc. Catches partial/edited benchmark leaks a single-collision
+    detector over-flags (one common phrase) or a verbatim check misses
+    (a reworded question keeping most of its n-grams). The standard
+    contamination rule "drop the doc if >= X% of an eval example's
+    n-grams appear in it" (GPT-3 appendix C uses 13-gram collision;
+    PaLM/Llama report fractional-overlap variants).
+
+    Returns (doc_id, probe_id, probe_hits, probe_ngrams, containment)
+    with containment >= ``min_ratio``, so the caller can drop or audit
+    per offending pair.
+
+    100 TB shape: same as :func:`contaminated_docs` — the probe side
+    is tiny and BROADCAST twice (grams, then per-probe totals), the
+    corpus side is one shingle explode + broadcast join + groupBy on
+    (doc_id, probe_id); corpus text never shuffles and the collision
+    groupBy is map-side combinable. The pair fan-out is bounded by
+    collisions, not |corpus| x |probes|."""
+    corpus_sh = shingles_df(corpus, id_col, text_col, k=n)
+    probe_sh = (shingles_df(probes, probe_id_col, probe_text_col, k=n)
+                .withColumnRenamed("doc_id", "probe_id"))
+    totals = probe_sh.groupBy("probe_id").agg(
+        F.count("*").alias("probe_ngrams"))
+    hits = (corpus_sh.join(F.broadcast(probe_sh), "shingle")
+            .groupBy("doc_id", "probe_id")
+            .agg(F.count("*").alias("probe_hits")))
+    return (hits.join(F.broadcast(totals), "probe_id")
+            .select("doc_id", "probe_id", "probe_hits", "probe_ngrams",
+                    (F.col("probe_hits") / F.col("probe_ngrams"))
+                    .alias("containment"))
+            .filter(F.col("containment") >= min_ratio))

@@ -23,7 +23,10 @@ also reads ``lang`` when present):
                      mix rebalancing — unlisted groups keep --rate)
     pack             sequence packing into --budget-token windows
     decontaminate    docs sharing any n-gram with --probes parquet
+    decontaminate_fuzzy per-(doc, probe) n-gram containment >= --min-ratio
     dedup_cross      docs whose exact text appears in --probes parquet
+    dedup_semantic   embedding near-dup clusters over (vec_id, embedding)
+                     (--threshold cosine floor, --planes LSH planes)
 
 Prints ONE JSON line: {"op", "rows", "out", "wall_sec"}.
 """
@@ -56,6 +59,10 @@ def main() -> None:
                          "(--rate is the default for unlisted groups)")
     ap.add_argument("--group-col", default="lang")
     ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--min-ratio", type=float, default=0.5,
+                    help="decontaminate_fuzzy: probe containment floor")
+    ap.add_argument("--planes", type=int, default=16,
+                    help="dedup_semantic: LSH hyperplanes")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -123,6 +130,19 @@ def main() -> None:
         from bright_spark.text.decontaminate import contaminated_docs
         out = contaminated_docs(docs, spark.read.parquet(args.probes),
                                 n=args.ngram)
+    elif args.op == "decontaminate_fuzzy":
+        if not args.probes:
+            ap.error("--probes required for decontaminate_fuzzy")
+        from bright_spark.text.decontaminate import probe_containment
+        out = probe_containment(docs, spark.read.parquet(args.probes),
+                                n=args.ngram, min_ratio=args.min_ratio)
+    elif args.op == "dedup_semantic":
+        from bright_spark.text.dedup import duplicate_clusters
+        from bright_spark.vectors.similarity import near_duplicates_cosine
+        pairs = near_duplicates_cosine(docs, threshold=args.threshold,
+                                       n_planes=args.planes)
+        out = (duplicate_clusters(docs, pairs, id_col="vec_id")
+               .withColumnRenamed("doc_id", "vec_id"))
     elif args.op == "dedup_cross":
         if not args.probes:
             ap.error("--probes required for dedup_cross")

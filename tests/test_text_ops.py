@@ -306,6 +306,39 @@ def test_contaminated_docs_exact(spark):
     assert got == {0: (2, "quick brown fox"), 2: (1, "brown fox jumps")}
 
 
+def test_probe_containment_fuzzy(spark):
+    """Fuzzy decontamination ranks per-(doc, probe) containment: a
+    partial leak scores its exact n-gram fraction, an unrelated doc
+    scores zero, and a doc covering the whole probe scores 1.0."""
+    import pandas as pd
+
+    from bright_spark.text.decontaminate import probe_containment
+
+    # probe: 6 tokens -> 4 distinct 3-grams
+    probes = spark.createDataFrame(pd.DataFrame([
+        {"doc_id": 100, "text": "the quick brown fox jumps high"},
+    ]))
+    corpus = spark.createDataFrame(pd.DataFrame([
+        # full leak with extra surrounding text: all 4 probe 3-grams
+        {"doc_id": 0, "text": "see the quick brown fox jumps high today"},
+        # partial (prefix) leak: "the quick brown", "quick brown fox" -> 2/4
+        {"doc_id": 1, "text": "the quick brown fox"},
+        # single shared 3-gram: 1/4 -> below min_ratio, dropped
+        {"doc_id": 2, "text": "a brown fox jumps away"},
+        {"doc_id": 3, "text": "nothing in common here at all"},
+    ]))
+    got = {(r["doc_id"], r["probe_id"]): (r["probe_hits"], r["probe_ngrams"],
+                                          round(r["containment"], 6))
+           for r in probe_containment(corpus, probes, n=3,
+                                      min_ratio=0.5).collect()}
+    assert got == {(0, 100): (4, 4, 1.0), (1, 100): (2, 4, 0.5)}
+    # lowering the floor admits the single-collision doc at rank 3
+    low = {r["doc_id"]: round(r["containment"], 6)
+           for r in probe_containment(corpus, probes, n=3,
+                                      min_ratio=0.1).collect()}
+    assert low == {0: 1.0, 1: 0.5, 2: 0.25}
+
+
 def test_redact_pii_fixture(spark):
     """Crafted fixtures pin each category, the placeholder text, the
     sequential-count semantics, and the hex-before-num precedence."""

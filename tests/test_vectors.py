@@ -255,3 +255,31 @@ def test_ivf_leader_sidecar_at_scale(spark, tmp_path_factory):
     got_legacy = [(r["vec_id"], round(r["cosine"], 6)) for r in
                   ivf_topk(spark, legacy, q, k=10, nprobe=8).collect()]
     assert got_legacy == got
+
+
+def test_semantic_dup_clusters(spark):
+    """Embedding near-dup pairs + generic min-label propagation =
+    semantic dedup clusters: two planted groups of jittered copies
+    collapse to their minimum vec_id; isolated vectors stay singletons."""
+    import numpy as np
+
+    from bright_spark.text.dedup import duplicate_clusters
+    from bright_spark.vectors.similarity import near_duplicates_cosine
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(2, 16))
+    rows = []
+    for g, ids in enumerate([(0, 1, 2), (10, 11)]):
+        for i in ids:
+            rows.append((int(i), [float(x) for x in
+                                  base[g] + rng.normal(scale=1e-3, size=16)]))
+    # orthogonal-ish singletons, far from both groups
+    for i in (20, 21):
+        rows.append((int(i), [float(x) for x in rng.normal(size=16)]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    pairs = near_duplicates_cosine(df, threshold=0.95, n_planes=4, dim=16)
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(df, pairs, id_col="vec_id").collect()}
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == 10
+    assert got[20] == 20 and got[21] == 21
