@@ -132,6 +132,13 @@ def main() -> None:
         timed("dedup_simhash64_pairs",
               lambda: near_duplicates_simhash(docs, max_hamming=3).count())
 
+        from bright_spark.text.decontaminate import probe_containment
+        probes = docs.filter(F.col("doc_id") % 97 == 0)
+        timed("text_decontaminate_fuzzy",
+              lambda: probe_containment(
+                  docs.filter(F.col("doc_id") % 97 != 0), probes,
+                  n=3, min_ratio=0.2).count())
+
         qvec = [float(x) for x in
                 emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
         timed("ann_brute", lambda: cosine_topk(emb, qvec, k=10).collect())
@@ -157,6 +164,11 @@ def main() -> None:
                                nprobe=4).collect())
         timed("ann_near_dup", lambda: near_duplicates_cosine(
             emb, threshold=0.3, n_planes=6, dim=64).count())
+        from bright_spark.text.dedup import duplicate_clusters
+        timed("ann_dup_clusters", lambda: duplicate_clusters(
+            emb, near_duplicates_cosine(emb, threshold=0.3, n_planes=6,
+                                        dim=64),
+            id_col="vec_id").count())
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
         shutil.rmtree(idx_dir + "_fielded", ignore_errors=True)
