@@ -88,3 +88,25 @@ def test_exploded_postings_prunes_dls_free_columns(spark, engine):
     plan = _plan(df)
     read_schema = plan.split("ReadSchema")[1][:500]
     assert "max_tf" not in read_schema
+
+
+def test_probe_containment_broadcasts_probe_side(spark):
+    """Fuzzy decontamination must broadcast the (tiny) probe grams and
+    totals and never shuffle corpus text: a regression to a sort-merge
+    join on the shingle column would shuffle the exploded corpus —
+    fine at 500 docs, fatal at 10^12."""
+    import pandas as pd
+
+    from bright_spark.text.decontaminate import probe_containment
+    corpus = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(20),
+        "text": [f"alpha beta gamma delta token{i}" for i in range(20)]}))
+    probes = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [100], "text": ["alpha beta gamma delta"]}))
+    df = probe_containment(corpus, probes, n=3, min_ratio=0.1)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    # both probe joins (grams, per-probe totals) broadcast; the plan
+    # has exactly those two joins, so no join may shuffle corpus rows
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
