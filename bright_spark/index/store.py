@@ -4,6 +4,26 @@ one data directory hold many indexes and re-open them all at boot
 142-153 GetIndex, 156-183 DeleteIndex, 185-199 UpdateIndex,
 201-224 ListIndexes, 226-273 loadConfigs).
 
+Thread-safety contract (store.go guards everything with a store-level
+sync.RWMutex and serializes batch writes per index; its entire test
+suite — store_test.go's six tests — is lock-safety, and OUR wire
+surface is a ThreadingHTTPServer, so the same guarantees are load-
+bearing here):
+
+- ``_reg_lock`` (RLock) guards the registry state: ``configs``,
+  ``_engines``, ``_index_locks`` and every ``configs.json`` write.
+  Registry ops are short; the lock is never held across Spark work.
+- One ``Lock`` per index serializes WRITE batches (build/upsert/
+  delete/patch) against each other and against index deletion —
+  store.go:392-426 batch semantics. Searches take no index lock:
+  snapshot isolation already gives readers a consistent pinned view
+  (test_snapshots pins that a reader survives concurrent mutation).
+- Lock order is always index lock (outer, long) -> ``_reg_lock``
+  (inner, short); no path acquires an index lock while holding
+  ``_reg_lock``, so the ordering is deadlock-free
+  (TestNoDeadlockWithMultipleIndexes analog in
+  tests/test_store_concurrency.py).
+
 Differences from the reference forced by the engines' natures:
 - Bleve creates an empty index at CreateIndex time; a Spark index
   materializes on the first document batch. ``create_index`` therefore
@@ -20,6 +40,7 @@ import dataclasses
 import json
 import os
 import shutil
+import threading
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,7 +61,18 @@ class IndexStore:
         os.makedirs(data_dir, exist_ok=True)
         self.configs: dict[str, IndexConfig] = {}
         self._engines: dict[str, object] = {}
+        self._reg_lock = threading.RLock()
+        self._index_locks: dict[str, threading.RLock] = {}
         self._load_configs()
+
+    def _index_lock(self, idx_id: str) -> threading.RLock:
+        # RLock: add_document_rows delegates to add_documents for the
+        # first batch while already holding the index lock
+        with self._reg_lock:
+            lk = self._index_locks.get(idx_id)
+            if lk is None:
+                lk = self._index_locks[idx_id] = threading.RLock()
+            return lk
 
     # ------------------------------------------------------- registry
 
@@ -79,58 +111,71 @@ class IndexStore:
         the adopted index was actually built, so it raises instead
         (mirroring store.go:96-106, where adopt reuses the persisted
         index as-is). An invalid dir (no config.json) is removed."""
-        if config.id in self.configs:
-            raise ValueError(f"index {config.id} already exists")
-        path = self._index_dir(config.id)
-        if os.path.exists(path) and not os.path.exists(
-                os.path.join(path, "config.json")):
-            shutil.rmtree(path, ignore_errors=True)
-        if os.path.exists(os.path.join(path, "config.json")):
-            on_disk = IndexCatalog(path).load_config()
-            mismatches = {
-                f.name: (getattr(config, f.name), getattr(on_disk, f.name))
-                for f in dataclasses.fields(IndexConfig)
-                if getattr(config, f.name) != getattr(on_disk, f.name)
-                # build-time auto-resolved knobs: a None request adopts
-                # whatever the build resolved
-                and not (getattr(config, f.name) is None
-                         and f.name in ("range_bits", "n_term_buckets",
-                                        "files_per_bucket",
-                                        "docs_range_bits"))
-            }
-            if mismatches:
-                raise ValueError(
-                    f"cannot adopt index dir {path}: registered config "
-                    f"disagrees with how it was built: {mismatches}")
-            config = on_disk  # register the authoritative built config
-        self.configs[config.id] = config
-        self._save_configs()
+        with self._reg_lock:
+            if config.id in self.configs:
+                raise ValueError(f"index {config.id} already exists")
+            path = self._index_dir(config.id)
+            if os.path.exists(path) and not os.path.exists(
+                    os.path.join(path, "config.json")):
+                shutil.rmtree(path, ignore_errors=True)
+            if os.path.exists(os.path.join(path, "config.json")):
+                on_disk = IndexCatalog(path).load_config()
+                mismatches = {
+                    f.name: (getattr(config, f.name),
+                             getattr(on_disk, f.name))
+                    for f in dataclasses.fields(IndexConfig)
+                    if getattr(config, f.name) != getattr(on_disk, f.name)
+                    # build-time auto-resolved knobs: a None request
+                    # adopts whatever the build resolved
+                    and not (getattr(config, f.name) is None
+                             and f.name in ("range_bits", "n_term_buckets",
+                                            "files_per_bucket",
+                                            "docs_range_bits"))
+                }
+                if mismatches:
+                    raise ValueError(
+                        f"cannot adopt index dir {path}: registered config "
+                        f"disagrees with how it was built: {mismatches}")
+                config = on_disk  # register the authoritative built config
+            self.configs[config.id] = config
+            self._save_configs()
 
     def get_index(self, idx_id: str) -> tuple[IndexCatalog, IndexConfig]:
-        if idx_id not in self.configs:
-            raise KeyError(f"index {idx_id} not found")
-        return IndexCatalog(self._index_dir(idx_id)), self.configs[idx_id]
+        with self._reg_lock:
+            if idx_id not in self.configs:
+                raise KeyError(f"index {idx_id} not found")
+            return IndexCatalog(self._index_dir(idx_id)), self.configs[idx_id]
 
     def update_index(self, idx_id: str, config: IndexConfig) -> None:
         """Replace the registered config; the id cannot change
         (store.go:185-199)."""
-        if idx_id not in self.configs:
-            raise KeyError(f"index {idx_id} not found")
-        self.configs[idx_id] = dataclasses.replace(config, id=idx_id)
-        self._save_configs()
+        with self._reg_lock:
+            if idx_id not in self.configs:
+                raise KeyError(f"index {idx_id} not found")
+            self.configs[idx_id] = dataclasses.replace(config, id=idx_id)
+            self._save_configs()
 
     def delete_index(self, idx_id: str) -> None:
-        if idx_id not in self.configs:
-            raise KeyError(f"index {idx_id} not found")
-        shutil.rmtree(self._index_dir(idx_id), ignore_errors=True)
-        self.configs.pop(idx_id)
-        self._engines.pop(idx_id, None)
-        self._save_configs()
+        # the index write lock first (outer): deletion waits for any
+        # in-flight write batch to finish; a concurrent second delete
+        # (or a write racing the delete) then fails the registered
+        # check under the registry lock — the reference's 404
+        with self._index_lock(idx_id):
+            with self._reg_lock:
+                if idx_id not in self.configs:
+                    self._index_locks.pop(idx_id, None)
+                    raise KeyError(f"index {idx_id} not found")
+                self.configs.pop(idx_id)
+                self._engines.pop(idx_id, None)
+                self._index_locks.pop(idx_id, None)
+                self._save_configs()
+            shutil.rmtree(self._index_dir(idx_id), ignore_errors=True)
 
     def list_indexes(self, limit: int = 20, offset: int = 0) -> list[IndexConfig]:
         """Registry slice (store.go:201-224; deterministic id order
         where the reference has Go map order)."""
-        all_cfgs = [self.configs[i] for i in sorted(self.configs)]
+        with self._reg_lock:
+            all_cfgs = [self.configs[i] for i in sorted(self.configs)]
         return all_cfgs[offset:offset + limit]
 
     # ------------------------------------------------------ documents
@@ -139,29 +184,35 @@ class IndexStore:
         """First batch builds the index; later batches upsert
         (documents.go:181-198 -> store.go:392-426). ``primary_key``
         from the config wins; otherwise U5 auto-detection."""
-        if idx_id not in self.configs:
-            raise KeyError(f"index {idx_id} not found")
-        cfg = self.configs[idx_id]
-        # cached engines are pinned to the pre-mutation snapshot — drop
-        # them so the next search opens the newly committed one
-        self._engines.pop(idx_id, None)
-        if self.is_built(idx_id):
-            from bright_spark.index.mutations import IndexMutator
-            IndexMutator(self.spark, self._index_dir(idx_id)).upsert(docs)
-            return
-        from bright_spark.index.builder import IndexBuilder, detect_primary_key
-        if "id_col" not in build_kwargs and "key_cols" not in build_kwargs:
-            pk = cfg.primary_key or detect_primary_key(docs)
-            if dict(docs.dtypes).get(pk) in ("tinyint", "smallint", "int",
-                                             "bigint"):
-                build_kwargs["id_col"] = pk
-            else:
-                build_kwargs["id_col"] = None
-                build_kwargs["key_cols"] = (pk,)
-        build_kwargs.setdefault("lang_col", None)
-        IndexBuilder(self.spark, cfg, self._index_dir(idx_id),
-                     **build_kwargs).build(docs)
-        self._engines.pop(idx_id, None)
+        with self._index_lock(idx_id):
+            with self._reg_lock:
+                if idx_id not in self.configs:
+                    raise KeyError(f"index {idx_id} not found")
+                cfg = self.configs[idx_id]
+                # cached engines are pinned to the pre-mutation snapshot
+                # — drop so the next search opens the new commit
+                self._engines.pop(idx_id, None)
+            if self.is_built(idx_id):
+                from bright_spark.index.mutations import IndexMutator
+                IndexMutator(self.spark, self._index_dir(idx_id)).upsert(docs)
+                return
+            from bright_spark.index.builder import (
+                IndexBuilder,
+                detect_primary_key,
+            )
+            if "id_col" not in build_kwargs and "key_cols" not in build_kwargs:
+                pk = cfg.primary_key or detect_primary_key(docs)
+                if dict(docs.dtypes).get(pk) in ("tinyint", "smallint", "int",
+                                                 "bigint"):
+                    build_kwargs["id_col"] = pk
+                else:
+                    build_kwargs["id_col"] = None
+                    build_kwargs["key_cols"] = (pk,)
+            build_kwargs.setdefault("lang_col", None)
+            IndexBuilder(self.spark, cfg, self._index_dir(idx_id),
+                         **build_kwargs).build(docs)
+            with self._reg_lock:
+                self._engines.pop(idx_id, None)
 
     def add_document_rows(self, idx_id: str, rows: list[dict],
                           **build_kwargs) -> None:
@@ -169,15 +220,19 @@ class IndexStore:
         path. Against a built index the batch goes straight to the
         mutator's fast regime (zero Spark jobs for small batches); the
         first batch still builds through Spark."""
-        if idx_id not in self.configs:
-            raise KeyError(f"index {idx_id} not found")
-        if self.is_built(idx_id):
-            self._engines.pop(idx_id, None)
-            from bright_spark.index.mutations import IndexMutator
-            IndexMutator(self.spark, self._index_dir(idx_id)).upsert_rows(rows)
-            return
-        self.add_documents(idx_id, self.spark.createDataFrame(rows),
-                           **build_kwargs)
+        with self._index_lock(idx_id):
+            with self._reg_lock:
+                if idx_id not in self.configs:
+                    raise KeyError(f"index {idx_id} not found")
+            if self.is_built(idx_id):
+                with self._reg_lock:
+                    self._engines.pop(idx_id, None)
+                from bright_spark.index.mutations import IndexMutator
+                IndexMutator(self.spark,
+                             self._index_dir(idx_id)).upsert_rows(rows)
+                return
+            self.add_documents(idx_id, self.spark.createDataFrame(rows),
+                               **build_kwargs)
 
     def delete_documents(self, idx_id: str, ids: list[int] | None = None,
                          filter_query: str | None = None) -> None:
@@ -185,19 +240,22 @@ class IndexStore:
         delete by explicit id list OR by a query-string filter over the
         same evaluator as search; providing neither is a request error
         (the reference refuses a bare delete-all the same way)."""
-        if idx_id not in self.configs:
-            raise KeyError(f"index {idx_id} not found")
         if not ids and not filter_query:
             raise ValueError(
                 "must provide ids or filter_query to delete documents")
-        from bright_spark.index.mutations import IndexMutator
-        self._engines.pop(idx_id, None)
-        mut = IndexMutator(self.spark, self._index_dir(idx_id))
-        if ids:
-            mut.delete_ids(list(ids))
-        else:
-            mut.delete_by_query(filter_query)
-        self._engines.pop(idx_id, None)
+        with self._index_lock(idx_id):
+            with self._reg_lock:
+                if idx_id not in self.configs:
+                    raise KeyError(f"index {idx_id} not found")
+                self._engines.pop(idx_id, None)
+            from bright_spark.index.mutations import IndexMutator
+            mut = IndexMutator(self.spark, self._index_dir(idx_id))
+            if ids:
+                mut.delete_ids(list(ids))
+            else:
+                mut.delete_by_query(filter_query)
+            with self._reg_lock:
+                self._engines.pop(idx_id, None)
 
     def delete_document(self, idx_id: str, doc_id: int) -> None:
         """DELETE /indexes/:id/documents/:documentid
@@ -210,16 +268,19 @@ class IndexStore:
         (handlers/documents.go:279-320): fetch the stored doc, merge
         the given fields, re-index, return the merged record. Missing
         doc -> KeyError (the reference's 404)."""
-        if idx_id not in self.configs:
-            raise KeyError(f"index {idx_id} not found")
-        from bright_spark.index.mutations import IndexMutator
-        self._engines.pop(idx_id, None)
-        mut = IndexMutator(self.spark, self._index_dir(idx_id))
-        mut.patch(int(doc_id), fields)  # raises KeyError when absent
-        self._engines.pop(idx_id, None)
-        row = (IndexCatalog(self._index_dir(idx_id))
-               .docs_for_ids(self.spark, [int(doc_id)]).collect())
-        return row[0].asDict() if row else {}
+        with self._index_lock(idx_id):
+            with self._reg_lock:
+                if idx_id not in self.configs:
+                    raise KeyError(f"index {idx_id} not found")
+                self._engines.pop(idx_id, None)
+            from bright_spark.index.mutations import IndexMutator
+            mut = IndexMutator(self.spark, self._index_dir(idx_id))
+            mut.patch(int(doc_id), fields)  # raises KeyError when absent
+            with self._reg_lock:
+                self._engines.pop(idx_id, None)
+            row = (IndexCatalog(self._index_dir(idx_id))
+                   .docs_for_ids(self.spark, [int(doc_id)]).collect())
+            return row[0].asDict() if row else {}
 
     def engine(self, idx_id: str):
         """SearchEngine for a built index, cached per store BUT
@@ -229,16 +290,29 @@ class IndexStore:
         search, exactly like the reference's store serving fresh
         results after a poll cycle. The staleness check is one tiny
         CURRENT read per call."""
-        if idx_id not in self.configs:
-            raise KeyError(f"index {idx_id} not found")
+        with self._reg_lock:
+            if idx_id not in self.configs:
+                raise KeyError(f"index {idx_id} not found")
+            eng = self._engines.get(idx_id)
         if not self.is_built(idx_id):
             return None
-        eng = self._engines.get(idx_id)
         live = IndexCatalog(self._index_dir(idx_id)).current_snapshot_id()
         if eng is None or eng.snapshot_id != live:
+            # engine construction runs Spark reads — outside _reg_lock.
+            # Two threads may race here; both engines are valid (each
+            # pins a committed snapshot) but only a NEWER pin may
+            # replace the cache — last-cached-wins would let a reader's
+            # view regress to an older snapshot (reads must be
+            # monotonic; test_store_concurrency pins this per reader)
             from bright_spark.query.engine import SearchEngine
             eng = SearchEngine(self.spark, self._index_dir(idx_id))
-            self._engines[idx_id] = eng
+            with self._reg_lock:
+                if idx_id in self.configs:
+                    cached = self._engines.get(idx_id)
+                    if cached is None or cached.snapshot_id < eng.snapshot_id:
+                        self._engines[idx_id] = eng
+                    else:
+                        eng = cached
         return eng
 
     def search(self, idx_id: str, request: SearchRequest | str) -> SearchResponse:
