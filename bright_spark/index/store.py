@@ -41,6 +41,7 @@ import json
 import os
 import shutil
 import threading
+from contextlib import contextmanager
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -73,6 +74,25 @@ class IndexStore:
             if lk is None:
                 lk = self._index_locks[idx_id] = threading.RLock()
             return lk
+
+    @contextmanager
+    def _locked_index(self, idx_id: str):
+        """Acquire the index's CURRENT lock object: a thread that
+        blocked on a lock made stale by delete+recreate of the same id
+        must not proceed alongside a holder of the fresh lock — after
+        acquiring, re-check identity against the registry and retry on
+        a stale object."""
+        while True:
+            lk = self._index_lock(idx_id)
+            lk.acquire()
+            with self._reg_lock:
+                if self._index_locks.get(idx_id) is lk:
+                    break
+            lk.release()
+        try:
+            yield
+        finally:
+            lk.release()
 
     # ------------------------------------------------------- registry
 
@@ -160,7 +180,7 @@ class IndexStore:
         # in-flight write batch to finish; a concurrent second delete
         # (or a write racing the delete) then fails the registered
         # check under the registry lock — the reference's 404
-        with self._index_lock(idx_id):
+        with self._locked_index(idx_id):
             with self._reg_lock:
                 if idx_id not in self.configs:
                     self._index_locks.pop(idx_id, None)
@@ -184,7 +204,7 @@ class IndexStore:
         """First batch builds the index; later batches upsert
         (documents.go:181-198 -> store.go:392-426). ``primary_key``
         from the config wins; otherwise U5 auto-detection."""
-        with self._index_lock(idx_id):
+        with self._locked_index(idx_id):
             with self._reg_lock:
                 if idx_id not in self.configs:
                     raise KeyError(f"index {idx_id} not found")
@@ -220,7 +240,7 @@ class IndexStore:
         path. Against a built index the batch goes straight to the
         mutator's fast regime (zero Spark jobs for small batches); the
         first batch still builds through Spark."""
-        with self._index_lock(idx_id):
+        with self._locked_index(idx_id):
             with self._reg_lock:
                 if idx_id not in self.configs:
                     raise KeyError(f"index {idx_id} not found")
@@ -243,7 +263,7 @@ class IndexStore:
         if not ids and not filter_query:
             raise ValueError(
                 "must provide ids or filter_query to delete documents")
-        with self._index_lock(idx_id):
+        with self._locked_index(idx_id):
             with self._reg_lock:
                 if idx_id not in self.configs:
                     raise KeyError(f"index {idx_id} not found")
@@ -268,7 +288,7 @@ class IndexStore:
         (handlers/documents.go:279-320): fetch the stored doc, merge
         the given fields, re-index, return the merged record. Missing
         doc -> KeyError (the reference's 404)."""
-        with self._index_lock(idx_id):
+        with self._locked_index(idx_id):
             with self._reg_lock:
                 if idx_id not in self.configs:
                     raise KeyError(f"index {idx_id} not found")
