@@ -289,3 +289,65 @@ def test_ingress_routes_503_without_manager(spark, tmp_path_factory):
         assert st == 503 and "ingress manager" in body["error"]
     finally:
         srv.shutdown()
+
+
+def test_concurrent_wire_requests(api):
+    """The reference is served by Fiber (goroutine per request) over a
+    lock-guarded store; our analog is ThreadingHTTPServer over the
+    locked IndexStore. Drive the real wire concurrently: parallel
+    creates of distinct ids, parallel document batches into ONE index,
+    and searches racing the writes — every response well-formed, every
+    row landing exactly once."""
+    base, _ = api
+    errs = []
+
+    def create(i):
+        try:
+            st, _ = call(base, "POST", "/indexes",
+                         {"id": f"cw{i}", "tokenizer": "simple"})
+            assert st == 201, st
+        except Exception as e:
+            errs.append(repr(e))
+
+    threads = [threading.Thread(target=create, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert not errs and not [t for t in threads if t.is_alive()]
+    st, body = call(base, "GET", "/indexes?limit=100")
+    listed = {it["id"] for it in body["items"]}
+    assert {f"cw{i}" for i in range(6)} <= listed
+
+    # first batch builds (serialized by the store's index lock even
+    # though three arrive at once), later batches upsert
+    def add(lo):
+        try:
+            st, body = call(base, "POST", "/indexes/cw0/documents",
+                            [{"rid": i, "content": f"widget {i} alpha"}
+                             for i in range(lo, lo + 10)])
+            assert st == 201 and body == {"indexed": 10}, (st, body)
+        except Exception as e:
+            errs.append(repr(e))
+
+    def probe():
+        try:
+            for _ in range(10):
+                st, body = call(base, "POST",
+                                "/indexes/cw0/searches?q=alpha&limit=1")
+                assert st == 200 and "totalHits" in body, (st, body)
+        except Exception as e:
+            errs.append(repr(e))
+
+    threads = ([threading.Thread(target=add, args=(lo,))
+                for lo in (0, 100, 200)]
+               + [threading.Thread(target=probe)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errs and not [t for t in threads if t.is_alive()]
+    st, body = call(base, "POST", "/indexes/cw0/searches?q=alpha&limit=1")
+    assert st == 200 and body["totalHits"] == 30
+    for i in range(6):
+        call(base, "DELETE", f"/indexes/cw{i}")
