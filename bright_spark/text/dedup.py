@@ -198,30 +198,91 @@ class ClusteringNotConverged(RuntimeError):
     the cap (rounds needed = diameter, each round is one join)."""
 
 
+def _components_numpy(src: "np.ndarray", dst: "np.ndarray"):
+    """Vectorized connected components over dense-indexed edges:
+    alternating min-scatter passes (np.minimum.at both directions) with
+    pointer halving to a fixpoint — O(E) per pass, O(log diameter)
+    passes. Returns (unique_ids, min_reachable_id per unique id)."""
+    import numpy as np
+    ids = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(ids, src)
+    d = np.searchsorted(ids, dst)
+    lbl = np.arange(ids.size, dtype=np.int64)
+    while True:
+        old = lbl
+        lbl = lbl.copy()
+        np.minimum.at(lbl, d, lbl[s])
+        np.minimum.at(lbl, s, lbl[d])
+        while True:  # halve chains: lbl := lbl[lbl] to fixpoint
+            nxt = lbl[lbl]
+            if np.array_equal(nxt, lbl):
+                break
+            lbl = nxt
+        if np.array_equal(lbl, old):
+            break
+    # ids is sorted, so min dense index == min id
+    return ids, ids[lbl]
+
+
 def duplicate_clusters(df: DataFrame, pairs: DataFrame,
                        id_col: str = "doc_id",
-                       max_rounds: int = 100) -> DataFrame:
+                       max_rounds: int = 100,
+                       driver_max_edges: int = 5_000_000) -> DataFrame:
     """Canonical assignment over a near-dup pair graph: every doc gets
     ``cluster_id`` = the minimum doc_id reachable through pairs
     (connected components); singletons label themselves. Keep one doc
     per cluster_id to dedup.
 
-    Implementation: iterative min-label propagation — per round one
-    join + groupBy (label(v) := min(label(v), min of neighbors'
-    labels)), stopping when a round changes nothing. Rounds needed =
-    graph diameter; near-dup components are dense and tiny, so this
-    converges in 2-3 rounds at any corpus size — but templated/
-    boilerplate corpora can chain near-dups into long paths, so
-    non-convergence within ``max_rounds`` raises
-    :class:`ClusteringNotConverged` instead of silently returning
-    split components. Each round's labels are localCheckpointed:
-    iterative lineage would otherwise grow a plan of depth
-    O(rounds)."""
+    Two regimes, chosen by the MATERIALIZED edge count — the near-dup
+    graph is tiny relative to the corpus by construction (it holds only
+    actual near-duplicates), so corpus scale does not decide the path:
+
+    - ``|edges| <= driver_max_edges`` (default 5M ~ 80 MB): ONE bounded
+      collect of (src, dst) and vectorized numpy components (min-
+      scatter + pointer halving, O(E log d)); the corpus itself never
+      leaves the cluster — only the dup subgraph does, and the label
+      map broadcasts back into a single join. The same driver-sidecar
+      call the IVF leader ranking makes.
+    - bigger: distributed min-label propagation with pointer halving —
+      per round one join + groupBy (label(v) := min over neighbors)
+      plus one hop join (lbl := lbl(lbl)), stopping when a round
+      changes nothing; halving bounds rounds by O(log diameter), so
+      boilerplate corpora that chain near-dups into long paths stay
+      cheap. Non-convergence within ``max_rounds`` still raises
+      :class:`ClusteringNotConverged` rather than silently returning
+      split components. Each round's labels are localCheckpointed:
+      iterative lineage would otherwise grow a plan of depth
+      O(rounds)."""
+    import numpy as np
+    import pandas as pd
+
     nodes = df.select(F.col(id_col).alias("id")).distinct()
     edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
              .unionByName(pairs.select(F.col("id_b").alias("src"),
                                        F.col("id_a").alias("dst")))
              .distinct())
+    # the pair computation feeding `edges` (LSH/band joins + verify) is
+    # the expensive part of the whole operator — materialize it ONCE:
+    # without this every propagation round (join + convergence count)
+    # re-executes the full candidate+verify dataflow from scratch
+    edges = edges.localCheckpoint(eager=True)
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return nodes.select(F.col("id").alias("doc_id"),
+                            F.col("id").alias("cluster_id"))
+    if n_edges <= driver_max_edges:
+        epdf = edges.toPandas()
+        ids, cluster = _components_numpy(
+            epdf["src"].to_numpy(np.int64), epdf["dst"].to_numpy(np.int64))
+        spark = df.sparkSession
+        lmap = spark.createDataFrame(
+            pd.DataFrame({"id": ids, "lbl": cluster}),
+            "id BIGINT, lbl BIGINT")
+        return (nodes.join(F.broadcast(lmap), "id", "left")
+                .select(F.col("id").alias("doc_id"),
+                        F.coalesce("lbl", "id").alias("cluster_id")))
+
     labels = nodes.select("id", F.col("id").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_rounds):
@@ -230,6 +291,15 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame,
                  .withColumnRenamed("dst", "id"))
         new_labels = (labels.join(neigh, "id", "left")
                       .select("id", F.least("lbl", F.coalesce("nlbl", "lbl"))
+                              .alias("lbl")))
+        # pointer halving: every lbl is itself a node id, so follow it
+        # one hop (lbl := lbl(lbl)) — labels stay a monotone min over
+        # reachable ids (same fixpoint) but long chains collapse in
+        # O(log diameter) rounds instead of O(diameter)
+        hop = new_labels.select(F.col("id").alias("lbl"),
+                                F.col("lbl").alias("hop_lbl"))
+        new_labels = (new_labels.join(hop, "lbl", "left")
+                      .select("id", F.coalesce("hop_lbl", "lbl")
                               .alias("lbl")))
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")

@@ -189,11 +189,17 @@ def test_duplicate_clusters_chain(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in duplicate_clusters(docs, pairs).collect()}
     assert got == {i: 0 for i in range(n)}
-    # a diameter beyond the round cap must RAISE, never silently
-    # return split components (wrong cluster_ids)
+    # the distributed fallback (forced via driver_max_edges=0) agrees
+    dist = {r["doc_id"]: r["cluster_id"]
+            for r in duplicate_clusters(docs, pairs,
+                                        driver_max_edges=0).collect()}
+    assert dist == got
+    # a diameter beyond the distributed round cap must RAISE, never
+    # silently return split components (wrong cluster_ids); the driver
+    # path has no round cap (vectorized halving always converges)
     from bright_spark.text.dedup import ClusteringNotConverged
     with pytest.raises(ClusteringNotConverged):
-        duplicate_clusters(docs, pairs, max_rounds=3)
+        duplicate_clusters(docs, pairs, max_rounds=1, driver_max_edges=0)
 
 
 def test_deterministic_split_and_sample(spark):
