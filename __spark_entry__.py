@@ -370,6 +370,16 @@ def _q_text_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("containment", 6).alias("containment")))
 
 
+def _q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-self-trained unigram-LM perplexity (CCNet-style quality
+    # filter, kenlm-free variant); rounded for cross-engine float parity
+    from bright_spark.text.quality import lm_perplexity
+    out = lm_perplexity(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_tokens",
+                      F.round("cross_entropy", 6).alias("cross_entropy"),
+                      F.round("perplexity", 4).alias("perplexity"))
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.dedup import simhash
     return simhash(_docs(spark, sf_dir)).select(
@@ -670,6 +680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": _q_text_bpe_tokens,
         "text_decontaminate": _q_text_decontaminate,
         "text_decontaminate_fuzzy": _q_text_decontaminate_fuzzy,
+        "text_lm_perplexity": _q_text_lm_perplexity,
         "text_quality": _q_text_quality,
         "text_redact": _q_text_redact,
         "text_repetition": _q_text_repetition,
@@ -1176,6 +1187,20 @@ SELECT s.doc_id, count(*)::BIGINT AS n_hits, min(s.shingle) AS first_ngram
 FROM sh s JOIN probe USING (shingle)
 WHERE s.doc_id % 97 <> 0
 GROUP BY s.doc_id""",
+        "text_lm_perplexity": """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+e AS (SELECT doc_id, unnest(t) AS term FROM t),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM e GROUP BY 1, 2),
+vocab AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY 1),
+tot AS (SELECT sum(cf)::DOUBLE AS total, count(*)::BIGINT AS vsize FROM vocab),
+sc AS (SELECT f.doc_id,
+              -sum(f.tf * ln((v.cf + 0.5) / (tot.total + 0.5 * tot.vsize)))
+                / sum(f.tf) AS h,
+              sum(f.tf)::BIGINT AS n
+       FROM tf f JOIN vocab v USING (term), tot GROUP BY 1)
+SELECT doc_id, n AS n_tokens, round(h, 6) AS cross_entropy,
+       round(exp(h), 4) AS perplexity
+FROM sc""",
         "text_bpe_tokens": r"""
 SELECT doc_id,
        coalesce(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')), 0)::BIGINT AS n_pretokens,

@@ -127,6 +127,8 @@ def main() -> None:
         timed("text_redact", lambda: redact_pii(docs).count())
         timed("text_repetition",
               lambda: repetition_profile(docs).count())
+        from bright_spark.text.quality import lm_perplexity
+        timed("text_lm_perplexity", lambda: lm_perplexity(docs).count())
 
         from bright_spark.text.dedup import near_duplicates_simhash
         timed("dedup_simhash64_pairs",

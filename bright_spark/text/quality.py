@@ -157,3 +157,45 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
             .select("doc_id",
                     F.coalesce("lang_pred", F.lit("unknown")).alias("lang_pred"),
                     F.coalesce("marker_hits", F.lit(0)).alias("marker_hits")))
+
+
+def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  k_smooth: float = 0.5) -> DataFrame:
+    """Corpus-self-trained unigram-LM quality score — the CCNet-style
+    perplexity filter with the LM estimated from the corpus itself
+    (CCNet proper uses a 5-gram KenLM trained on Wikipedia; the
+    sandbox has no kenlm, and the unigram-over-own-corpus variant is
+    the same signal class: boilerplate and natural prose score LOW
+    perplexity, junk/garbled/off-distribution docs score HIGH).
+
+    Per doc: cross_entropy = -(1/n) * sum_t tf(t) * ln p(t) over the
+    add-k-smoothed corpus unigram distribution
+    p(t) = (cf(t) + k) / (total + k*|V|); perplexity = exp(H).
+
+    100 TB shape: one token explode -> (doc, term) tf -> term-grouped
+    vocab (map-side combinable); the scoring join tf JOIN vocab ON
+    term lets AQE broadcast the vocab when it fits and fall back to a
+    term-keyed shuffle join when it does not (a 10^12-doc code corpus
+    can exceed broadcast size); the vocab frame is localCheckpointed
+    so the totals aggregate and the scoring join share ONE
+    materialization; the only collect is two scalars (total, |V|)."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = (tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+             .localCheckpoint(eager=False))
+    tot = vocab.agg(F.sum("cf").alias("total"),
+                    F.count("*").alias("vsize")).collect()[0]
+    total, vsize = int(tot["total"]), int(tot["vsize"])
+    logp = F.log((F.col("cf") + F.lit(float(k_smooth)))
+                 / F.lit(float(total) + float(k_smooth) * vsize))
+    per_doc = (tf.join(vocab, "term")
+               .groupBy("doc_id")
+               .agg((-F.sum(F.col("tf") * logp) / F.sum("tf"))
+                    .alias("cross_entropy"),
+                    F.sum("tf").alias("n_tokens")))
+    return per_doc.select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cross_entropy").alias("cross_entropy"),
+        F.exp("cross_entropy").alias("perplexity"))

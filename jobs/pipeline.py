@@ -13,6 +13,7 @@ also reads ``lang`` when present):
     redact           PII-scrubbed text + per-category counts
     quality          quality features + composite score
     repetition       repeated-3-gram boilerplate ratio
+    lm_perplexity    corpus-self-trained unigram-LM perplexity filter
     tokens           token stats (counts, distinct ratio, lengths)
     bpe_tokens       BPE-ish pre-token counts
     fingerprint      bag-of-words md5 fingerprint
@@ -95,6 +96,9 @@ def main() -> None:
     elif args.op == "repetition":
         from bright_spark.text.quality import repetition_profile
         out = repetition_profile(docs, k=args.ngram)
+    elif args.op == "lm_perplexity":
+        from bright_spark.text.quality import lm_perplexity
+        out = lm_perplexity(docs)
     elif args.op == "tokens":
         from bright_spark.text.quality import token_stats
         out = token_stats(docs)

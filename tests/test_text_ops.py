@@ -492,3 +492,31 @@ def test_stratified_sample(spark):
     import pytest
     with pytest.raises(ValueError):
         stratified_sample(df)
+
+
+def test_lm_perplexity_fixture(spark):
+    """Hand-computable unigram LM: the common-word doc scores LOWER
+    perplexity than the doc of hapaxes; values match the closed form."""
+    import math
+
+    import pandas as pd
+
+    from bright_spark.text.quality import lm_perplexity
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["cat cat cat", "cat cat dog", "emu fox gnu"],
+    }))
+    got = {r["doc_id"]: r for r in lm_perplexity(docs).collect()}
+    # corpus: cf(cat)=5 dog=1 emu=1 fox=1 gnu=1, total=9, |V|=5, k=0.5
+    denom = 9 + 0.5 * 5
+    p = {"cat": 5.5 / denom, "dog": 1.5 / denom,
+         "emu": 1.5 / denom, "fox": 1.5 / denom, "gnu": 1.5 / denom}
+    h0 = -math.log(p["cat"])
+    h1 = -(2 * math.log(p["cat"]) + math.log(p["dog"])) / 3
+    h2 = -(math.log(p["emu"]) + math.log(p["fox"]) + math.log(p["gnu"])) / 3
+    for d, h in ((0, h0), (1, h1), (2, h2)):
+        assert got[d]["n_tokens"] == 3
+        assert abs(got[d]["cross_entropy"] - h) < 1e-9
+        assert abs(got[d]["perplexity"] - math.exp(h)) < 1e-6
+    assert (got[0]["perplexity"] < got[1]["perplexity"]
+            < got[2]["perplexity"])
