@@ -110,3 +110,22 @@ def test_probe_containment_broadcasts_probe_side(spark):
     # has exactly those two joins, so no join may shuffle corpus rows
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_lm_perplexity_partial_aggregation(spark):
+    """The LM vocab build must be a partial (map-side combinable)
+    aggregate and the scoring join must be a hash join on term — a
+    regression to a global sort or cartesian would still pass on tiny
+    corpora but die at 10^12 docs."""
+    import pandas as pd
+
+    from bright_spark.text.quality import lm_perplexity
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"alpha beta tok{i % 7} gamma" for i in range(40)]}))
+    df = lm_perplexity(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "Join" in plan  # the tf x vocab scoring join survives

@@ -520,3 +520,39 @@ def test_lm_perplexity_fixture(spark):
         assert abs(got[d]["perplexity"] - math.exp(h)) < 1e-6
     assert (got[0]["perplexity"] < got[1]["perplexity"]
             < got[2]["perplexity"])
+
+
+def test_components_numpy_vs_union_find():
+    """Property: the vectorized min-scatter+halving kernel equals
+    classic union-find on random graphs (including multi-edges,
+    self-referential chains, and disjoint components)."""
+    import numpy as np
+
+    from bright_spark.text.dedup import _components_numpy
+
+    rng = np.random.default_rng(11)
+    for trial in range(25):
+        n = int(rng.integers(2, 60))
+        m = int(rng.integers(1, 120))
+        src = rng.integers(0, 1000, size=m).astype(np.int64)
+        dst = rng.integers(0, 1000, size=m).astype(np.int64)
+        ids, cl = _components_numpy(src, dst)
+        parent = {int(i): int(i) for i in ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(src.tolist(), dst.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots: dict[int, int] = {}
+        expect = {}
+        for i in sorted(parent):
+            roots.setdefault(find(i), i)
+            expect[i] = roots[find(i)]
+        got = dict(zip(ids.tolist(), cl.tolist()))
+        assert got == expect, f"trial {trial}"
