@@ -380,6 +380,16 @@ def _q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("perplexity", 4).alias("perplexity"))
 
 
+def _q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus vocabulary artifact (tokenizer/BPE training input):
+    # (term, cf, df, rank) with deterministic cf-desc/term-asc ranking
+    from bright_spark.text.quality import vocabulary
+    out = vocabulary(_docs(spark, sf_dir))
+    return out.select("term", F.col("cf").cast("bigint").alias("cf"),
+                      F.col("df").cast("bigint").alias("df"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bright_spark.text.dedup import simhash
     return simhash(_docs(spark, sf_dir)).select(
@@ -681,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": _q_text_decontaminate,
         "text_decontaminate_fuzzy": _q_text_decontaminate_fuzzy,
         "text_lm_perplexity": _q_text_lm_perplexity,
+        "text_vocabulary": _q_text_vocabulary,
         "text_quality": _q_text_quality,
         "text_redact": _q_text_redact,
         "text_repetition": _q_text_repetition,
@@ -1201,6 +1212,15 @@ sc AS (SELECT f.doc_id,
 SELECT doc_id, n AS n_tokens, round(h, 6) AS cross_entropy,
        round(exp(h), 4) AS perplexity
 FROM sc""",
+        "text_vocabulary": """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+e AS (SELECT doc_id, unnest(t) AS term FROM t),
+v AS (SELECT term, count(*)::BIGINT AS cf,
+             count(DISTINCT doc_id)::BIGINT AS df
+      FROM e GROUP BY 1)
+SELECT term, cf, df,
+       row_number() OVER (ORDER BY cf DESC, term ASC)::BIGINT AS rank
+FROM v""",
         "text_bpe_tokens": r"""
 SELECT doc_id,
        coalesce(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+')), 0)::BIGINT AS n_pretokens,

@@ -199,3 +199,27 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
         "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("cross_entropy").alias("cross_entropy"),
         F.exp("cross_entropy").alias("perplexity"))
+
+
+def vocabulary(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """Corpus vocabulary artifact — (term, cf, df, rank): collection
+    frequency, document frequency, and frequency rank (cf desc, term
+    asc tie-break). The standard input to tokenizer/BPE training,
+    stopword derivation, and OOV analysis.
+
+    100 TB shape: one token explode -> per-doc distinct for df + plain
+    count for cf, both map-side combinable; the final rank is a global
+    sort over the VOCABULARY (term-aggregated — millions of rows at
+    any corpus size, not corpus-sized), which a single orderBy handles
+    at every scale that matters."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(tokens_col(text_col)).alias("term"))
+    agg = (toks.groupBy("term")
+           .agg(F.count("*").alias("cf"),
+                F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("cf") >= min_count))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
+    return agg.select("term", "cf", "df",
+                      F.row_number().over(w).alias("rank"))

@@ -14,6 +14,7 @@ also reads ``lang`` when present):
     quality          quality features + composite score
     repetition       repeated-3-gram boilerplate ratio
     lm_perplexity    corpus-self-trained unigram-LM perplexity filter
+    vocab            corpus vocabulary artifact (term, cf, df, rank)
     tokens           token stats (counts, distinct ratio, lengths)
     bpe_tokens       BPE-ish pre-token counts
     fingerprint      bag-of-words md5 fingerprint
@@ -99,6 +100,9 @@ def main() -> None:
     elif args.op == "lm_perplexity":
         from bright_spark.text.quality import lm_perplexity
         out = lm_perplexity(docs)
+    elif args.op == "vocab":
+        from bright_spark.text.quality import vocabulary
+        out = vocabulary(docs)
     elif args.op == "tokens":
         from bright_spark.text.quality import token_stats
         out = token_stats(docs)

@@ -556,3 +556,21 @@ def test_components_numpy_vs_union_find():
             expect[i] = roots[find(i)]
         got = dict(zip(ids.tolist(), cl.tolist()))
         assert got == expect, f"trial {trial}"
+
+
+def test_vocabulary_fixture(spark):
+    """Hand-computable vocab: cf counts repeats, df counts docs, rank
+    is cf-desc with lexicographic tie-break."""
+    import pandas as pd
+
+    from bright_spark.text.quality import vocabulary
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["cat cat dog", "dog emu"],
+    }))
+    got = {r["term"]: (r["cf"], r["df"], r["rank"])
+           for r in vocabulary(docs).collect()}
+    assert got == {"cat": (2, 1, 1), "dog": (2, 2, 2), "emu": (1, 1, 3)}
+    # min_count prunes the tail
+    got2 = {r["term"] for r in vocabulary(docs, min_count=2).collect()}
+    assert got2 == {"cat", "dog"}
