@@ -23,14 +23,70 @@ from pyspark.sql import functions as F
 K1, B = 1.2, 0.75
 _GATE_DIR = "/tmp/bright_spark_gate"
 _ENGINES: dict[str, object] = {}
+_TUNED: set[int] = set()
+
+
+def _tune(spark: SparkSession) -> SparkSession:
+    """Once-per-session runtime perf conf for the DRIVER's session.
+
+    The gate corpus is tiny (sf<=0.01), so a stock 200-partition
+    shuffle spends the whole per-round budget scheduling empty tasks —
+    the r4 gate truncated at 50/54 entries for exactly this reason.
+    Every key here is a documented runtime-mutable SQL conf; none
+    affects results, only task counts. check_gate's own session
+    (bright_spark.session.get_spark) already runs with these."""
+    key = id(spark)
+    if key not in _TUNED:
+        for k, v in (("spark.sql.shuffle.partitions", "16"),
+                     ("spark.sql.adaptive.enabled", "true"),
+                     ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+                     ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+                     ("spark.sql.session.timeZone", "UTC")):
+            try:
+                spark.conf.set(k, v)
+            except Exception:
+                pass  # a locked conf is never worth failing the gate
+        _TUNED.add(key)
+    return spark
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs at threshold 0.5, computed ONCE per sf
+    dir and lazily checkpointed: dedup_minhash_lsh returns them and
+    dedup_clusters consumes them — two gate entries, one dataflow."""
+    key = ("mh_pairs", os.path.abspath(sf_dir))
+    df = _ENGINES.get(key)
+    if df is None:
+        from bright_spark.text.dedup import near_duplicates_minhash
+        df = near_duplicates_minhash(
+            _docs(spark, sf_dir), threshold=0.5).localCheckpoint(eager=False)
+        _ENGINES[key] = df
+    return df
+
+
+def _cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (LSH candidates + exact cosine verify),
+    computed ONCE per sf dir: shared by ann_near_dup_cosine and
+    ann_dup_clusters the same way _minhash_pairs is shared."""
+    key = ("cos_pairs", os.path.abspath(sf_dir))
+    df = _ENGINES.get(key)
+    if df is None:
+        from bright_spark.vectors.similarity import near_duplicates_cosine
+        df = near_duplicates_cosine(
+            _emb(spark, sf_dir), threshold=0.3, n_planes=6,
+            dim=64).localCheckpoint(eager=False)
+        _ENGINES[key] = df
+    return df
 
 
 def _engine(spark: SparkSession, sf_dir: str):
@@ -301,8 +357,7 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bright_spark.text.dedup import near_duplicates_minhash
-    pairs = near_duplicates_minhash(_docs(spark, sf_dir), threshold=0.5)
+    pairs = _minhash_pairs(spark, sf_dir)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -415,9 +470,9 @@ def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # connected components over the MinHash near-dup pair graph ->
     # canonical cluster_id per doc (keep one per cluster to dedup)
-    from bright_spark.text.dedup import duplicate_clusters, near_duplicates_minhash
+    from bright_spark.text.dedup import duplicate_clusters
     docs = _docs(spark, sf_dir)
-    pairs = near_duplicates_minhash(docs, threshold=0.5)
+    pairs = _minhash_pairs(spark, sf_dir)
     return duplicate_clusters(docs, pairs).select(
         "doc_id", F.col("cluster_id").cast("bigint").alias("cluster_id"))
 
@@ -544,9 +599,7 @@ def _q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bright_spark.vectors.similarity import near_duplicates_cosine
-    pairs = near_duplicates_cosine(_emb(spark, sf_dir), threshold=0.3,
-                                   n_planes=6, dim=64)
+    pairs = _cosine_pairs(spark, sf_dir)
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
@@ -557,9 +610,8 @@ def _q_ann_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster step reuses the generic min-label propagation from the
     # text dedup family — pairs frames compose across modalities.
     from bright_spark.text.dedup import duplicate_clusters
-    from bright_spark.vectors.similarity import near_duplicates_cosine
     emb = _emb(spark, sf_dir)
-    pairs = near_duplicates_cosine(emb, threshold=0.3, n_planes=6, dim=64)
+    pairs = _cosine_pairs(spark, sf_dir)
     return (duplicate_clusters(emb, pairs, id_col="vec_id")
             .select(F.col("doc_id").cast("bigint").alias("vec_id"),
                     F.col("cluster_id").cast("bigint").alias("cluster_id")))
@@ -673,25 +725,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_sort_field": _q_sort_field,
         "ft_store_search": _q_store_search,
         "ft_store_excluded_field": _q_store_excluded_field,
-        # --- training-data pipeline operators
-        "dedup_exact": _q_dedup_exact,
+        # --- similarity search (moved UP from the dict tail: the r4
+        # driver gate ran out of budget before reaching them — these
+        # five and the heavy dedups now run while budget is plentiful,
+        # and the cheapest entries close the file)
+        "ann_cosine_topk": _q_ann_cosine,
+        "ann_lsh_topk": _q_ann_lsh,  # deterministic LSH -> full oracle
+        "ann_ivf_topk": _q_ann_ivf,  # deterministic IVF -> full oracle
+        "ann_near_dup_cosine": _q_near_dup_cosine,
+        "ann_dup_clusters": _q_ann_dup_clusters,  # shares _cosine_pairs
+        # --- training-data pipeline operators (expensive first)
         "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_clusters": _q_dedup_clusters,  # shares _minhash_pairs
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_simhash64": _q_dedup_simhash64,
         "dedup_simhash_pairs": _q_dedup_simhash_pairs,
-        "dedup_clusters": _q_dedup_clusters,
+        "dedup_exact": _q_dedup_exact,
         "dedup_cross": _q_dedup_cross,
+        "text_decontaminate": _q_text_decontaminate,
+        "text_decontaminate_fuzzy": _q_text_decontaminate_fuzzy,
+        "text_lm_perplexity": _q_text_lm_perplexity,
+        "text_vocabulary": _q_text_vocabulary,
         "text_split": _q_text_split,
         "text_pack": _q_text_pack,
         "text_sample": _q_text_sample,
         "text_stratified": _q_text_stratified,
         "text_token_stats": _q_text_token_stats,
         "text_bpe_tokens": _q_text_bpe_tokens,
-        "text_decontaminate": _q_text_decontaminate,
-        "text_decontaminate_fuzzy": _q_text_decontaminate_fuzzy,
-        "text_lm_perplexity": _q_text_lm_perplexity,
-        "text_vocabulary": _q_text_vocabulary,
         "text_quality": _q_text_quality,
         "text_redact": _q_text_redact,
         "text_repetition": _q_text_repetition,
@@ -700,12 +761,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         # --- multimodal (sampling grid; decode is env-gated)
         "media_frame_sample": _q_media_frame_sample,
-        # --- similarity search
-        "ann_cosine_topk": _q_ann_cosine,
-        "ann_lsh_topk": _q_ann_lsh,  # deterministic LSH -> full oracle
-        "ann_ivf_topk": _q_ann_ivf,  # deterministic IVF -> full oracle
-        "ann_near_dup_cosine": _q_near_dup_cosine,
-        "ann_dup_clusters": _q_ann_dup_clusters,
     }
 
 

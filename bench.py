@@ -53,9 +53,15 @@ def main() -> None:
     idx_dir = f"/tmp/bright_spark_bench_idx_{os.getpid()}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     try:
+        # store_positions pinned False: the r4 default flip to
+        # positional (models.py:75) would otherwise silently add
+        # position payloads to THIS headline number and break r1-r4
+        # comparability; the positional build is measured separately
+        # as build_index_fielded_pos below
         timed("build_index", lambda: build_index(
             spark, docs, idx_dir,
-            IndexConfig(id="bench", tokenizer="simple", n_term_buckets=8),
+            IndexConfig(id="bench", tokenizer="simple", n_term_buckets=8,
+                        store_positions=False),
             content_col="text", id_col="doc_id", lang_col="lang",
             attr_cols=("source", "n_chars"), n_build_partitions=int(cpus)))
         eng = SearchEngine(spark, idx_dir, on_overflow="truncate")

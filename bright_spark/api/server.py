@@ -34,8 +34,21 @@ handlers/{indexes,documents,search,ingresses}.go semantics):
 
 Error mapping mirrors the reference: request errors -> 400, missing
 index/document/ingress -> 404, no ingress manager -> 503
-(handlers/ingresses.go:30-34). Clustering, auth, and metrics
-middleware stay excluded per SURVEY §2.9's disposition.
+(handlers/ingresses.go:30-34). Clustering routes stay excluded per
+SURVEY §2.9's disposition.
+
+Auth (middlewares/authorization.go:14-67, main.go:219): when a master
+key is configured (``make_handler(master_key=...)`` or the
+``BRIGHT_SPARK_MASTER_KEY`` env var), every route except ``/health``
+and ``/metrics`` requires ``Authorization: Bearer <key>`` and answers
+401 with the reference's exact error envelopes otherwise; with no key
+configured authentication is disabled (config.go RequiresAuth).
+
+Metrics (main.go:210-213 registers fiberprometheus BEFORE auth): GET
+``/metrics`` serves a Prometheus-text request counter
+``bright_spark_http_requests_total{method,route,status}`` with
+Fiber-style route patterns (``/indexes/:id/documents/:docid``), no
+auth required, mirroring the reference's scrape-without-auth order.
 
 Wire safety bound: searches cap the result window at
 ``MAX_RESULT_WINDOW`` (offset+limit <= 10,000) with a 400 beyond it —
@@ -55,6 +68,7 @@ drift apart.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -98,11 +112,34 @@ def _config_json(cfg: IndexConfig) -> dict:
             "excludeAttributes": list(cfg.exclude_attributes)}
 
 
-def make_handler(store: IndexStore, ingress_manager=None):
+def _metric_route(parts: list[str]) -> str:
+    """Fiber-style route pattern for the metrics label — ids collapse
+    to :id/:docid/:iid so label cardinality is bounded by the route
+    table, never by the data."""
+    if not parts:
+        return "/"
+    if parts[0] != "indexes":
+        return "/" + parts[0]
+    out = ["indexes"]
+    if len(parts) >= 2:
+        out.append(":id")
+    if len(parts) >= 3:
+        out.append(parts[2])
+    if len(parts) >= 4:
+        out.append(":iid" if parts[2] == "ingresses" else ":docid")
+    return "/" + "/".join(out)
+
+
+def make_handler(store: IndexStore, ingress_manager=None,
+                 master_key: str | None = None):
     # one lock around store mutations: the reference serializes writes
     # per index via RW locks (store.go:18-25); a coarse lock is the
     # single-writer contract the snapshot layer assumes
     write_lock = threading.Lock()
+    if master_key is None:
+        master_key = os.environ.get("BRIGHT_SPARK_MASTER_KEY") or None
+    metrics_lock = threading.Lock()
+    request_counts: dict[tuple[str, str, str], int] = {}
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet test output
@@ -111,6 +148,11 @@ def make_handler(store: IndexStore, ingress_manager=None):
         # ----------------------------------------------------- plumbing
 
         def _json(self, code: int, payload) -> None:
+            route = getattr(self, "_route_label", None)
+            if route is not None:
+                with metrics_lock:
+                    k = (self.command, route, str(code))
+                    request_counts[k] = request_counts.get(k, 0) + 1
             if code == 204:  # RFC 9110: No Content carries no body
                 self.send_response(code)
                 self.send_header("Content-Length", "0")
@@ -134,9 +176,55 @@ def make_handler(store: IndexStore, ingress_manager=None):
             parts = [p for p in u.path.split("/") if p]
             return parts, _qs_params(u.query)
 
+        def _authorize(self) -> bool:
+            """Bearer-token check with the reference's exact 401
+            envelopes (middlewares/authorization.go:22-58)."""
+            auth = self.headers.get("Authorization") or ""
+            if not auth:
+                self._json(401, {"error": "missing authorization header"})
+                return False
+            bits = auth.split(" ", 1)
+            if len(bits) != 2 or bits[0] != "Bearer":
+                self._json(401, {
+                    "error": "invalid authorization format, expected "
+                             "'Bearer <token>'"})
+                return False
+            if bits[1] != master_key:
+                self._json(401, {"error": "invalid authorization token"})
+                return False
+            return True
+
+        def _metrics(self, parts, params) -> None:
+            with metrics_lock:
+                snap = sorted(request_counts.items())
+            lines = [
+                "# HELP bright_spark_http_requests_total Count of HTTP "
+                "requests by method, route and status.",
+                "# TYPE bright_spark_http_requests_total counter",
+            ]
+            for (method, route, status), n in snap:
+                lines.append(
+                    f'bright_spark_http_requests_total{{method="{method}"'
+                    f',route="{route}",status="{status}"}} {n}')
+            body = ("\n".join(lines) + "\n").encode()
+            self.send_response(200)
+            self.send_header("Content-Type",
+                             "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def _dispatch(self, method: str) -> None:
             try:
                 parts, params = self._route()
+                self._route_label = _metric_route(parts)
+                # metrics + health sit ABOVE auth (main.go:210-216:
+                # scraping and health checks need no credentials)
+                if method == "GET" and parts == ["metrics"]:
+                    return self._metrics(parts, params)
+                if (master_key and parts != ["health"]
+                        and not self._authorize()):
+                    return
                 handler = self._find(method, parts)
                 if handler is None:
                     return self._json(404, {"error": "not found"})
@@ -305,17 +393,29 @@ def make_handler(store: IndexStore, ingress_manager=None):
             ing.start()  # auto-start — handlers/ingresses.go:100-106
             self._json(201, ing.info())
 
+        def _scoped_ingress(self, mgr, parts):
+            """Resolve /indexes/<iid>/ingresses/<gid> with BOTH path
+            segments enforced: 404 when the index is missing, and 404
+            when the ingress exists but belongs to a different index —
+            an id must not be addressable through any index's URL."""
+            store.get_index(parts[1])  # 404 when the index is missing
+            ing = mgr.get(parts[3])
+            if ing.cfg.index_id != parts[1]:
+                raise KeyError(
+                    f"ingress {parts[3]} not found on index {parts[1]}")
+            return ing
+
         def get_ingress(self, parts, params) -> None:
             mgr = self._ingresses()
             if mgr is None:
                 return
-            self._json(200, mgr.get(parts[3]).info())
+            self._json(200, self._scoped_ingress(mgr, parts).info())
 
         def update_ingress(self, parts, params) -> None:
             mgr = self._ingresses()
             if mgr is None:
                 return
-            ing = mgr.get(parts[3])  # 404 first, like the reference
+            ing = self._scoped_ingress(mgr, parts)  # 404 first, like the reference
             b = self._body() or {}
             state = b.get("state")
             if state == "resyncing":
@@ -334,6 +434,7 @@ def make_handler(store: IndexStore, ingress_manager=None):
             mgr = self._ingresses()
             if mgr is None:
                 return
+            self._scoped_ingress(mgr, parts)
             mgr.delete(parts[3])
             self._json(204, {})
 
@@ -353,11 +454,14 @@ def make_handler(store: IndexStore, ingress_manager=None):
 
 
 def make_server(store: IndexStore, port: int = 0,
-                ingress_manager=None) -> ThreadingHTTPServer:
+                ingress_manager=None,
+                master_key: str | None = None) -> ThreadingHTTPServer:
     """Bind (port 0 = ephemeral) and return the server; the caller
     drives serve_forever (jobs/serve.py does, tests run it in a
     thread). Pass an :class:`IngressManager` to enable the
     /indexes/:id/ingresses routes (absent -> 503, like the
-    reference)."""
-    return ThreadingHTTPServer(("127.0.0.1", port),
-                               make_handler(store, ingress_manager))
+    reference); pass ``master_key`` (or set BRIGHT_SPARK_MASTER_KEY)
+    to require Bearer auth on everything below /health and /metrics."""
+    return ThreadingHTTPServer(
+        ("127.0.0.1", port),
+        make_handler(store, ingress_manager, master_key=master_key))

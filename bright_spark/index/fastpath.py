@@ -72,8 +72,9 @@ def _write_part(dst_dir: str, table: pa.Table) -> None:
 
 def merge_tombstones(pending, present_ids: np.ndarray, old_tomb) -> None:
     """(doc_id, ver) tombstone merge — newly present ids stamped with
-    this snapshot's version, last version wins per id. Shared verbatim
-    with the distributed append path."""
+    this snapshot's version, last version wins per id. The single
+    shared implementation: the distributed append path
+    (mutations._apply_append) calls this same function."""
     if present_ids.size == 0:
         return
     sid = pending.snapshot_id
@@ -94,7 +95,7 @@ def _sha256_series(texts: pd.Series) -> pd.Series:
     """Parity with F.sha2(col, 256): lowercase hex over UTF-8 bytes,
     null in -> null out."""
     return texts.map(
-        lambda v: None if v is None
+        lambda v: None if pd.isna(v)
         else hashlib.sha256(str(v).encode("utf-8")).hexdigest())
 
 

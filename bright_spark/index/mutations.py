@@ -667,19 +667,10 @@ class IndexMutator:
             appended = stage_postings_write(
                 rows, pending, cfg.n_term_buckets,
                 cfg.files_per_bucket or 1, delta=True, width=width)
-        if present_ids.size:
-            sid = pending.snapshot_id
-            if old_tomb is not None:
-                allids = np.concatenate([old_tomb[0], present_ids])
-                allvers = np.concatenate(
-                    [old_tomb[1], np.full(present_ids.size, sid, np.int64)])
-                order = np.lexsort((allvers, allids))
-                allids, allvers = allids[order], allvers[order]
-                last = np.concatenate([allids[1:] != allids[:-1], [True]])
-                pending.write_tombstones(allids[last], allvers[last])
-            else:
-                pending.write_tombstones(
-                    present_ids, np.full(present_ids.size, sid, np.int64))
+        # commit-critical last-version-wins merge: ONE implementation,
+        # shared with the driver fast path (fastpath.merge_tombstones)
+        from bright_spark.index.fastpath import merge_tombstones
+        merge_tombstones(pending, present_ids, old_tomb)
         return {"mode": "append", "buckets_appended": len(appended),
                 "tombstones_added": int(present_ids.size)}
 

@@ -37,6 +37,7 @@ Differences from the reference forced by the engines' natures:
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import json
 import os
 import shutil
@@ -48,6 +49,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bright_spark.index.catalog import IndexCatalog
 from bright_spark.models import IndexConfig, SearchRequest, SearchResponse
+
+
+# tombstone-rename suffix uniquifier: two deletes of the same index id
+# by one thread must not collide on the rename target
+_DELETE_SEQ = itertools.count()
 
 
 class IndexStore:
@@ -181,6 +187,7 @@ class IndexStore:
         # (or a write racing the delete) then fails the registered
         # check under the registry lock — the reference's 404
         with self._locked_index(idx_id):
+            doomed = None
             with self._reg_lock:
                 if idx_id not in self.configs:
                     self._index_locks.pop(idx_id, None)
@@ -189,7 +196,19 @@ class IndexStore:
                 self._engines.pop(idx_id, None)
                 self._index_locks.pop(idx_id, None)
                 self._save_configs()
-            shutil.rmtree(self._index_dir(idx_id), ignore_errors=True)
+                # rename to a private tombstone UNDER the registry lock:
+                # a concurrent create_index+add_documents for the same id
+                # (fresh lock, since we popped ours) must never observe —
+                # or build into — the half-deleted path; the slow rmtree
+                # then runs on the tombstone outside the lock
+                path = self._index_dir(idx_id)
+                if os.path.exists(path):
+                    doomed = (f"{path}.deleted."
+                              f"{os.getpid()}.{threading.get_ident()}."
+                              f"{next(_DELETE_SEQ)}")
+                    os.rename(path, doomed)
+            if doomed is not None:
+                shutil.rmtree(doomed, ignore_errors=True)
 
     def list_indexes(self, limit: int = 20, offset: int = 0) -> list[IndexConfig]:
         """Registry slice (store.go:201-224; deterministic id order
