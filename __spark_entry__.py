@@ -435,6 +435,18 @@ def _q_text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("perplexity", 4).alias("perplexity"))
 
 
+def _q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interpolated-bigram LM (Jelinek-Mercer, lam=0.5): word-order-
+    # aware quality signal; the oracle re-derives the identical model
+    # from shifted-array bigrams in SQL
+    from bright_spark.text.quality import lm_perplexity_bigram
+    out = lm_perplexity_bigram(_docs(spark, sf_dir))
+    return out.select("doc_id",
+                      F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                      F.round("cross_entropy", 6).alias("cross_entropy"),
+                      F.round("perplexity", 4).alias("perplexity"))
+
+
 def _q_text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus vocabulary artifact (tokenizer/BPE training input):
     # (term, cf, df, rank) with deterministic cf-desc/term-asc ranking
@@ -746,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": _q_text_decontaminate,
         "text_decontaminate_fuzzy": _q_text_decontaminate_fuzzy,
         "text_lm_perplexity": _q_text_lm_perplexity,
+        "text_lm_bigram": _q_text_lm_bigram,
         "text_vocabulary": _q_text_vocabulary,
         "text_split": _q_text_split,
         "text_pack": _q_text_pack,
@@ -1264,6 +1277,33 @@ sc AS (SELECT f.doc_id,
                 / sum(f.tf) AS h,
               sum(f.tf)::BIGINT AS n
        FROM tf f JOIN vocab v USING (term), tot GROUP BY 1)
+SELECT doc_id, n AS n_tokens, round(h, 6) AS cross_entropy,
+       round(exp(h), 4) AS perplexity
+FROM sc""",
+        "text_lm_bigram": """
+WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents),
+seq AS (SELECT doc_id, t[i] AS term,
+               CASE WHEN i > 1 THEN t[i - 1] END AS prev
+        FROM t, unnest(range(1, len(t) + 1)) AS r(i)),
+uni AS (SELECT term, count(*)::BIGINT AS cf FROM seq GROUP BY 1),
+tot AS (SELECT sum(cf)::DOUBLE AS total, count(*)::BIGINT AS vsize FROM uni),
+bi AS (SELECT prev, term, count(*)::DOUBLE AS bcf FROM seq
+       WHERE prev IS NOT NULL GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(bcf)::DOUBLE AS ccf FROM bi GROUP BY 1),
+sc AS (SELECT s.doc_id,
+              -sum(ln(CASE WHEN s.prev IS NULL
+                      THEN (u.cf + 0.5) / (tot.total + 0.5 * tot.vsize)
+                      ELSE 0.5 * coalesce(b.bcf / c.ccf, 0)
+                           + 0.5 * (u.cf + 0.5)
+                                 / (tot.total + 0.5 * tot.vsize) END))
+                / count(*) AS h,
+              count(*)::BIGINT AS n
+       FROM seq s
+       JOIN uni u USING (term)
+       LEFT JOIN bi b ON b.prev = s.prev AND b.term = s.term
+       LEFT JOIN ctx c ON c.prev = s.prev
+       CROSS JOIN tot
+       GROUP BY 1)
 SELECT doc_id, n AS n_tokens, round(h, 6) AS cross_entropy,
        round(exp(h), 4) AS perplexity
 FROM sc""",

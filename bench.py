@@ -133,8 +133,13 @@ def main() -> None:
         timed("text_redact", lambda: redact_pii(docs).count())
         timed("text_repetition",
               lambda: repetition_profile(docs).count())
-        from bright_spark.text.quality import lm_perplexity, vocabulary
+        from bright_spark.text.quality import (
+            lm_perplexity,
+            lm_perplexity_bigram,
+            vocabulary,
+        )
         timed("text_lm_perplexity", lambda: lm_perplexity(docs).count())
+        timed("text_lm_bigram", lambda: lm_perplexity_bigram(docs).count())
         timed("text_vocabulary", lambda: vocabulary(docs).count())
 
         from bright_spark.text.dedup import near_duplicates_simhash

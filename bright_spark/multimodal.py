@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import io
 import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -112,14 +113,116 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return rgb[::-1] if flip else rgb
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decode of 8-bit non-interlaced PNG (grayscale / gray+alpha
+    / RGB / RGBA): chunk walk -> IDAT zlib inflate -> per-row filter
+    reconstruction (spec filters 0-4), stdlib zlib + numpy only.
+    Returns (h, w, 3) uint8 RGB (alpha dropped, grayscale broadcast).
+
+    Filters Sub/Up are vectorized (Sub is a mod-256 prefix sum per
+    byte lane); Average/Paeth fall back to a per-byte loop — fine for
+    a decode hook that runs inside an Arrow-batched kernel and is
+    swappable for PIL where installed (see auto_decode_image)."""
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,), ctype = (struct.unpack_from(">I", payload, pos),
+                            payload[pos + 4:pos + 8])
+        data = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if depth != 8 or channels is None or comp != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, "
+            f"interlace={interlace}); install PIL for full coverage")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        cur, f = data[y].copy(), int(filters[y])
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: mod-256 prefix sum per byte lane
+            for lane in range(bpp):
+                cur[lane::bpp] = np.cumsum(cur[lane::bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (cur + prev) & 0xFF
+        elif f == 3:  # Average (left-sequential)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth (left-sequential)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur
+    img = out.astype(np.uint8).reshape(h, w, channels)
+    if color == 0:
+        return np.repeat(img, 3, axis=2)
+    if color == 4:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGB / RGBA->RGB
+
+
+def _pil_decode(payload: bytes) -> np.ndarray | None:
+    """Extras path: full-coverage decode when PIL is installed (it is
+    NOT in this container); returns None when unavailable so the
+    caller falls through to the built-in/fake decoders."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return np.asarray(img)
+
+
 def auto_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Default image hook: sniff the container. Netpbm and
-    uncompressed BMP decode for real; anything else (JPEG/PNG/...)
-    uses the deterministic fake (no codec libs in this container)."""
+    """Default image hook: sniff the container. Netpbm, uncompressed
+    BMP, and 8-bit PNG decode for real with stdlib+numpy; with PIL
+    installed every container decodes for real; otherwise the
+    remaining ones (JPEG/...) use the deterministic fake."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(bytes(payload))
     if payload[:2] == b"BM":
         return decode_bmp(bytes(payload))
+    if payload[:8] == _PNG_MAGIC:
+        try:
+            return decode_png(bytes(payload))
+        except ValueError:
+            decoded = _pil_decode(bytes(payload))
+            if decoded is not None:
+                return decoded
+            raise
+    decoded = _pil_decode(bytes(payload))
+    if decoded is not None:
+        return decoded
     return fake_decode_image(payload, width, height)
 
 

@@ -201,6 +201,69 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
         F.exp("cross_entropy").alias("perplexity"))
 
 
+def lm_perplexity_bigram(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", lam: float = 0.5,
+                         k_smooth: float = 0.5) -> DataFrame:
+    """Interpolated-bigram LM perplexity (Jelinek-Mercer smoothing) —
+    the stronger sibling of :func:`lm_perplexity` (CCNet uses 5-gram
+    KenLM; a bigram captures local word order the unigram filter is
+    blind to, so shuffled/garbled text that fools the unigram scores
+    HIGH here):
+
+        p(t_i | t_{i-1}) = lam * c(t_{i-1}, t_i) / c(t_{i-1}, .)
+                         + (1 - lam) * p_uni(t_i)
+
+    with the add-k unigram ``p_uni`` from lm_perplexity; each doc's
+    first token (no context) scores unigram-only. Per doc:
+    cross_entropy = -(1/n) * sum_i ln p(t_i | t_{i-1}),
+    perplexity = exp(H). ``lam`` defaults to 0.5 (exactly binary-
+    representable, so 1-lam is too — keeps SQL-oracle float parity).
+
+    100 TB shape: the (prev, term) sequence derives from PURE array
+    expressions (shifted-array zip) — no per-doc window, no extra
+    shuffle; counts are map-side-combinable groupBys; the scoring
+    joins key on term / (prev, term), letting AQE broadcast small
+    models and shuffle big ones; both model frames localCheckpoint so
+    counting and scoring share one materialization; the only collect
+    is two scalars."""
+    toks = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_col(text_col).alias("t"))
+    # prev[i] = t[i-1], prev[0] = NULL — a shifted copy, all JVM-side
+    toks = toks.withColumn(
+        "p", F.concat(F.array(F.lit(None).cast("string")),
+                      F.expr("slice(t, 1, greatest(size(t) - 1, 0))")))
+    seq = toks.select(
+        "doc_id", F.explode(F.arrays_zip("t", "p")).alias("z")
+    ).select("doc_id", F.col("z.t").alias("term"),
+             F.col("z.p").alias("prev"))
+    uni = (seq.groupBy("term").agg(F.count("*").alias("cf"))
+           .localCheckpoint(eager=False))
+    tot = uni.agg(F.sum("cf").alias("total"),
+                  F.count("*").alias("vsize")).collect()[0]
+    total, vsize = int(tot["total"]), int(tot["vsize"])
+    bi = (seq.filter(F.col("prev").isNotNull())
+          .groupBy("prev", "term").agg(F.count("*").alias("bcf"))
+          .localCheckpoint(eager=False))
+    ctx = bi.groupBy("prev").agg(F.sum("bcf").alias("ccf"))
+    scored = (seq.join(uni, "term")
+              .join(bi, ["prev", "term"], "left")
+              .join(ctx, "prev", "left"))
+    p_uni = ((F.col("cf") + F.lit(float(k_smooth)))
+             / F.lit(float(total) + float(k_smooth) * vsize))
+    p_bi = F.coalesce(F.col("bcf").cast("double") / F.col("ccf"),
+                      F.lit(0.0))
+    p = F.when(F.col("prev").isNull(), p_uni).otherwise(
+        F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    per_doc = (scored.groupBy("doc_id")
+               .agg((-F.sum(F.log(p)) / F.count("*"))
+                    .alias("cross_entropy"),
+                    F.count("*").alias("n_tokens")))
+    return per_doc.select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("cross_entropy").alias("cross_entropy"),
+        F.exp("cross_entropy").alias("perplexity"))
+
+
 def vocabulary(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", min_count: int = 1) -> DataFrame:
     """Corpus vocabulary artifact — (term, cf, df, rank): collection

@@ -14,6 +14,7 @@ also reads ``lang`` when present):
     quality          quality features + composite score
     repetition       repeated-3-gram boilerplate ratio
     lm_perplexity    corpus-self-trained unigram-LM perplexity filter
+    lm_bigram        interpolated-bigram LM perplexity (word-order aware)
     vocab            corpus vocabulary artifact (term, cf, df, rank)
     tokens           token stats (counts, distinct ratio, lengths)
     bpe_tokens       BPE-ish pre-token counts
@@ -100,6 +101,9 @@ def main() -> None:
     elif args.op == "lm_perplexity":
         from bright_spark.text.quality import lm_perplexity
         out = lm_perplexity(docs)
+    elif args.op == "lm_bigram":
+        from bright_spark.text.quality import lm_perplexity_bigram
+        out = lm_perplexity_bigram(docs)
     elif args.op == "vocab":
         from bright_spark.text.quality import vocabulary
         out = vocabulary(docs)

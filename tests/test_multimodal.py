@@ -130,6 +130,87 @@ def test_real_image_decode_roundtrip():
     assert got.shape == (4, 7, 3) and (got[:, :, 0] == g[:, :, 0]).all()
 
 
+def _png_bytes(arr, filters=None, color=2):
+    """Minimal PNG encoder for the round-trip test: 8-bit depth,
+    chosen color type, one explicit filter byte per row (default 0) —
+    exercises the decoder's full filter reconstruction."""
+    import struct
+    import zlib
+
+    import numpy as np
+    h, w = arr.shape[:2]
+    ch = arr.shape[2] if arr.ndim == 3 else 1
+    flat = arr.reshape(h, w * ch).astype(np.int64)
+    filters = filters or [0] * h
+    raw = bytearray()
+    recon_prev = np.zeros(w * ch, dtype=np.int64)
+    for y, f in enumerate(filters):
+        cur = flat[y]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - recon_prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int64), cur[:-ch]])
+            enc = (cur - (left + recon_prev) // 2) & 0xFF
+        elif f == 4:
+            enc = np.zeros_like(cur)
+            for x in range(w * ch):
+                a = cur[x - ch] if x >= ch else 0
+                b = recon_prev[x]
+                c = recon_prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                enc[x] = (cur[x] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc.astype(np.uint8))
+        recon_prev = cur
+
+    def chunk(ctype, data):
+        body = ctype + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_real_png_decode_roundtrip():
+    """PNG decode with stdlib zlib+numpy, byte-exact across ALL five
+    spec filters and the four 8-bit color types."""
+    import numpy as np
+    import pytest as _pytest
+    from bright_spark.multimodal import auto_decode_image, decode_png
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (7, 6, 3), dtype=np.uint8)
+    # every filter type, mixed within one image
+    png = _png_bytes(img, filters=[0, 1, 2, 3, 4, 2, 1])
+    assert (decode_png(png) == img).all()
+    assert (auto_decode_image(png, 6, 7) == img).all()
+    # RGBA: alpha dropped
+    rgba = rng.integers(0, 256, (5, 4, 4), dtype=np.uint8)
+    png = _png_bytes(rgba, filters=[4, 3, 2, 1, 0], color=6)
+    assert (decode_png(png) == rgba[:, :, :3]).all()
+    # grayscale + gray-alpha broadcast to 3 channels
+    gray = rng.integers(0, 256, (4, 5), dtype=np.uint8)
+    got = decode_png(_png_bytes(gray, color=0))
+    assert got.shape == (4, 5, 3) and (got[:, :, 1] == gray).all()
+    ga = rng.integers(0, 256, (3, 4, 2), dtype=np.uint8)
+    got = decode_png(_png_bytes(ga, filters=[1, 2, 4], color=4))
+    assert (got[:, :, 0] == ga[:, :, 0]).all()
+    # unsupported shapes raise (16-bit / palette) rather than garble
+    bad = _png_bytes(img)
+    bad = bad[:24] + bytes([16]) + bad[25:]  # depth byte inside IHDR
+    with _pytest.raises(ValueError):
+        decode_png(bad)
+
+
 def test_real_wav_decode_roundtrip():
     import numpy as np
     from bright_spark.multimodal import auto_decode_audio, decode_wav

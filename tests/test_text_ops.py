@@ -522,6 +522,66 @@ def test_lm_perplexity_fixture(spark):
             < got[2]["perplexity"])
 
 
+def test_lm_perplexity_bigram_fixture(spark):
+    """Hand-computable interpolated bigram LM (lam=0.5, k=0.5): the
+    in-order doc scores LOWER perplexity than the same bag of words
+    shuffled — the word-order signal the unigram filter cannot see —
+    and every value matches the closed form."""
+    import math
+
+    import pandas as pd
+
+    from bright_spark.text.quality import lm_perplexity_bigram
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a b a b", "b b a a"],
+    }))
+    got = {r["doc_id"]: r for r in
+           lm_perplexity_bigram(docs).collect()}
+    # unigram: cf(a)=4 cf(b)=4, total=8, |V|=2, k=0.5
+    pu = {"a": 4.5 / 9.0, "b": 4.5 / 9.0}
+    # bigrams: doc0 -> (a,b)(b,a)(a,b); doc1 -> (b,b)(b,a)(a,a)
+    bcf = {("a", "b"): 2, ("b", "a"): 2, ("b", "b"): 1, ("a", "a"): 1}
+    ccf = {"a": 3, "b": 3}
+
+    def p(term, prev):
+        if prev is None:
+            return pu[term]
+        return (0.5 * bcf.get((prev, term), 0) / ccf[prev]
+                + 0.5 * pu[term])
+
+    def h(tokens):
+        prevs = [None] + tokens[:-1]
+        return -sum(math.log(p(t, pv))
+                    for t, pv in zip(tokens, prevs)) / len(tokens)
+
+    for d, txt in ((0, "a b a b"), (1, "b b a a")):
+        want = h(txt.split())
+        assert got[d]["n_tokens"] == 4
+        assert abs(got[d]["cross_entropy"] - want) < 1e-9
+        assert abs(got[d]["perplexity"] - math.exp(want)) < 1e-6
+    # identical unigram model for both docs; order decides the rank
+    assert got[0]["perplexity"] < got[1]["perplexity"]
+
+
+def test_lm_perplexity_bigram_single_token_doc(spark):
+    """A one-token doc has no bigram context: unigram-only score."""
+    import math
+
+    import pandas as pd
+
+    from bright_spark.text.quality import lm_perplexity_bigram
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["solo", "solo pair"],
+    }))
+    got = {r["doc_id"]: r for r in
+           lm_perplexity_bigram(docs).collect()}
+    assert got[0]["n_tokens"] == 1
+    # cf(solo)=2 cf(pair)=1, total=3, |V|=2 -> p_uni(solo)=2.5/4
+    assert abs(got[0]["cross_entropy"] - (-math.log(2.5 / 4.0))) < 1e-9
+
+
 def test_components_numpy_vs_union_find():
     """Property: the vectorized min-scatter+halving kernel equals
     classic union-find on random graphs (including multi-edges,
