@@ -31,6 +31,7 @@ which is what phrase adjacency (Q4) checks.
 
 from __future__ import annotations
 
+import itertools
 import re
 from collections import Counter
 from functools import lru_cache
@@ -126,36 +127,38 @@ def count_terms(
     return Counter(terms), len(terms)
 
 
-def count_terms_batch(
+def count_terms_flat(
     texts: list[str],
     mode: str = "code",
     langs: list[str | None] | None = None,
     filter_stopwords: bool = False,
     positions: bool = False,
 ):
-    """Vectorized T1-T5 over a whole Arrow batch: for each doc, the
-    sorted unique terms, their tfs, and doc_len. Semantically identical
-    to per-doc :func:`count_terms` + ``sorted(counts.items())`` (pytest
-    parity property), but the tallying is one factorize + lexsort over
-    the batch instead of a Python ``Counter`` per document — the regex
-    scan (C) is the only per-doc work left.
+    """Core of :func:`count_terms_batch`, returning FLAT (doc, term)
+    pair arrays instead of per-doc slices — the index-build hot path
+    consumes this directly (builder._emit_partials_flat), skipping the
+    per-doc slice -> re-concatenate -> re-factorize round trip the
+    sliced API forces.
 
-    With ``positions=True`` returns a 4th list: per doc, the flat int64
-    base positions of every emission, ordered (term asc, position asc)
-    — i.e. segment t of the flat array (sliced by the doc's tfs) holds
-    the ascending positions of the doc's t-th term, exactly matching
-    :func:`tokenize_with_positions` semantics (sub-tokens of one
-    identifier share its base ordinal).
+    Returns ``(pair_doc, pair_tid, term_dict, pair_tf, doc_len,
+    flat_pos)``: one entry per (doc, unique term) pair, ordered (doc
+    asc, term lexicographic asc); ``pair_tid`` indexes ``term_dict``
+    (batch-local term dictionary, unsorted); ``doc_len`` is per-doc
+    emitted-token count (len n); ``flat_pos`` is the per-pair position
+    segments concatenated in pair order (segment i has ``pair_tf[i]``
+    ascending values), or None when ``positions`` is False.
     """
     n = len(texts)
     empty_s = np.empty(0, dtype=object)
     empty_i = np.empty(0, dtype=np.int64)
-    if n == 0:
-        return ([], [], [], []) if positions else ([], [], [])
 
     def _ret_empty():
-        base = ([empty_s] * n, [empty_i] * n, [0] * n)
-        return (*base, [empty_i] * n) if positions else base
+        return (empty_i, empty_i, empty_s, empty_i,
+                np.zeros(n, dtype=np.int64),
+                empty_i if positions else None)
+
+    if n == 0:
+        return _ret_empty()
 
     if mode == "simple":
         per_doc = [(t or "").lower().split() for t in texts]
@@ -172,16 +175,31 @@ def count_terms_batch(
     elif mode == "code":
         base_per_doc = [_BASE_TOKEN_RE.findall(t or "") for t in texts]
         base_lens = np.fromiter((len(b) for b in base_per_doc), np.int64, n)
-        flat_base = [b if len(b) <= MAX_TOKEN_LEN else b[:MAX_TOKEN_LEN]
-                     for bs in base_per_doc for b in bs]
-        if not flat_base:
+        n_base = int(base_lens.sum())
+        if n_base == 0:
             return _ret_empty()
-        codes, uniq = pd.factorize(np.array(flat_base, dtype=object), sort=False)
+        flat_base = np.fromiter(
+            itertools.chain.from_iterable(base_per_doc),
+            dtype=object, count=n_base)
+        codes, uniq = pd.factorize(flat_base, sort=False)
+        # over-long base tokens truncate at the UNIQUE level (then
+        # re-factorize the tiny dictionary, since truncation can
+        # collapse distinct tokens) — no per-occurrence length checks
+        if any(len(u) > MAX_TOKEN_LEN for u in uniq):
+            trunc = np.fromiter(
+                (u if len(u) <= MAX_TOKEN_LEN else u[:MAX_TOKEN_LEN]
+                 for u in uniq), dtype=object, count=len(uniq))
+            remap, uniq = pd.factorize(trunc, sort=False)
+            codes = remap[codes]
         # expand each unique base token ONCE (lru-cached across batches)
         exp_lists = [_expand_identifier(u) for u in uniq]
         exp_len = np.fromiter((len(e) for e in exp_lists), np.int64, len(uniq))
         exp_flat = np.array([t for e in exp_lists for t in e], dtype=object)
         exp_start = np.concatenate(([0], np.cumsum(exp_len)[:-1]))
+        # term ids assigned on the (small) unique-expansion table, then
+        # fanned out by INTEGER gather — the per-emission object-term
+        # array and its full-size factorize never exist
+        sub_ids, term_dict = pd.factorize(exp_flat, sort=False)
         # ragged gather: occurrence j (base code c) emits exp_lists[c]
         occ_doc = np.repeat(np.arange(n, dtype=np.int64), base_lens)
         occ_starts = np.concatenate(([0], np.cumsum(base_lens)[:-1]))
@@ -191,18 +209,21 @@ def count_terms_batch(
         L = exp_len[codes]
         total = int(L.sum())
         offs = np.concatenate(([0], np.cumsum(L)[:-1]))
-        ar = (np.arange(total, dtype=np.int64) - np.repeat(offs, L)
-              + np.repeat(exp_start[codes], L))
-        flat_terms = exp_flat[ar]
+        ar = (np.arange(total, dtype=np.int64)
+              + np.repeat(exp_start[codes] - offs, L))
+        tids = sub_ids[ar]
         flat_doc = np.repeat(occ_doc, L)
         flat_pos = np.repeat(occ_pos, L)
+        if tids.size == 0:
+            return _ret_empty()
+        term_dict = np.asarray(term_dict, dtype=object)
     else:
         raise ValueError(f"unknown tokenizer mode: {mode!r}")
 
-    if flat_terms.size == 0:
-        return _ret_empty()
-
-    tids, term_dict = pd.factorize(flat_terms, sort=False)
+    if mode == "simple":
+        if flat_terms.size == 0:
+            return _ret_empty()
+        tids, term_dict = pd.factorize(flat_terms, sort=False)
     keep = None
     lens_ok = np.fromiter((len(t) <= MAX_TOKEN_LEN for t in term_dict),
                           bool, len(term_dict))
@@ -233,19 +254,55 @@ def count_terms_batch(
     # lexicographic rank so per-doc output order == sorted(counts.items())
     rank = np.empty(len(term_dict), dtype=np.int64)
     rank[np.argsort(term_dict, kind="stable")] = np.arange(len(term_dict))
+    # ONE radix argsort on the combined (doc, rank) key instead of a
+    # 2-3 key lexsort over per-emission arrays; positions need no sort
+    # key — emission order already has them ascending within each
+    # (doc, term) pair, and a stable sort preserves that
+    key = flat_doc * np.int64(len(term_dict)) + rank[tids]
+    order = np.argsort(key, kind="stable")
+    key_o = key[order]
     if positions:
-        order = np.lexsort((flat_pos, rank[tids], flat_doc))
         flat_pos = flat_pos[order]
-    else:
-        order = np.lexsort((rank[tids], flat_doc))
-    flat_doc, tids = flat_doc[order], tids[order]
-    boundary = np.flatnonzero(
-        np.diff(flat_doc).astype(bool) | np.diff(tids).astype(bool)) + 1
+    boundary = np.flatnonzero(np.diff(key_o).astype(bool)) + 1
     starts = np.concatenate(([0], boundary))
-    ends = np.concatenate((boundary, [flat_doc.size]))
-    g_doc = flat_doc[starts]
-    g_tid = tids[starts]
+    ends = np.concatenate((boundary, [key_o.size]))
+    # gather doc/tid at PAIR granularity only (order[starts]) — the
+    # full emission-level sorted doc/tid arrays are never needed
+    pair_idx = order[starts]
+    g_doc = flat_doc[pair_idx]
+    g_tid = tids[pair_idx]
     g_tf = (ends - starts).astype(np.int64)
+    return (g_doc, g_tid, np.asarray(term_dict, dtype=object), g_tf,
+            doc_len_out, flat_pos if positions else None)
+
+
+def count_terms_batch(
+    texts: list[str],
+    mode: str = "code",
+    langs: list[str | None] | None = None,
+    filter_stopwords: bool = False,
+    positions: bool = False,
+):
+    """Vectorized T1-T5 over a whole Arrow batch: for each doc, the
+    sorted unique terms, their tfs, and doc_len. Semantically identical
+    to per-doc :func:`count_terms` + ``sorted(counts.items())`` (pytest
+    parity property), but the tallying is one factorize + lexsort over
+    the batch instead of a Python ``Counter`` per document — the regex
+    scan (C) is the only per-doc work left. Thin per-doc-slicing
+    wrapper over :func:`count_terms_flat`.
+
+    With ``positions=True`` returns a 4th list: per doc, the flat int64
+    base positions of every emission, ordered (term asc, position asc)
+    — i.e. segment t of the flat array (sliced by the doc's tfs) holds
+    the ascending positions of the doc's t-th term, exactly matching
+    :func:`tokenize_with_positions` semantics (sub-tokens of one
+    identifier share its base ordinal).
+    """
+    n = len(texts)
+    if n == 0:
+        return ([], [], [], []) if positions else ([], [], [])
+    g_doc, g_tid, term_dict, g_tf, doc_len_out, flat_pos = \
+        count_terms_flat(texts, mode, langs, filter_stopwords, positions)
     g_terms = term_dict[g_tid]
     doc_bounds = np.searchsorted(g_doc, np.arange(n + 1))
     term_arrs = [g_terms[doc_bounds[d]:doc_bounds[d + 1]] for d in range(n)]
@@ -253,8 +310,10 @@ def count_terms_batch(
     dls = [int(x) for x in doc_len_out]
     if not positions:
         return term_arrs, tf_arrs, dls
-    # flat_pos is already in (doc, term-rank, pos) order; slice per doc
-    emis_bounds = np.searchsorted(flat_doc, np.arange(n + 1))
+    # flat_pos is in (doc, term-rank, pos) order; per-doc emission
+    # counts = per-doc sum of pair tfs = doc_len_out
+    emis_bounds = np.concatenate(
+        ([0], np.cumsum(doc_len_out))).astype(np.int64)
     pos_arrs = [flat_pos[emis_bounds[d]:emis_bounds[d + 1]] for d in range(n)]
     return term_arrs, tf_arrs, dls, pos_arrs
 

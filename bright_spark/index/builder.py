@@ -43,7 +43,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bright_spark.analysis.tokenizer import count_terms_batch
+from bright_spark.analysis.tokenizer import (count_terms_batch,
+                                             count_terms_flat)
 from bright_spark.index import codec
 from bright_spark.index.catalog import (
     POSTINGS_KERNEL_SCHEMA,
@@ -99,22 +100,69 @@ def _make_tokenize_fn(content_col: str, lang_col: str | None, mode: str,
     return fn
 
 
+def _emit_partials_flat(doc_ids_flat: np.ndarray, codes: np.ndarray,
+                        uniq_terms: np.ndarray, tfs: np.ndarray,
+                        dls: np.ndarray, range_bits: int,
+                        pos_flat: np.ndarray | None = None
+                        ) -> pd.DataFrame | None:
+    """FLAT (doc, term) pair arrays -> combined partial posting rows:
+    one lexsort + boundary slice, no per-doc or per-entry Python. The
+    build hot path feeds this straight from
+    :func:`tokenizer.count_terms_flat` (per-batch pair arrays, batch
+    dictionaries unified by the caller) — per-doc token arrays never
+    exist. ``pos_flat``: per-pair position segments concatenated in
+    pair order (segment i holds ``tfs[i]`` values), or None."""
+    if codes.size == 0:
+        return None
+    ranges = doc_ids_flat >> np.int64(range_bits)
+    # range_id is monotone in doc_id: (code, doc) order == the full
+    # (code, range, doc) order, one lexsort key fewer
+    order = np.lexsort((doc_ids_flat, codes))
+    codes_o, ranges_o = codes[order], ranges[order]
+    tfs_o, dls_o = tfs[order], dls[order]
+    doc_ids_o = doc_ids_flat[order]
+    boundary = np.flatnonzero(
+        np.diff(codes_o).astype(bool) | np.diff(ranges_o).astype(bool)
+    ) + 1
+    starts = np.concatenate(([0], boundary))
+    ends = np.concatenate((boundary, [len(codes_o)]))
+    out = {
+        "term": np.asarray(uniq_terms, dtype=object)[codes_o[starts]],
+        "range_id": ranges_o[starts],
+        "doc_ids": [doc_ids_o[s:e] for s, e in zip(starts, ends)],
+        "tfs": [tfs_o[s:e] for s, e in zip(starts, ends)],
+        "dls": [dls_o[s:e] for s, e in zip(starts, ends)],
+    }
+    empty = np.empty(0, dtype=np.int64)
+    if pos_flat is None:
+        out["pos"] = [empty] * starts.size
+    else:
+        # ragged gather of per-pair position segments into sorted order
+        tf_cum = np.concatenate(([0], np.cumsum(tfs)))
+        pair_start = tf_cum[:-1]  # value offset of each pair (input order)
+        L = tfs_o
+        total = int(L.sum())
+        offs = np.concatenate(([0], np.cumsum(L)[:-1]))
+        ar = (np.arange(total, dtype=np.int64) - np.repeat(offs, L)
+              + np.repeat(pair_start[order], L))
+        pos_sorted = pos_flat[ar]
+        v = np.concatenate(([0], np.cumsum(L)))
+        out["pos"] = [pos_sorted[v[s]:v[e]] for s, e in zip(starts, ends)]
+    return pd.DataFrame(out)
+
+
 def _emit_partials(doc_ids: np.ndarray, term_arrs: list, tf_arrs: list,
                    range_bits: int,
                    pos_arrs: list | None = None) -> pd.DataFrame | None:
-    """(per-doc ids + token arrays) -> combined partial posting rows:
-    vectorized explode + group via lexsort/slice — no per-entry Python.
-    doc_len is derived as Σ tf per doc (= emitted token count). With
-    ``pos_arrs`` (per-doc flat positions in (term-rank, pos) order,
-    segment lengths = tfs) each row also carries the flat positions of
-    its entries; otherwise ``pos`` is empty."""
+    """(per-doc ids + token arrays) -> combined partial posting rows.
+    Compatibility wrapper over :func:`_emit_partials_flat` for callers
+    holding per-doc slices; the build kernel bypasses this and feeds
+    flat pair arrays directly. doc_len is derived as Σ tf per doc."""
     lens = np.fromiter((len(t) for t in term_arrs), np.int64, len(term_arrs))
     if lens.sum() == 0:
         return None
     tfs = (np.concatenate([np.asarray(t, dtype=np.int64) for t in tf_arrs])
            if len(tf_arrs) else np.empty(0, dtype=np.int64))
-    # doc_len = total emitted tokens per doc (tf sum), computed here so
-    # callers need not ship it
     ends_per_doc = np.cumsum(lens)
     starts_per_doc = ends_per_doc - lens
     tf_cum = np.concatenate(([0], np.cumsum(tfs)))
@@ -122,41 +170,14 @@ def _emit_partials(doc_ids: np.ndarray, term_arrs: list, tf_arrs: list,
     doc_ids_flat = np.repeat(np.asarray(doc_ids, dtype=np.int64), lens)
     dls = np.repeat(dl_per_doc, lens)
     terms = np.concatenate([np.asarray(t, dtype=object) for t in term_arrs])
-    ranges = doc_ids_flat >> np.int64(range_bits)
     codes, uniq_terms = pd.factorize(terms, sort=False)
-    order = np.lexsort((doc_ids_flat, ranges, codes))
-    codes, ranges = codes[order], ranges[order]
-    tfs_o, dls_o = tfs[order], dls[order]
-    doc_ids_flat = doc_ids_flat[order]
-    boundary = np.flatnonzero(
-        np.diff(codes).astype(bool) | np.diff(ranges).astype(bool)
-    ) + 1
-    starts = np.concatenate(([0], boundary))
-    ends = np.concatenate((boundary, [len(codes)]))
-    out = {
-        "term": uniq_terms[codes[starts]],
-        "range_id": ranges[starts],
-        "doc_ids": [doc_ids_flat[s:e] for s, e in zip(starts, ends)],
-        "tfs": [tfs_o[s:e] for s, e in zip(starts, ends)],
-        "dls": [dls_o[s:e] for s, e in zip(starts, ends)],
-    }
-    empty = np.empty(0, dtype=np.int64)
-    if pos_arrs is None:
-        out["pos"] = [empty] * starts.size
-    else:
-        # ragged gather of per-pair position segments into sorted order
-        P = (np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_arrs])
-             if len(pos_arrs) else empty)
-        pair_start = tf_cum[:-1]  # value offset of each pair (input order)
-        L = tfs[order]
-        total = int(L.sum())
-        offs = np.concatenate(([0], np.cumsum(L)[:-1]))
-        ar = (np.arange(total, dtype=np.int64) - np.repeat(offs, L)
-              + np.repeat(pair_start[order], L))
-        pos_sorted = P[ar]
-        v = np.concatenate(([0], np.cumsum(L)))
-        out["pos"] = [pos_sorted[v[s]:v[e]] for s, e in zip(starts, ends)]
-    return pd.DataFrame(out)
+    pos_flat = None
+    if pos_arrs is not None:
+        pos_flat = (np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pos_arrs])
+            if len(pos_arrs) else np.empty(0, dtype=np.int64))
+    return _emit_partials_flat(doc_ids_flat, codes, uniq_terms, tfs,
+                               dls, range_bits, pos_flat)
 
 
 def _make_tokenize_partials_fn(field_cols: list[str], lang_col: str | None,
@@ -186,47 +207,67 @@ def _make_tokenize_partials_fn(field_cols: list[str], lang_col: str | None,
         if id_offsets is not None:
             from pyspark import TaskContext
             next_id = id_offsets.get(TaskContext.get().partitionId(), 0)
-        ids: list[np.ndarray] = []
-        acc = {f: ([], [], []) for f in field_cols}  # terms, tfs, poss
+        # per field: list of per-batch FLAT pair tuples
+        # (ids_arr, pair_doc, pair_tid, term_dict, pair_tf, doc_len,
+        #  pos_flat) — per-doc token arrays are never materialized
+        acc: dict[str, list[tuple]] = {f: [] for f in field_cols}
         n_acc = 0
 
         def flush() -> Iterator[pd.DataFrame]:
-            all_ids = (np.concatenate(ids) if ids
-                       else np.empty(0, dtype=np.int64))
             for f in field_cols:
-                terms, tfs, poss = acc[f]
-                out = _emit_partials(
-                    all_ids, terms, tfs, range_bits,
-                    pos_arrs=poss if store_positions else None)
+                parts = [p for p in acc[f] if p[1].size]
+                acc[f] = []
+                if not parts:
+                    continue
+                # unify the batch-local term dictionaries: factorize
+                # over the (small) concatenated dictionaries only, then
+                # remap each batch's codes through its dict offset
+                dicts = [p[3] for p in parts]
+                union = (np.concatenate(dicts) if len(dicts) > 1
+                         else dicts[0])
+                ucodes, uniq = pd.factorize(union, sort=False)
+                if len(parts) > 1:
+                    doffs = np.concatenate(
+                        ([0], np.cumsum([d.size for d in dicts])))
+                    codes = np.concatenate(
+                        [ucodes[doffs[i] + p[2]]
+                         for i, p in enumerate(parts)])
+                    doc_flat = np.concatenate([p[0][p[1]] for p in parts])
+                    tfs = np.concatenate([p[4] for p in parts])
+                    dls = np.concatenate([p[5][p[1]] for p in parts])
+                    pos_flat = (np.concatenate([p[6] for p in parts])
+                                if store_positions else None)
+                else:
+                    (bids, pair_doc, pair_tid, _, tfs, dl_arr,
+                     pos_flat) = parts[0]
+                    codes = ucodes[pair_tid]
+                    doc_flat, dls = bids[pair_doc], dl_arr[pair_doc]
+                    if not store_positions:
+                        pos_flat = None
+                out = _emit_partials_flat(doc_flat, codes, uniq, tfs,
+                                          dls, range_bits, pos_flat)
                 if out is not None:
                     out.insert(0, "field", f)
                     yield out
-            ids.clear()
-            for f in field_cols:
-                acc[f] = ([], [], [])
 
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             langs = (pdf[lang_col].tolist() if lang_col
                      else [None] * len(pdf))
-            for f in field_cols:
-                texts = pdf[f].tolist()
-                terms, tfs, poss = acc[f]
-                if store_positions:
-                    term_arr, tf_arr, _, pos_arr = count_terms_batch(
-                        texts, mode, langs, filter_stopwords, positions=True)
-                    poss.extend(pos_arr)
-                else:
-                    term_arr, tf_arr, _ = count_terms_batch(
-                        texts, mode, langs, filter_stopwords)
-                terms.extend(term_arr)
-                tfs.extend(tf_arr)
             if next_id is not None:
-                ids.append(np.arange(next_id, next_id + len(pdf), dtype=np.int64))
+                bids = np.arange(next_id, next_id + len(pdf),
+                                 dtype=np.int64)
                 next_id += len(pdf)
             else:
-                ids.append(pdf["doc_id"].to_numpy(dtype=np.int64))
+                bids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            for f in field_cols:
+                pair_doc, pair_tid, tdict, pair_tf, dl_arr, pos_flat = \
+                    count_terms_flat(pdf[f].tolist(), mode, langs,
+                                     filter_stopwords,
+                                     positions=store_positions)
+                acc[f].append((bids, pair_doc, pair_tid, tdict,
+                               pair_tf, dl_arr, pos_flat))
             n_acc += len(pdf)
             if n_acc >= flush_docs:
                 yield from flush()
@@ -287,7 +328,10 @@ def _make_merge_fn(block_size: int, n_buckets: int,
         flat_doc = np.concatenate(pdf["doc_ids"].to_numpy()).astype(np.int64)
         flat_tf = np.concatenate(pdf["tfs"].to_numpy()).astype(np.int64)
         flat_dl = np.concatenate(pdf["dls"].to_numpy()).astype(np.int64)
-        order = np.lexsort((flat_doc, flat_range, flat_code, flat_fcode))
+        # range_id = doc_id >> bits is monotone in doc_id, so sorting
+        # (fcode, code, doc) already lands ranges contiguous+ascending
+        # within each (field, term) — the range key would be redundant
+        order = np.lexsort((flat_doc, flat_code, flat_fcode))
         flat_code, flat_range = flat_code[order], flat_range[order]
         flat_fcode = flat_fcode[order]
         positions = None
@@ -314,25 +358,36 @@ def _make_merge_fn(block_size: int, n_buckets: int,
         n_groups = starts.size
         # block index range per group (block_group ascending)
         gb = np.searchsorted(block_group, np.arange(n_groups + 1))
-        terms = [str(uniq_terms[c]) for c in flat_code[starts]]
+        gcodes = flat_code[starts]
+        # one crc32 per UNIQUE term (each term spans many (field,
+        # range) groups), fanned out by fancy indexing — no per-group
+        # Python loop over group-count-sized lists
+        ubucket = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) % n_buckets for t in uniq_terms),
+            np.int64, len(uniq_terms))
+        pairs = list(zip(gb[:-1].tolist(), gb[1:].tolist()))
+
+        def seg(col: list) -> list:
+            return [col[s:e] for s, e in pairs]
+
         cf = np.add.reduceat(flat_tf, starts)
         yield pd.DataFrame({
-            "bucket": [zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms],
-            "field": [str(uniq_fields[c]) for c in flat_fcode[starts]],
-            "term": terms,
+            "bucket": ubucket[gcodes],
+            "field": np.asarray(uniq_fields, dtype=object)[flat_fcode[starts]],
+            "term": np.asarray(uniq_terms, dtype=object)[gcodes],
             "range_id": flat_range[starts],
             "df_chunk": (ends - starts).astype(np.int32),
             "cf_chunk": cf,
-            "first_doc": [blocks["first_doc"][gb[g]:gb[g + 1]] for g in range(n_groups)],
-            "max_doc": [blocks["max_doc"][gb[g]:gb[g + 1]] for g in range(n_groups)],
-            "n": [blocks["n"][gb[g]:gb[g + 1]] for g in range(n_groups)],
-            "max_tf": [blocks["max_tf"][gb[g]:gb[g + 1]] for g in range(n_groups)],
-            "min_dl": [blocks["min_dl"][gb[g]:gb[g + 1]] for g in range(n_groups)],
-            "docs": [blocks["docs"][gb[g]:gb[g + 1]] for g in range(n_groups)],
-            "tfs": [blocks["tfs"][gb[g]:gb[g + 1]] for g in range(n_groups)],
-            "dls": [blocks["dls"][gb[g]:gb[g + 1]] for g in range(n_groups)],
-            "pos": ([blocks["pos"][gb[g]:gb[g + 1]] for g in range(n_groups)]
-                    if store_positions else [[] for _ in range(n_groups)]),
+            "first_doc": seg(blocks["first_doc"]),
+            "max_doc": seg(blocks["max_doc"]),
+            "n": seg(blocks["n"]),
+            "max_tf": seg(blocks["max_tf"]),
+            "min_dl": seg(blocks["min_dl"]),
+            "docs": seg(blocks["docs"]),
+            "tfs": seg(blocks["tfs"]),
+            "dls": seg(blocks["dls"]),
+            "pos": (seg(blocks["pos"]) if store_positions
+                    else [[] for _ in range(n_groups)]),
         })
 
     return fn

@@ -171,17 +171,21 @@ def encode_blocks_bulk(
     dls = np.ascontiguousarray(dls, dtype=np.int64)
     group_starts = np.ascontiguousarray(group_starts, dtype=np.int64)
     g_ends = np.concatenate((group_starts[1:], [n]))
-    # block starts: every run restarts block segmentation
-    block_starts_parts = [
-        np.arange(s, e, block_size, dtype=np.int64)
-        for s, e in zip(group_starts, g_ends)
-    ]
-    block_starts = (np.concatenate(block_starts_parts)
-                    if block_starts_parts else np.empty(0, dtype=np.int64))
-    block_ends = np.concatenate((block_starts[1:], [n])) if n else block_starts
+    # block starts: every run restarts block segmentation. Vectorized
+    # (no per-run arange — one partition can hold 10^5+ small runs):
+    # block b of run g starts at group_starts[g] + within * block_size.
+    nblocks = -(-(g_ends - group_starts) // block_size)
     block_group = np.repeat(
-        np.arange(group_starts.size, dtype=np.int64),
-        [len(p) for p in block_starts_parts]) if n else block_starts
+        np.arange(group_starts.size, dtype=np.int64), nblocks)
+    if block_group.size:
+        first_of_run = np.concatenate(
+            ([0], np.cumsum(nblocks)[:-1]))
+        within = (np.arange(block_group.size, dtype=np.int64)
+                  - first_of_run[block_group])
+        block_starts = group_starts[block_group] + within * block_size
+    else:
+        block_starts = np.empty(0, dtype=np.int64)
+    block_ends = np.concatenate((block_starts[1:], [n])) if n else block_starts
     # deltas: global diff, zeroed at block starts (each block's first
     # entry encodes 0 relative to its stored first_doc)
     deltas = np.empty(n, dtype=np.int64)
