@@ -54,9 +54,15 @@ from bright_spark.index.catalog import (
 )
 from bright_spark.models import IndexConfig
 
+# shuffle wire format of the tokenize->merge exchange. doc_ids must be
+# BIGINT (dense ids are unbounded at 10^12-doc scale); tfs/dls/pos are
+# per-doc ordinals/counts (< doc token count < 2^31) and ride as INT —
+# at 100 TB the positions array dominates this shuffle's bytes, and
+# halving its width halves that traffic. The merge kernel widens back
+# to int64 before encoding, so the stored postings bytes are unchanged.
 PARTIALS_SCHEMA = ("field STRING, term STRING, range_id BIGINT, "
-                   "doc_ids ARRAY<BIGINT>, tfs ARRAY<BIGINT>, "
-                   "dls ARRAY<BIGINT>, pos ARRAY<BIGINT>")
+                   "doc_ids ARRAY<BIGINT>, tfs ARRAY<INT>, "
+                   "dls ARRAY<INT>, pos ARRAY<INT>")
 
 
 # ------------------------------------------------------------ kernels
@@ -126,14 +132,15 @@ def _emit_partials_flat(doc_ids_flat: np.ndarray, codes: np.ndarray,
     ) + 1
     starts = np.concatenate(([0], boundary))
     ends = np.concatenate((boundary, [len(codes_o)]))
+    tfs32, dls32 = tfs_o.astype(np.int32), dls_o.astype(np.int32)
     out = {
         "term": np.asarray(uniq_terms, dtype=object)[codes_o[starts]],
         "range_id": ranges_o[starts],
         "doc_ids": [doc_ids_o[s:e] for s, e in zip(starts, ends)],
-        "tfs": [tfs_o[s:e] for s, e in zip(starts, ends)],
-        "dls": [dls_o[s:e] for s, e in zip(starts, ends)],
+        "tfs": [tfs32[s:e] for s, e in zip(starts, ends)],
+        "dls": [dls32[s:e] for s, e in zip(starts, ends)],
     }
-    empty = np.empty(0, dtype=np.int64)
+    empty = np.empty(0, dtype=np.int32)
     if pos_flat is None:
         out["pos"] = [empty] * starts.size
     else:
@@ -145,7 +152,7 @@ def _emit_partials_flat(doc_ids_flat: np.ndarray, codes: np.ndarray,
         offs = np.concatenate(([0], np.cumsum(L)[:-1]))
         ar = (np.arange(total, dtype=np.int64) - np.repeat(offs, L)
               + np.repeat(pair_start[order], L))
-        pos_sorted = pos_flat[ar]
+        pos_sorted = pos_flat[ar].astype(np.int32)
         v = np.concatenate(([0], np.cumsum(L)))
         out["pos"] = [pos_sorted[v[s]:v[e]] for s, e in zip(starts, ends)]
     return pd.DataFrame(out)
