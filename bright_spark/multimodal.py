@@ -343,6 +343,87 @@ def audio_features(
         kernel, "media_id BIGINT, rms ARRAY<FLOAT>, peak DOUBLE, duration_ms INT")
 
 
+def _mel_filterbank(n_mels: int, n_fft: int, sample_rate: float) -> np.ndarray:
+    """Triangular mel filterbank (n_mels, n_fft//2 + 1) — the standard
+    HTK construction (mel = 2595·log10(1 + f/700)), pure numpy."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    n_bins = n_fft // 2 + 1
+    fft_hz = np.linspace(0.0, sample_rate / 2.0, n_bins)
+    mel_pts = mel_to_hz(np.linspace(0.0, float(hz_to_mel(sample_rate / 2.0)),
+                                    n_mels + 2))
+    fb = np.zeros((n_mels, n_bins), dtype=np.float64)
+    for m in range(n_mels):
+        lo, mid, hi = mel_pts[m], mel_pts[m + 1], mel_pts[m + 2]
+        up = (fft_hz - lo) / max(mid - lo, 1e-9)
+        down = (hi - fft_hz) / max(hi - mid, 1e-9)
+        fb[m] = np.clip(np.minimum(up, down), 0.0, None)
+    return fb
+
+
+def audio_spectrogram(
+    df: DataFrame,
+    decoder: Callable[[bytes, int], np.ndarray] = auto_decode_audio,
+    n_fft: int = 256,
+    hop: int = 128,
+    n_mels: int = 16,
+    sample_rate: float = 16000.0,
+) -> DataFrame:
+    """REAL log-mel spectrogram summary, pure numpy (Hann window →
+    rFFT power frames → mel filterbank → log) — the canonical audio
+    featurization for training-data pipelines (speech quality gates,
+    audio dedup keys, silence filtering), with no codec/DSP libs.
+
+    Output per media row: fixed-size arrays so the schema is static at
+    any corpus size — ``mel_mean``/``mel_std`` (per-band log-energy
+    mean/stddev over frames, ARRAY<FLOAT> of n_mels), ``n_frames``,
+    and ``spectral_centroid`` (Hz, energy-weighted). 100 TB shape:
+    same Arrow-batched mapInPandas contract as image/audio_features —
+    the only data movement is the payload scan itself; pair with
+    :func:`repartition_by_bytes` for even task sizing."""
+    fb = None  # built once per worker from the first batch
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nonlocal fb
+        if fb is None:
+            fb = _mel_filterbank(n_mels, n_fft, sample_rate)
+        window = np.hanning(n_fft)
+        n_bins = n_fft // 2 + 1
+        centroid_hz = np.linspace(0.0, sample_rate / 2.0, n_bins)
+        for pdf in batches:
+            ids, means, stds, frames, cents = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                pcm = decoder(bytes(row.payload), int(row.duration_ms))
+                if pcm.size < n_fft:
+                    pcm = np.pad(pcm, (0, n_fft - pcm.size))
+                n_frames = 1 + (pcm.size - n_fft) // hop
+                idx = (np.arange(n_fft)[None, :]
+                       + hop * np.arange(n_frames)[:, None])
+                spec = np.abs(np.fft.rfft(pcm[idx] * window, axis=1)) ** 2
+                mel = np.log(spec @ fb.T + 1e-10)  # (frames, mels)
+                tot = spec.sum()
+                cent = (float((spec.sum(axis=0) * centroid_hz).sum() / tot)
+                        if tot > 0 else 0.0)
+                ids.append(row.media_id)
+                means.append(mel.mean(axis=0).astype(np.float32))
+                stds.append(mel.std(axis=0).astype(np.float32))
+                frames.append(int(n_frames))
+                cents.append(cent)
+            yield pd.DataFrame({"media_id": ids, "mel_mean": means,
+                                "mel_std": stds, "n_frames": frames,
+                                "spectral_centroid": cents})
+
+    payload = df.select("media_id", "payload", "duration_ms")
+    return payload.mapInPandas(
+        kernel, "media_id BIGINT, mel_mean ARRAY<FLOAT>, "
+                "mel_std ARRAY<FLOAT>, n_frames INT, "
+                "spectral_centroid DOUBLE")
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled
     timestamp (payload decode stubbed — emits frame offsets only).
