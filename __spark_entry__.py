@@ -548,6 +548,15 @@ def _q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def _q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/RefinedWeb repeated-span removal, keep-first semantics.
+    # Gate runs it at WORD granularity (sep=' ') so the synthetic
+    # corpus (no newlines) exercises massive cross-doc removal with
+    # order preservation — a differential workout for both engines.
+    from bright_spark.text.dedup import dedup_paragraphs
+    return dedup_paragraphs(_docs(spark, sf_dir), sep=" ")
+
+
 # PII injected into a deterministic doc subset so the redaction
 # counts are non-trivial on the synthetic corpus; the oracle appends
 # the identical literal
@@ -770,6 +779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": _q_text_redact,
         "text_repetition": _q_text_repetition,
         "text_fingerprint": _q_text_fingerprint,
+        "dedup_paragraphs": _q_dedup_paragraphs,
         "text_lang_profile": _q_lang_profile,
         "text_lang_id": _q_lang_id,
         # --- multimodal (sampling grid; decode is env-gated)
@@ -1370,6 +1380,24 @@ WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS term FROM documents)
 SELECT doc_id, md5(string_agg(DISTINCT term, ' ' ORDER BY term)) AS fingerprint
 FROM toks GROUP BY doc_id""",
+        "dedup_paragraphs": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS parts FROM documents),
+p AS (SELECT doc_id, i - 1 AS idx, parts[i] AS para
+      FROM t, unnest(range(1, len(parts) + 1)) AS r(i)),
+w AS (SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY para
+                                ORDER BY doc_id, idx) AS rn,
+             count(*) OVER (PARTITION BY para) AS c
+      FROM p),
+kept AS (SELECT doc_id, idx, para FROM w WHERE c < 2 OR rn = 1),
+agg AS (SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.text, '') AS text,
+       len(t.parts)::BIGINT AS n_paragraphs,
+       (len(t.parts) - coalesce(a.n_kept, 0))::BIGINT AS n_removed
+FROM t LEFT JOIN agg a USING (doc_id)""",
         "text_lang_profile": """
 WITH t AS (SELECT lang, len(string_split(lower(trim(text)), ' '))::BIGINT AS n_tokens,
                   length(text)::BIGINT AS n_chars

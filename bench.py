@@ -123,6 +123,9 @@ def main() -> None:
         timed("mutate_upsert_50", _mutate)
 
         timed("dedup_exact", lambda: exact_duplicates(docs).count())
+        from bright_spark.text.dedup import dedup_paragraphs
+        timed("dedup_paragraphs",
+              lambda: dedup_paragraphs(docs, sep=" ").count())
         timed("dedup_minhash_lsh",
               lambda: near_duplicates_minhash(docs, threshold=0.5).count())
         timed("dedup_simhash", lambda: simhash(docs).count())

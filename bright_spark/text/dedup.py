@@ -415,3 +415,53 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
             .agg(F.sum(F.when(F.col("s") >= 0,
                               F.expr("shiftleft(cast(1 as bigint), bit)"))
                        .otherwise(F.lit(0))).alias("simhash")))
+
+
+def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", sep: str = "\n\n",
+                     min_copies: int = 2) -> DataFrame:
+    """CCNet/RefinedWeb-style repeated-span removal: split each doc on
+    ``sep``, drop every paragraph whose exact text occurs in
+    ``min_copies``+ places across the corpus EXCEPT its first
+    occurrence (first = smallest (doc_id, position)), and reassemble
+    the surviving paragraphs in order. The standard boilerplate killer
+    (headers, nav bars, license blocks) ahead of doc-level dedup.
+
+    Returns (doc_id, text, n_paragraphs, n_removed).
+
+    100 TB shape — paragraph TEXT never shuffles:
+    1. only (md5, doc_id, idx) triples take the one hash-keyed
+       shuffle (groupBy md5 with map-side combine; the winner is
+       min(struct(doc_id, idx)), no window/sort),
+    2. the removal list folds back as a per-doc int array
+       ((doc_id, rm_idx)), small relative to the corpus — AQE
+       broadcasts it into the final join,
+    3. reassembly is a per-row JVM expression: split -> indexed
+       lambda filter -> array_join. Documents stay columnar in their
+       original partitions end to end."""
+    import re as _re
+    pat = _re.escape(sep)
+    docs = df.select(F.col(id_col).alias("doc_id"),
+                     F.coalesce(F.col(text_col), F.lit("")).alias("text"))
+    parts = F.split(F.col("text"), pat)
+    p_keys = docs.select(
+        "doc_id", F.posexplode(parts).alias("idx", "para")
+    ).select("doc_id", "idx", F.md5("para").alias("phash"))
+    winners = (p_keys.groupBy("phash")
+               .agg(F.count("*").alias("copies"),
+                    F.min(F.struct("doc_id", "idx")).alias("first_occ"))
+               .filter(F.col("copies") >= int(min_copies)))
+    removed = (p_keys.join(winners, "phash")
+               .filter((F.col("doc_id") != F.col("first_occ.doc_id"))
+                       | (F.col("idx") != F.col("first_occ.idx")))
+               .groupBy("doc_id")
+               .agg(F.collect_list("idx").alias("rm_idx")))
+    joined = docs.join(removed, "doc_id", "left")
+    kept = F.when(F.col("rm_idx").isNull(), parts).otherwise(
+        F.filter(parts, lambda x, i: ~F.array_contains("rm_idx", i)))
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, sep).alias("text"),
+        F.size(parts).cast("bigint").alias("n_paragraphs"),
+        F.coalesce(F.size("rm_idx"), F.lit(0)).cast("bigint")
+         .alias("n_removed"))

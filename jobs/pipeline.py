@@ -9,6 +9,7 @@ also reads ``lang`` when present):
 
     dedup_exact      (doc_id, content_hash, canonical_id, group_size)
     dedup_minhash    near-dup pairs (id_a, id_b, jaccard)
+    dedup_paragraphs CCNet-style repeated-paragraph removal (keep-first)
     dedup_clusters   connected-component cluster_id per doc
     redact           PII-scrubbed text + per-category counts
     quality          quality features + composite score
@@ -89,6 +90,9 @@ def main() -> None:
         )
         pairs = near_duplicates_minhash(docs, threshold=args.threshold)
         out = duplicate_clusters(docs, pairs)
+    elif args.op == "dedup_paragraphs":
+        from bright_spark.text.dedup import dedup_paragraphs
+        out = dedup_paragraphs(docs)
     elif args.op == "redact":
         from bright_spark.text.scrub import redact_pii
         out = redact_pii(docs)

@@ -634,3 +634,51 @@ def test_vocabulary_fixture(spark):
     # min_count prunes the tail
     got2 = {r["term"] for r in vocabulary(docs, min_count=2).collect()}
     assert got2 == {"cat", "dog"}
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """Repeated paragraphs vanish everywhere but their first
+    (doc_id, position) occurrence; unique paragraphs survive; order
+    and separators are preserved; a doc can lose everything."""
+    import pandas as pd
+
+    from bright_spark.text.dedup import dedup_paragraphs
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "COPYRIGHT HEADER\n\nunique zero\n\nCOPYRIGHT HEADER",
+            "COPYRIGHT HEADER\n\nunique one",
+            "unique two\n\nCOPYRIGHT HEADER",
+            "COPYRIGHT HEADER",
+        ],
+    }))
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    # doc 0 keeps the FIRST copy (idx 0) and drops its own repeat
+    assert got[0]["text"] == "COPYRIGHT HEADER\n\nunique zero"
+    assert got[0]["n_paragraphs"] == 3 and got[0]["n_removed"] == 1
+    assert got[1]["text"] == "unique one"
+    assert got[2]["text"] == "unique two"
+    assert got[3]["text"] == "" and got[3]["n_removed"] == 1
+    # idempotence: a second pass removes nothing
+    again = dedup_paragraphs(
+        dedup_paragraphs(docs).select("doc_id", "text")).collect()
+    assert all(r["n_removed"] == 0 for r in again)
+
+
+def test_dedup_paragraphs_min_copies_and_sep(spark):
+    import pandas as pd
+
+    from bright_spark.text.dedup import dedup_paragraphs
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a|b|a", "b|c"],
+    }))
+    # min_copies=3: nothing reaches 3 copies except... a=2, b=2 -> none
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs(docs, sep="|", min_copies=3).collect()}
+    assert out[0]["text"] == "a|b|a" and out[0]["n_removed"] == 0
+    # default min_copies=2 with custom sep (regex-escaped literal)
+    out = {r["doc_id"]: r for r in
+           dedup_paragraphs(docs, sep="|").collect()}
+    assert out[0]["text"] == "a|b" and out[0]["n_removed"] == 1
+    assert out[1]["text"] == "c" and out[1]["n_removed"] == 1
