@@ -129,3 +129,33 @@ def test_lm_perplexity_partial_aggregation(spark):
     assert "HashAggregate" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "Join" in plan  # the tf x vocab scoring join survives
+
+
+def test_dedup_paragraphs_text_never_shuffles(spark):
+    """The paragraph-dedup winner shuffle must carry ONLY
+    (phash, doc_id, idx) — the paragraph/document text columns must
+    not appear in any Exchange input, and there must be no cartesian/
+    nested-loop join. At 10^12 docs the hash triples are ~1% of the
+    corpus bytes; shuffling text would be the scale killer."""
+    import pandas as pd
+
+    from bright_spark.text.dedup import dedup_paragraphs
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(30),
+        "text": [f"header\n\nbody {i}\n\nfooter" for i in range(30)]}))
+    df = dedup_paragraphs(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # every Exchange block's column list must be text-free: the only
+    # shuffled attributes are hashes, ids, ordinals, and counts
+    for block in plan.split("Exchange")[1:]:
+        args = block.split("\n", 1)[0]
+        assert "text" not in args and "para" not in args, args
+    # correctness of the pinned plan on this fixture: header/footer
+    # survive once each (doc 0), bodies are unique
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows[0]["text"] == "header\n\nbody 0\n\nfooter"
+    assert rows[5]["text"] == "body 5"
+    assert rows[5]["n_removed"] == 2
