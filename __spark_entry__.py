@@ -1388,8 +1388,10 @@ w AS (SELECT doc_id, idx, para,
              row_number() OVER (PARTITION BY para
                                 ORDER BY doc_id, idx) AS rn,
              count(*) OVER (PARTITION BY para) AS c
-      FROM p),
-kept AS (SELECT doc_id, idx, para FROM w WHERE c < 2 OR rn = 1),
+      FROM p WHERE length(para) >= 1),
+kept AS (SELECT doc_id, idx, para FROM w WHERE c < 2 OR rn = 1
+         UNION ALL
+         SELECT doc_id, idx, para FROM p WHERE length(para) < 1),
 agg AS (SELECT doc_id, string_agg(para, ' ' ORDER BY idx) AS text,
                count(*) AS n_kept
         FROM kept GROUP BY doc_id)

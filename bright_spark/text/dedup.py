@@ -419,13 +419,18 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
 
 def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", sep: str = "\n\n",
-                     min_copies: int = 2) -> DataFrame:
+                     min_copies: int = 2, min_len: int = 1) -> DataFrame:
     """CCNet/RefinedWeb-style repeated-span removal: split each doc on
     ``sep``, drop every paragraph whose exact text occurs in
     ``min_copies``+ places across the corpus EXCEPT its first
     occurrence (first = smallest (doc_id, position)), and reassemble
     the surviving paragraphs in order. The standard boilerplate killer
     (headers, nav bars, license blocks) ahead of doc-level dedup.
+
+    Paragraphs shorter than ``min_len`` chars are exempt (never
+    removed, never counted) — CCNet's short-span guard; it also makes
+    the operator idempotent (a removed-doc's leftover empty string
+    can never collide on a second pass).
 
     Returns (doc_id, text, n_paragraphs, n_removed).
 
@@ -446,7 +451,8 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
     parts = F.split(F.col("text"), pat)
     p_keys = docs.select(
         "doc_id", F.posexplode(parts).alias("idx", "para")
-    ).select("doc_id", "idx", F.md5("para").alias("phash"))
+    ).filter(F.length("para") >= int(min_len)
+             ).select("doc_id", "idx", F.md5("para").alias("phash"))
     winners = (p_keys.groupBy("phash")
                .agg(F.count("*").alias("copies"),
                     F.min(F.struct("doc_id", "idx")).alias("first_occ"))

@@ -44,7 +44,21 @@ def test_full_prepare_chain(spark, corpus, benchmark_probes):
     from bright_spark.text.sampling import deterministic_split, pack_sequences
     from bright_spark.text.scrub import redact_pii
 
+    from bright_spark.text.dedup import dedup_paragraphs
+
     n0 = corpus.count()
+
+    # 0. repeated-paragraph removal (word granularity here — the
+    # fixture corpus is single-line). Exact-duplicate docs become
+    # empty except the first copy, which keeps every first-occurrence
+    # word: the later doc-level dedup stage must still converge, and
+    # no row may be lost or reordered.
+    para = dedup_paragraphs(corpus, sep=" ")
+    assert para.count() == n0
+    assert para.filter(F.col("n_removed") > 0).count() > 0
+    # idempotence at the corpus level
+    assert (dedup_paragraphs(para.select("doc_id", "text"), sep=" ")
+            .agg(F.sum("n_removed")).collect()[0][0] == 0)
 
     # 1. exact dedup: keep each group's canonical doc
     canon = (exact_duplicates(corpus)
