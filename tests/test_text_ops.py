@@ -682,3 +682,52 @@ def test_dedup_paragraphs_min_copies_and_sep(spark):
            dedup_paragraphs(docs, sep="|").collect()}
     assert out[0]["text"] == "a|b" and out[0]["n_removed"] == 1
     assert out[1]["text"] == "c" and out[1]["n_removed"] == 1
+
+
+def test_dedup_paragraphs_fuzz_vs_reference(spark):
+    """Differential fuzz: random corpora (dup-heavy, empties, varied
+    doc lengths) against a direct per-corpus Python reference of the
+    keep-first semantics."""
+    import numpy as np
+    import pandas as pd
+
+    from bright_spark.text.dedup import dedup_paragraphs
+
+    def reference(texts, sep, min_copies, min_len):
+        from collections import Counter
+        split = [t.split(sep) for t in texts]
+        counts = Counter(p for ps in split for p in ps
+                         if len(p) >= min_len)
+        seen, out = set(), []
+        for ps in split:
+            kept = []
+            removed = 0
+            for p in ps:
+                if (len(p) >= min_len and counts[p] >= min_copies
+                        and p in seen):
+                    removed += 1
+                elif len(p) >= min_len and counts[p] >= min_copies:
+                    seen.add(p)
+                    kept.append(p)
+                else:
+                    kept.append(p)
+            out.append((sep.join(kept), len(ps), removed))
+        return out
+
+    rng = np.random.default_rng(2026)
+    vocab = ["alpha", "beta", "gamma", "", "x", "lorem ipsum",
+             "the same header", "z" * 3]
+    for trial in range(6):
+        n = int(rng.integers(3, 14))
+        texts = ["|".join(rng.choice(vocab,
+                                     size=int(rng.integers(1, 9))))
+                 for _ in range(n)]
+        docs = spark.createDataFrame(pd.DataFrame(
+            {"doc_id": range(n), "text": texts}))
+        got = {r["doc_id"]: r for r in
+               dedup_paragraphs(docs, sep="|").collect()}
+        want = reference(texts, "|", 2, 1)
+        for d in range(n):
+            assert got[d]["text"] == want[d][0], (trial, d, texts[d])
+            assert got[d]["n_paragraphs"] == want[d][1]
+            assert got[d]["n_removed"] == want[d][2]
