@@ -14,7 +14,10 @@ from __future__ import annotations
 
 import hashlib
 import math
+from collections.abc import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -29,6 +32,25 @@ def _norm(a):
                               F.lit(0.0), lambda acc, x: acc + x))
 
 
+def _fold_dot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot product as an EXACT left-to-right IEEE fold —
+    bit-identical to the Catalyst expression
+    ``aggregate(zip_with(a, b, (x, y) -> x*y), 0.0, (acc, x) -> acc+x)``
+    the all-JVM path evaluates (``np.add.accumulate`` applies the ufunc
+    sequentially along the axis — no pairwise regrouping, unlike
+    ``np.sum``). The leading 0.0 column reproduces the fold's
+    ``0.0 + x0`` start (a ``-0.0`` first product folds to ``+0.0``)."""
+    p = a * b
+    z = np.zeros((p.shape[0], 1), dtype=np.float64)
+    return np.add.accumulate(np.concatenate([z, p], axis=1), axis=1)[:, -1]
+
+
+def _stack_f64(col: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list column — the same
+    per-element float->double widening as ``transform(v, cast double)``."""
+    return np.stack([np.asarray(x, dtype=np.float64) for x in col])
+
+
 def cosine_topk(df: DataFrame, query_vec: list[float], k: int | None = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 exclude_ids: list[int] | None = None) -> DataFrame:
@@ -36,13 +58,29 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int | None = 10,
     (vec_id, cosine) ordered desc, vec_id asc tiebreak. ``k=None``
     returns the FULL scored candidate set unordered (callers that
     re-rank under their own tie policy, e.g. rounded-score parity
-    harnesses)."""
-    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    harnesses).
+
+    Scoring runs as one Arrow-batched numpy kernel (guide: vectorized
+    native code beats per-row interpreted folds); the fold-exact dot
+    (:func:`_fold_dot`) keeps every cosine bit-identical to the old
+    expression path, so oracle parity and ranking are unchanged. The
+    top-k itself stays a Catalyst TakeOrderedAndProject."""
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
     qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    out = df.select(
-        F.col(id_col).alias("vec_id"),
-        (_dot(v, qlit) / (_norm(v) * F.lit(qnorm))).alias("cosine"))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _stack_f64(pdf[vec_col])
+            dot = _fold_dot(v, np.broadcast_to(q, v.shape))
+            norm = np.sqrt(_fold_dot(v, v))
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "cosine": dot / (norm * qnorm)})
+
+    out = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score, "vec_id BIGINT, cosine DOUBLE")
     if exclude_ids:
         out = out.filter(~F.col("vec_id").isin(exclude_ids))
     if k is None:
@@ -57,43 +95,109 @@ def _hyperplane(plane: int, dim: int) -> float:
     return int(h, 16) / float(2**31) - 1.0
 
 
+def _planes_matrix(n_planes: int, dim: int) -> "np.ndarray":
+    return np.array([[_hyperplane(j, d) for d in range(dim)]
+                     for j in range(n_planes)], dtype=np.float64)
+
+
+def _sigs_of(v: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """LSH signatures of the rows of ``v``: bit j = [fold-dot(v,
+    plane_j) >= 0] — fold-exact, so identical to the expression path."""
+    sig = np.zeros(v.shape[0], dtype=np.int64)
+    for j in range(planes.shape[0]):
+        d = _fold_dot(v, np.broadcast_to(planes[j], v.shape))
+        sig |= (d >= 0).astype(np.int64) << j
+    return sig
+
+
 def lsh_signatures(df: DataFrame, dim: int, n_planes: int = 16,
                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(vec_id, sig): sig bit j = [dot(v, plane_j) >= 0]."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    sig = F.lit(0).cast("bigint")
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(_hyperplane(j, d)) for d in range(dim)])
-        bit = F.when(_dot(v, plane) >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0))
-        sig = sig + F.shiftleft(bit, j)
-    return df.select(F.col(id_col).alias("vec_id"), sig.alias("sig"))
+    """(vec_id, sig): sig bit j = [dot(v, plane_j) >= 0]. One Arrow-
+    batched numpy pass (fold-exact dots) instead of n_planes
+    interpreted expression folds per row."""
+    planes = _planes_matrix(n_planes, dim)
+
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _stack_f64(pdf[vec_col])
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "sig": _sigs_of(v, planes)})
+
+    return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kern, "vec_id BIGINT, sig BIGINT")
 
 
 def near_duplicates_cosine(df: DataFrame, threshold: float = 0.3,
                            n_planes: int = 6, dim: int | None = None,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           pair_chunk: int = 250_000) -> DataFrame:
     """Embedding near-dup pairs: candidates = vectors sharing an LSH
     hyperplane-signature bucket (equi-join — the 100 TB path: no cross
     product), verified by exact cosine >= threshold. Deterministic
     (md5-derived planes) and engine-portable, so the SQL oracle
     recomputes the identical bucket assignment from the same plane
-    constants. Returns (id_a, id_b, cosine), id_a < id_b."""
+    constants. Returns (id_a, id_b, cosine), id_a < id_b.
+
+    Execution shape (guide §4.2: distribute with Spark, compute in
+    numpy): ONE signature pass tags each vector with its bucket (no
+    join — the old plan self-joined a signature frame back onto the
+    table), then a per-bucket Arrow kernel generates the intra-bucket
+    pairs and scores them vectorized, ``pair_chunk`` pairs at a time
+    to bound task memory. Only surviving (id_a, id_b, cosine) rows
+    leave the kernel — the O(bucket^2) candidate set never
+    materializes as Spark rows (the old plan shuffled both full
+    embedding arrays per candidate pair and re-evaluated norm folds
+    pairwise). Every cosine is fold-exact (:func:`_fold_dot`), so
+    results are bit-identical to the expression path."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    sigs = lsh_signatures(df, dim, n_planes, id_col, vec_col)
-    v = df.select(F.col(id_col).alias("vec_id"),
-                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("e"))
-    sv = v.join(sigs, "vec_id")
-    a = sv.select(F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"),
-                  F.col("sig").alias("sig_a"))
-    b = sv.select(F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"),
-                  F.col("sig").alias("sig_b"))
-    pairs = a.join(b, (F.col("sig_a") == F.col("sig_b"))
-                   & (F.col("id_a") < F.col("id_b")))
-    cos = _dot(F.col("e_a"), F.col("e_b")) / (_norm(F.col("e_a")) * _norm(F.col("e_b")))
-    return (pairs.select("id_a", "id_b", cos.alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+    planes = _planes_matrix(n_planes, dim)
+
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _stack_f64(pdf[vec_col])
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(dtype=np.int64),
+                "emb": list(v),
+                "sig": _sigs_of(v, planes)})
+
+    tagged = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        tag, "vec_id BIGINT, emb ARRAY<DOUBLE>, sig BIGINT")
+    thr = float(threshold)
+
+    def bucket_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": np.empty(0, np.int64),
+                                 "id_b": np.empty(0, np.int64),
+                                 "cosine": np.empty(0, np.float64)})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        v = _stack_f64(pdf["emb"])[order]
+        norm = np.sqrt(_fold_dot(v, v))
+        ii, jj = np.triu_indices(n, k=1)
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, ii.size, pair_chunk):
+            ic, jc = ii[s:s + pair_chunk], jj[s:s + pair_chunk]
+            dot = _fold_dot(v[ic], v[jc])
+            cos = dot / (norm[ic] * norm[jc])
+            keep = cos >= thr
+            out_a.append(ids[ic[keep]])
+            out_b.append(ids[jc[keep]])
+            out_c.append(cos[keep])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    return tagged.groupBy("sig").applyInPandas(
+        bucket_pairs, "id_a BIGINT, id_b BIGINT, cosine DOUBLE")
 
 
 def probe_signatures(query_vec: list[float], dim: int, n_planes: int,
@@ -126,10 +230,33 @@ def ann_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     probe set prunes sig partition directories instead."""
     dim = dim or len(query_vec)
     probes = probe_signatures(query_vec, dim, n_planes, probe_hamming)
-    sigs = lsh_signatures(df, dim, n_planes, id_col, vec_col)
-    cand = (df.join(sigs.filter(F.col("sig").isin(probes)),
-                    df[id_col] == sigs.vec_id, "left_semi"))
-    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+    planes = _planes_matrix(n_planes, dim)
+    q = np.asarray([float(x) for x in query_vec], dtype=np.float64)
+    qnorm = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    probe_arr = np.asarray(sorted(probes), dtype=np.int64)
+
+    # one fused Arrow pass: signature + probe filter + cosine — the old
+    # plan computed a signature frame and semi-joined it back on id
+    def kern(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = _stack_f64(pdf[vec_col])
+            keep = np.isin(_sigs_of(v, planes), probe_arr)
+            if not keep.any():
+                continue
+            v = v[keep]
+            dot = _fold_dot(v, np.broadcast_to(q, v.shape))
+            norm = np.sqrt(_fold_dot(v, v))
+            yield pd.DataFrame({
+                "vec_id": pdf[id_col].to_numpy(dtype=np.int64)[keep],
+                "cosine": dot / (norm * qnorm)})
+
+    out = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        kern, "vec_id BIGINT, cosine DOUBLE")
+    if k is None:
+        return out
+    return out.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
 
 
 def build_ann_index(df: DataFrame, index_dir: str, dim: int,
@@ -145,10 +272,21 @@ def build_ann_index(df: DataFrame, index_dir: str, dim: int,
     buckets)."""
     import json
     import os
-    sigs = lsh_signatures(df, dim, n_planes, id_col, vec_col)
-    out = (df.select(F.col(id_col).alias("vec_id"),
-                     F.col(vec_col).alias("embedding"))
-           .join(sigs, "vec_id"))
+    planes = _planes_matrix(n_planes, dim)
+
+    # fused tag pass: embedding rides through unchanged (stored bytes
+    # identical to the source column); no signature-frame self-join
+    def tag(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = pd.DataFrame({"vec_id": pdf[id_col].to_numpy(np.int64),
+                                "embedding": pdf[vec_col].to_numpy()})
+            out["sig"] = _sigs_of(_stack_f64(pdf[vec_col]), planes)
+            yield out
+
+    out = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        tag, "vec_id BIGINT, embedding ARRAY<FLOAT>, sig BIGINT")
     (out.repartition("sig")
         .write.mode("overwrite").partitionBy("sig").parquet(index_dir))
     with open(os.path.join(index_dir, "_ann_meta.json"), "w") as f:
