@@ -41,7 +41,14 @@ def _tune(spark: SparkSession) -> SparkSession:
                      ("spark.sql.adaptive.enabled", "true"),
                      ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
                      ("spark.sql.execution.arrow.pyspark.enabled", "true"),
-                     ("spark.sql.session.timeZone", "UTC")):
+                     ("spark.sql.session.timeZone", "UTC"),
+                     # stop InferFiltersFromGenerate from inlining the
+                     # full shingle/token array expression into scan-
+                     # side filters (pure optimizer rewrite, results
+                     # unchanged; see session.py for the measurement)
+                     ("spark.sql.optimizer.excludedRules",
+                      "org.apache.spark.sql.catalyst.optimizer."
+                      "InferFiltersFromGenerate")):
             try:
                 spark.conf.set(k, v)
             except Exception:

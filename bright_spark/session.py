@@ -50,6 +50,18 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # InferFiltersFromGenerate synthesizes `size(arr)>0 AND
+        # isnotnull(arr)` under every non-outer explode; predicate
+        # pushdown then inlines the FULL array-building expression
+        # (tokenize + shingle transform) into a scan-side Filter,
+        # re-evaluating it 2-3x per row before the real projection runs
+        # once more (measured 5x wall on the decontamination flow). Our
+        # generate inputs are never empty by construction, so the
+        # inferred filter only costs; excluding the rule cannot change
+        # results (it is an optimizer-only rewrite).
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.driver.memory", os.environ.get("BRIGHT_SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )

@@ -30,13 +30,32 @@ def tokens_col(text_col: str = "text"):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Parallelism floor for per-row-heavy operators: round-robin
+    repartition ONLY when the input has fewer partitions than the
+    session's default parallelism. A small corpus arriving as one
+    unsplittable file (single parquet row group caps scan tasks at 1 —
+    guide §2.5 'input skew') would otherwise run every narrow
+    tokenize/hash stage on one core; at real scale inputs already
+    exceed the floor and this adds NO shuffle. Results are unaffected:
+    downstream aggregations are partition-order-insensitive and the
+    round-robin assignment is deterministic (sort-before-repartition)."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(target) if n < target else df
+
+
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(doc_id, content_hash, canonical_id, group_size); canonical =
     min doc_id of the identical-text group. Keep rows where
     doc_id != canonical_id to drop duplicates."""
-    hashed = df.select(F.col(id_col).alias("doc_id"),
-                       F.md5(F.col(text_col)).alias("content_hash"))
+    hashed = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                                F.md5(F.col(text_col)).alias("content_hash"))
     groups = (hashed.groupBy("content_hash")
               .agg(F.min("doc_id").alias("canonical_id"),
                    F.count("*").alias("group_size")))
@@ -63,19 +82,41 @@ def cross_corpus_duplicates(corpus: DataFrame, reference: DataFrame,
     return h.join(ref, "content_hash", "left_semi")
 
 
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, sh ARRAY<STRING>): the DISTINCT k-token shingles of
+    each doc as ONE per-row array — ``array_distinct`` does the per-doc
+    dedup in place, so building the Jaccard universe needs NO shuffle
+    (the old exploded ``distinct()`` exchanged every shingle string
+    corpus-wide; dedup keys were always per-doc, guide §2.4)."""
+    df = fan_out(df)
+    toks = tokens_col(text_col)
+    arr = F.when(
+        F.size(toks) >= k,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    ).otherwise(F.array(F.array_join(toks, " ")))
+    return df.select(F.col(id_col).alias("doc_id"),
+                     F.array_distinct(arr).alias("sh"))
+
+
 def shingles_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                 k: int = 3) -> DataFrame:
-    """Distinct k-token shingles per doc (the Jaccard universe)."""
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     tokens_col(text_col).alias("toks"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(F.when(
-            F.size("toks") >= k,
-            F.transform(F.sequence(F.lit(0), F.size("toks") - k),
-                        lambda i: F.array_join(F.slice("toks", i + 1, k), " "))
-        ).otherwise(F.array(F.array_join("toks", " ")))).alias("shingle"))
-    return sh.distinct()
+    """Distinct k-token shingles per doc (the Jaccard universe),
+    exploded view of :func:`shingle_arrays` — shuffle-free."""
+    return shingle_arrays(df, id_col, text_col, k).select(
+        "doc_id", F.explode("sh").alias("shingle"))
+
+
+def _minhash_cols(n_hashes: int) -> list:
+    """h_i = array_min over the doc's shingle array of
+    md5(i || '|' || shingle) — per-row expressions, no aggregation.
+    Lexicographic array_min over hex strings == the old groupBy
+    min() over the exploded frame."""
+    def mk(i: int):
+        return F.array_min(F.transform(
+            "sh", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))).alias(f"h{i}")
+    return [mk(i) for i in range(n_hashes)]
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -83,13 +124,17 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        k: int = 3, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h{n-1}) — hi = min over shingles of
     md5(i || '|' || shingle) (lexicographic min of hex strings).
-    ``sh`` reuses an already-built shingle frame (callers that also
-    verify share one tokenize pass)."""
+    Computed per row from the shingle ARRAY (zero shuffle — the old
+    path aggregated an exploded frame). ``sh`` reuses an already-built
+    frame: either the (doc_id, sh) array form or a legacy exploded
+    (doc_id, shingle) frame."""
     if sh is None:
-        sh = shingles_df(df, id_col, text_col, k)
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-            for i in range(n_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+        sh = shingle_arrays(df, id_col, text_col, k)
+    elif "sh" not in sh.columns:
+        aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+                .alias(f"h{i}") for i in range(n_hashes)]
+        return sh.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", *_minhash_cols(n_hashes))
 
 
 def lsh_bands(sig: DataFrame, n_hashes: int = 8, bands: int = 4) -> DataFrame:
@@ -111,9 +156,15 @@ def lsh_bands(sig: DataFrame, n_hashes: int = 8, bands: int = 4) -> DataFrame:
 def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n_hashes: int = 8,
                             bands: int = 4, k: int = 3,
-                            sh: DataFrame | None = None) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing an LSH band bucket."""
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, k, sh=sh)
+                            sh: DataFrame | None = None,
+                            sig: DataFrame | None = None) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing an LSH band bucket.
+    ``sig`` reuses precomputed signatures — the band union references
+    the signature frame once per band and the self-join doubles that,
+    so an un-materialized signature dataflow would re-execute 2x bands
+    times (callers should localCheckpoint it)."""
+    if sig is None:
+        sig = minhash_signatures(df, id_col, text_col, n_hashes, k, sh=sh)
     bandsdf = lsh_bands(sig, n_hashes, bands)
     a = bandsdf.alias("a")
     b = bandsdf.alias("b")
@@ -129,10 +180,21 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
                   sh: DataFrame | None = None) -> DataFrame:
-    """Exact shingle-Jaccard for candidate pairs: (id_a, id_b, jaccard)."""
+    """Exact shingle-Jaccard for candidate pairs: (id_a, id_b, jaccard).
+
+    The shingle arrays are first PRUNED to docs that actually appear in
+    a candidate pair (left-semi on the pair id set) — only near-dup
+    docs' shingles ever move, not the whole corpus's (the old path
+    collect_set-aggregated every doc). ``sh`` accepts the (doc_id, sh)
+    array form or a legacy exploded (doc_id, shingle) frame."""
     if sh is None:
-        sh = shingles_df(df, id_col, text_col, k)
-    sh = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+        sh = shingle_arrays(df, id_col, text_col, k)
+    elif "sh" not in sh.columns:
+        sh = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+    ids = (pairs.select(F.col("id_a").alias("doc_id"))
+           .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+           .distinct())
+    sh = sh.join(ids, "doc_id", "left_semi")
     j = (pairs
          .join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
@@ -180,12 +242,21 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
                             n_hashes: int = 8, bands: int = 4,
                             k: int = 3) -> DataFrame:
     """End-to-end MinHash-LSH near-dup pairs with verified Jaccard.
-    The shingle frame is built ONCE and lazily checkpointed — candidate
-    generation and Jaccard verification share the single tokenize +
-    explode pass instead of re-scanning the corpus."""
-    sh = shingles_df(df, id_col, text_col, k).localCheckpoint(eager=False)
-    pairs = minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands,
-                                    k, sh=sh)
+    The per-doc shingle ARRAY frame is built ONCE (no shuffle — see
+    :func:`shingle_arrays`) and lazily checkpointed; signature
+    derivation is per-row array math on it and Jaccard verification
+    reuses it pruned to candidate docs, so the only exchanges left in
+    the whole operator are the band-bucket join and the pair joins."""
+    sh = shingle_arrays(df, id_col, text_col, k).localCheckpoint(eager=False)
+    # the signature frame (8 hex strings per doc, tiny) is consumed 2x
+    # bands times through the band union + self-join; the pair frame is
+    # consumed three times by the verify joins — materialize both so
+    # the md5/tokenize dataflow executes exactly ONCE
+    sig = (minhash_signatures(df, id_col, text_col, n_hashes, k, sh=sh)
+           .localCheckpoint(eager=False))
+    pairs = (minhash_candidate_pairs(df, id_col, text_col, n_hashes, bands,
+                                     k, sh=sh, sig=sig)
+             .localCheckpoint(eager=False))
     return (jaccard_pairs(df, pairs, id_col, text_col, k, sh=sh)
             .filter(F.col("jaccard") >= threshold))
 
@@ -330,7 +401,10 @@ def near_duplicates_simhash(df: DataFrame, max_hamming: int = 3,
     if max_hamming >= 4:
         raise ValueError("4 bands of 16 bits guarantee recall only for "
                          "max_hamming <= 3")
-    sig = simhash64(df, id_col, text_col)
+    # the signature frame (two longs per doc) feeds all four band
+    # projections AND both sides of the self-join — materialize it so
+    # the tokenize + signature aggregation runs ONCE, not per branch
+    sig = simhash64(df, id_col, text_col).localCheckpoint(eager=False)
     bands = []
     for b in range(4):
         half = "simhash_lo" if b < 2 else "simhash_hi"
@@ -356,6 +430,31 @@ def near_duplicates_simhash(df: DataFrame, max_hamming: int = 3,
             .filter(F.col("hamming") <= max_hamming))
 
 
+def _simhash_sums(halves: list[str]) -> list:
+    """One SUM aggregate per (half, bit): Σ over token OCCURRENCES of
+    (+1 if the bit is set in the term's md5 half else -1). Equal to the
+    definitional Σ over distinct terms of tf·(±1) — summing a term's
+    ±1 tf times is the same integer — so no (doc, term) tf pre-
+    aggregation and no 32x bit-explode row blowup are needed: the
+    whole signature reduces in ONE map-side-combinable groupBy."""
+    aggs = []
+    for half in halves:
+        for b in range(32):
+            bit_set = F.expr(f"shiftright(h_{half}, {b}) % 2") == 1
+            aggs.append(F.sum(F.when(bit_set, 1).otherwise(-1))
+                        .alias(f"s_{half}_{b}"))
+    return aggs
+
+
+def _simhash_value(half: str):
+    """Signed-int64 signature from the 32 per-bit sums of ``half``."""
+    out = F.lit(0).cast("bigint")
+    for b in range(32):
+        out = out + F.when(F.col(f"s_{half}_{b}") >= 0,
+                           F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+    return out
+
+
 def simhash64(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc as two 32-bit halves (doc_id, simhash_hi,
@@ -366,31 +465,22 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
     Two int64-safe halves (not one 64-bit value) keep every shift/xor
     inside signed-int64 arithmetic, so the identical computation runs
     on any ANSI SQL engine (oracle parity) — while the full 64 bits
-    support 4x16-bit LSH bands at web scale."""
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(tokens_col(text_col)).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    h = tf.select(
-        "doc_id", "tf",
+    support 4x16-bit LSH bands at web scale.
+
+    Plan shape: token explode -> md5 halves -> ONE hash aggregate on
+    doc_id carrying 64 integer sums (map-side combined, so the
+    exchange moves one 64-long row per doc per map task). The old plan
+    exploded 32 bit-rows per (doc, term) and paid three shuffles."""
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              F.explode(tokens_col(text_col)).alias("term"))
+    h = toks.select(
+        "doc_id",
         F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h_lo"),
         F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("bigint").alias("h_hi"))
-    bits = h.select(
-        "doc_id", "tf", "h_lo", "h_hi",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
-    c = bits.select(
-        "doc_id", "bit",
-        F.when(F.expr("shiftright(h_lo, bit) % 2") == 1,
-               F.col("tf")).otherwise(-F.col("tf")).alias("c_lo"),
-        F.when(F.expr("shiftright(h_hi, bit) % 2") == 1,
-               F.col("tf")).otherwise(-F.col("tf")).alias("c_hi"))
-    bit_sums = c.groupBy("doc_id", "bit").agg(
-        F.sum("c_lo").alias("s_lo"), F.sum("c_hi").alias("s_hi"))
-    one = F.expr("shiftleft(cast(1 as bigint), bit)")
-    return (bit_sums.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("s_lo") >= 0, one).otherwise(F.lit(0)))
-                 .alias("simhash_lo"),
-                 F.sum(F.when(F.col("s_hi") >= 0, one).otherwise(F.lit(0)))
-                 .alias("simhash_hi")))
+    sums = h.groupBy("doc_id").agg(*_simhash_sums(["lo", "hi"]))
+    return sums.select("doc_id",
+                       _simhash_value("lo").alias("simhash_lo"),
+                       _simhash_value("hi").alias("simhash_hi"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
@@ -398,23 +488,15 @@ def simhash(df: DataFrame, id_col: str = "doc_id",
     """32-bit SimHash per doc: bit j set iff
     sum over distinct terms of tf * (+1 if bit j of
     int(md5(term)[:8], 16) else -1) >= 0 (the low half of
-    :func:`simhash64`; kept for compact signature use cases)."""
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(tokens_col(text_col)).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    h = tf.withColumn(
-        "h", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint"))
-    bits = h.select(
-        "doc_id", "tf", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"))
-    contrib = bits.withColumn(
-        "c", F.when(F.expr("shiftright(h, bit) % 2") == 1,
-                    F.col("tf")).otherwise(-F.col("tf")))
-    bit_sums = contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
-    return (bit_sums.groupBy("doc_id")
-            .agg(F.sum(F.when(F.col("s") >= 0,
-                              F.expr("shiftleft(cast(1 as bigint), bit)"))
-                       .otherwise(F.lit(0))).alias("simhash")))
+    :func:`simhash64`; kept for compact signature use cases). Same
+    single-aggregate plan shape as :func:`simhash64`."""
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              F.explode(tokens_col(text_col)).alias("term"))
+    h = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h_lo"))
+    sums = h.groupBy("doc_id").agg(*_simhash_sums(["lo"]))
+    return sums.select("doc_id", _simhash_value("lo").alias("simhash"))
 
 
 def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
@@ -463,8 +545,15 @@ def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",
                .groupBy("doc_id")
                .agg(F.collect_list("idx").alias("rm_idx")))
     joined = docs.join(removed, "doc_id", "left")
+    # kept indices via array_except (hash-set membership, O(n + r) per
+    # doc) instead of an array_contains scan per paragraph (O(n * r) —
+    # quadratic on boilerplate-heavy docs at word granularity);
+    # array_except preserves first-array order, so ascending indices
+    # reassemble the survivors in document order
+    keep_idx = F.array_except(
+        F.sequence(F.lit(0), F.size(parts) - 1), F.col("rm_idx"))
     kept = F.when(F.col("rm_idx").isNull(), parts).otherwise(
-        F.filter(parts, lambda x, i: ~F.array_contains("rm_idx", i)))
+        F.transform(keep_idx, lambda i: F.element_at(parts, i + 1)))
     return joined.select(
         "doc_id",
         F.array_join(kept, sep).alias("text"),

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bright_spark.analysis.tokenizer import LANG_STOPWORDS
-from bright_spark.text.dedup import tokens_col
+from bright_spark.text.dedup import fan_out, tokens_col
 
 # small English stopword list for quality ratios (deterministic const)
 EN_STOPWORDS = [
@@ -47,8 +47,8 @@ def token_stats(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Per-doc token counting: n_tokens, n_distinct, distinct_ratio,
     avg/max token length."""
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     tokens_col(text_col).alias("toks"))
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              tokens_col(text_col).alias("toks"))
     return toks.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -70,8 +70,8 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id",
     stopword ratio, mean word length band. Deterministic, engine-
     portable arithmetic (no UDF)."""
     stats = token_stats(df, id_col, text_col)
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(tokens_col(text_col)).alias("term"))
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              F.explode(tokens_col(text_col)).alias("term"))
     stop = (toks.groupBy("doc_id")
             .agg((F.sum(F.when(F.col("term").isin(EN_STOPWORDS), 1).otherwise(0))
                   .cast("double") / F.count("*")).alias("stopword_ratio")))
@@ -99,7 +99,7 @@ def repetition_profile(df: DataFrame, id_col: str = "doc_id",
         F.transform(F.sequence(F.lit(0), F.size(toks) - k),
                     lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     ).otherwise(F.array(F.array_join(toks, " ")))
-    out = df.select(F.col(id_col).alias("doc_id"), grams.alias("g"))
+    out = fan_out(df).select(F.col(id_col).alias("doc_id"), grams.alias("g"))
     total = F.size("g").cast("bigint")
     distinct = F.size(F.array_distinct("g")).cast("bigint")
     return out.select(
@@ -111,8 +111,8 @@ def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     an order-insensitive content signature (bag-of-words identity)."""
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     tokens_col(text_col).alias("toks"))
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              tokens_col(text_col).alias("toks"))
     return toks.select(
         "doc_id",
         F.md5(F.array_join(F.array_sort(F.array_distinct("toks")), " "))
@@ -142,8 +142,8 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     rows = [(lang, kw) for lang, kws in sorted(markers.items()) for kw in sorted(kws)]
     spark = df.sparkSession
     mdf = spark.createDataFrame(rows, "m_lang STRING, term STRING")
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(tokens_col(text_col)).alias("term"))
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              F.explode(tokens_col(text_col)).alias("term"))
     scored = (toks.join(F.broadcast(mdf), "term")
               .groupBy("doc_id", "m_lang").agg(F.count("*").alias("n")))
     from pyspark.sql import Window
@@ -180,8 +180,8 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
     can exceed broadcast size); the vocab frame is localCheckpointed
     so the totals aggregate and the scoring join share ONE
     materialization; the only collect is two scalars (total, |V|)."""
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(tokens_col(text_col)).alias("term"))
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              F.explode(tokens_col(text_col)).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     vocab = (tf.groupBy("term").agg(F.sum("tf").alias("cf"))
              .localCheckpoint(eager=False))
@@ -226,8 +226,8 @@ def lm_perplexity_bigram(df: DataFrame, id_col: str = "doc_id",
     models and shuffle big ones; both model frames localCheckpoint so
     counting and scoring share one materialization; the only collect
     is two scalars."""
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     tokens_col(text_col).alias("t"))
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              tokens_col(text_col).alias("t"))
     # prev[i] = t[i-1], prev[0] = NULL — a shifted copy, all JVM-side
     toks = toks.withColumn(
         "p", F.concat(F.array(F.lit(None).cast("string")),
@@ -265,24 +265,52 @@ def lm_perplexity_bigram(df: DataFrame, id_col: str = "doc_id",
 
 
 def vocabulary(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", min_count: int = 1) -> DataFrame:
+               text_col: str = "text", min_count: int = 1,
+               _materialize: bool = True) -> DataFrame:
     """Corpus vocabulary artifact — (term, cf, df, rank): collection
     frequency, document frequency, and frequency rank (cf desc, term
     asc tie-break). The standard input to tokenizer/BPE training,
     stopword derivation, and OOV analysis.
 
     100 TB shape: one token explode -> per-doc distinct for df + plain
-    count for cf, both map-side combinable; the final rank is a global
-    sort over the VOCABULARY (term-aggregated — millions of rows at
-    any corpus size, not corpus-sized), which a single orderBy handles
-    at every scale that matters."""
-    toks = df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(tokens_col(text_col)).alias("term"))
+    count for cf, both map-side combinable. The rank is computed
+    WITHOUT a single-partition global window (a code corpus's
+    distinct-term count reaches 10^9+ — one sort task would straggle
+    or OOM): repartitionByRange on (cf desc, term asc) + a per-
+    partition row_number + cumulative partition-count offsets (the
+    zipWithIndex shape). The ordering is total (term is unique), so
+    the result is identical to the global row_number; the only driver
+    collect is one row PER PARTITION (bounded by cluster width, not
+    data)."""
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              F.explode(tokens_col(text_col)).alias("term"))
     agg = (toks.groupBy("term")
            .agg(F.count("*").alias("cf"),
                 F.countDistinct("doc_id").alias("df"))
            .filter(F.col("cf") >= min_count))
     from pyspark.sql import Window
-    w = Window.orderBy(F.col("cf").desc(), F.col("term").asc())
-    return agg.select("term", "cf", "df",
-                      F.row_number().over(w).alias("rank"))
+    sc = df.sparkSession.sparkContext
+    n_parts = sc.defaultParallelism
+    order = [F.col("cf").desc(), F.col("term").asc()]
+    local = Window.partitionBy("_pid").orderBy(*order)
+    ranked = (agg.repartitionByRange(n_parts, *order)
+              .withColumn("_pid", F.spark_partition_id())
+              .withColumn("_rn", F.row_number().over(local)))
+    if _materialize:
+        # the offsets collect below and the caller's action share one
+        # materialization (plan tests pass False to see full lineage)
+        ranked = ranked.localCheckpoint(eager=False)
+    sizes = {int(r["_pid"]): int(r["n"]) for r in
+             ranked.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    if offsets:
+        omap = F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv])
+        rank = (F.col("_rn") + F.coalesce(omap[F.col("_pid")], F.lit(0)))
+    else:
+        rank = F.col("_rn")
+    return ranked.select("term", "cf", "df",
+                         rank.cast("int").alias("rank"))

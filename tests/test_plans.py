@@ -159,3 +159,29 @@ def test_dedup_paragraphs_text_never_shuffles(spark):
     assert rows[0]["text"] == "header\n\nbody 0\n\nfooter"
     assert rows[5]["text"] == "body 5"
     assert rows[5]["n_removed"] == 2
+
+
+def test_vocabulary_rank_no_single_partition_exchange(spark):
+    """The vocabulary rank must not funnel the whole vocabulary through
+    a single-partition exchange (the global-window row_number shape):
+    a code corpus's distinct-term count reaches 10^9+, so the rank must
+    come from range partitioning + per-partition numbering + offsets.
+    Output parity with the global row_number is asserted exactly."""
+    import pandas as pd
+
+    from bright_spark.text.quality import vocabulary
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"alpha beta tok{i % 7} gamma" for i in range(40)]}))
+    df = vocabulary(docs, _materialize=False)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower()
+    # exact parity with the definitional global ranking
+    rows = df.collect()
+    expect = sorted(((r["term"], int(r["cf"]), int(r["df"])) for r in rows),
+                    key=lambda t: (-t[1], t[0]))
+    got = {r["term"]: int(r["rank"]) for r in rows}
+    assert got == {t[0]: i + 1 for i, t in enumerate(expect)}
+    assert sorted(got.values()) == list(range(1, len(rows) + 1))
