@@ -89,15 +89,18 @@ def shingle_arrays(df: DataFrame, id_col: str = "doc_id",
     dedup in place, so building the Jaccard universe needs NO shuffle
     (the old exploded ``distinct()`` exchanged every shingle string
     corpus-wide; dedup keys were always per-doc, guide §2.4)."""
-    df = fan_out(df)
-    toks = tokens_col(text_col)
+    # two-step projection: `toks` becomes a named column so the regex
+    # split runs ONCE per row — inlining it leaves 4+ copies in the
+    # shingle expression (CollapseProject keeps multiply-referenced
+    # non-trivial aliases separate; measured 1.7x on this stage)
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              tokens_col(text_col).alias("toks"))
     arr = F.when(
-        F.size(toks) >= k,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - k),
-                    lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
-    ).otherwise(F.array(F.array_join(toks, " ")))
-    return df.select(F.col(id_col).alias("doc_id"),
-                     F.array_distinct(arr).alias("sh"))
+        F.size("toks") >= k,
+        F.transform(F.sequence(F.lit(0), F.size("toks") - k),
+                    lambda i: F.array_join(F.slice("toks", i + 1, k), " "))
+    ).otherwise(F.array(F.array_join("toks", " ")))
+    return toks.select("doc_id", F.array_distinct(arr).alias("sh"))
 
 
 def shingles_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
@@ -108,33 +111,27 @@ def shingles_df(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         "doc_id", F.explode("sh").alias("shingle"))
 
 
-def _minhash_cols(n_hashes: int) -> list:
-    """h_i = array_min over the doc's shingle array of
-    md5(i || '|' || shingle) — per-row expressions, no aggregation.
-    Lexicographic array_min over hex strings == the old groupBy
-    min() over the exploded frame."""
-    def mk(i: int):
-        return F.array_min(F.transform(
-            "sh", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))).alias(f"h{i}")
-    return [mk(i) for i in range(n_hashes)]
-
-
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n_hashes: int = 8,
                        k: int = 3, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h{n-1}) — hi = min over shingles of
     md5(i || '|' || shingle) (lexicographic min of hex strings).
-    Computed per row from the shingle ARRAY (zero shuffle — the old
-    path aggregated an exploded frame). ``sh`` reuses an already-built
-    frame: either the (doc_id, sh) array form or a legacy exploded
-    (doc_id, shingle) frame."""
+    ``sh`` reuses an already-built frame: either the (doc_id, sh)
+    array form or an exploded (doc_id, shingle) frame.
+
+    The n salted md5s run in a codegen'd projection over the EXPLODED
+    shingles with a map-side-combinable min aggregate (the per-row
+    ``array_min(transform(md5(...)))`` alternative evaluates the hash
+    in the interpreted higher-order-function path — measured ~4x
+    slower for the same 8 x |shingles| digests); the exchange carries
+    only 8 hex strings per doc."""
     if sh is None:
         sh = shingle_arrays(df, id_col, text_col, k)
-    elif "sh" not in sh.columns:
-        aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
-                .alias(f"h{i}") for i in range(n_hashes)]
-        return sh.groupBy("doc_id").agg(*aggs)
-    return sh.select("doc_id", *_minhash_cols(n_hashes))
+    if "sh" in sh.columns:
+        sh = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+            .alias(f"h{i}") for i in range(n_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_bands(sig: DataFrame, n_hashes: int = 8, bands: int = 4) -> DataFrame:

@@ -167,7 +167,8 @@ def near_duplicates_cosine(df: DataFrame, threshold: float = 0.3,
                 "emb": list(v),
                 "sig": _sigs_of(v, planes)})
 
-    tagged = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    from bright_spark.text.dedup import fan_out
+    tagged = fan_out(df.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         tag, "vec_id BIGINT, emb ARRAY<DOUBLE>, sig BIGINT")
     thr = float(threshold)
 
@@ -285,7 +286,8 @@ def build_ann_index(df: DataFrame, index_dir: str, dim: int,
             out["sig"] = _sigs_of(_stack_f64(pdf[vec_col]), planes)
             yield out
 
-    out = df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    from bright_spark.text.dedup import fan_out
+    out = fan_out(df.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         tag, "vec_id BIGINT, embedding ARRAY<FLOAT>, sig BIGINT")
     (out.repartition("sig")
         .write.mode("overwrite").partitionBy("sig").parquet(index_dir))
