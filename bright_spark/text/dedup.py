@@ -191,7 +191,11 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     ids = (pairs.select(F.col("id_a").alias("doc_id"))
            .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
            .distinct())
-    sh = sh.join(ids, "doc_id", "left_semi")
+    # the pruned frame (candidate docs only — near-dup-sized, tiny
+    # relative to the corpus) feeds BOTH attach joins; checkpoint it so
+    # the corpus tokenize+prune runs once, not per join side
+    sh = (sh.join(ids, "doc_id", "left_semi")
+          .localCheckpoint(eager=False))
     j = (pairs
          .join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
@@ -244,7 +248,11 @@ def near_duplicates_minhash(df: DataFrame, id_col: str = "doc_id",
     derivation is per-row array math on it and Jaccard verification
     reuses it pruned to candidate docs, so the only exchanges left in
     the whole operator are the band-bucket join and the pair joins."""
-    sh = shingle_arrays(df, id_col, text_col, k).localCheckpoint(eager=False)
+    # the shingle-array frame is deliberately NOT checkpointed: it is
+    # corpus-sized and consumed exactly twice (signature aggregate,
+    # pruned Jaccard verify) — recomputing the narrow tokenize map
+    # twice is cheaper than pinning ~corpus bytes in storage memory
+    sh = shingle_arrays(df, id_col, text_col, k)
     # the signature frame (8 hex strings per doc, tiny) is consumed 2x
     # bands times through the band union + self-join; the pair frame is
     # consumed three times by the verify joins — materialize both so

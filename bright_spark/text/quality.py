@@ -146,12 +146,15 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
                               F.explode(tokens_col(text_col)).alias("term"))
     scored = (toks.join(F.broadcast(mdf), "term")
               .groupBy("doc_id", "m_lang").agg(F.count("*").alias("n")))
-    from pyspark.sql import Window
-    w = Window.partitionBy("doc_id").orderBy(F.col("n").desc(), F.col("m_lang").asc())
-    picked = (scored.withColumn("rn", F.row_number().over(w))
-              .filter(F.col("rn") == 1)
-              .select("doc_id", F.col("m_lang").alias("lang_pred"),
-                      F.col("n").alias("marker_hits")))
+    # argmax via min(struct(-n, m_lang)): identical pick to the old
+    # row_number window (n desc, m_lang asc tiebreak) but a map-side-
+    # combinable hash aggregate — no per-doc sort, one less Sort node
+    best = F.min(F.struct((-F.col("n")).alias("negn"),
+                          F.col("m_lang").alias("m_lang"),
+                          F.col("n").alias("n"))).alias("w")
+    picked = (scored.groupBy("doc_id").agg(best)
+              .select("doc_id", F.col("w.m_lang").alias("lang_pred"),
+                      F.col("w.n").alias("marker_hits")))
     all_ids = df.select(F.col(id_col).alias("doc_id"))
     return (all_ids.join(picked, "doc_id", "left")
             .select("doc_id",
@@ -173,28 +176,28 @@ def lm_perplexity(df: DataFrame, id_col: str = "doc_id",
     add-k-smoothed corpus unigram distribution
     p(t) = (cf(t) + k) / (total + k*|V|); perplexity = exp(H).
 
-    100 TB shape: one token explode -> (doc, term) tf -> term-grouped
-    vocab (map-side combinable); the scoring join tf JOIN vocab ON
-    term lets AQE broadcast the vocab when it fits and fall back to a
-    term-keyed shuffle join when it does not (a 10^12-doc code corpus
-    can exceed broadcast size); the vocab frame is localCheckpointed
-    so the totals aggregate and the scoring join share ONE
-    materialization; the only collect is two scalars (total, |V|)."""
+    100 TB shape: one token explode -> term-grouped vocab (map-side
+    combinable — cf is just the occurrence count, so no intermediate
+    (doc, term) tf shuffle exists at all); scoring joins the exploded
+    tokens against the vocab on term (AQE broadcasts a small model,
+    shuffles a 10^12-doc code corpus's) and aggregates per doc:
+    Σ_occurrences ln p == Σ_distinct-terms tf·ln p, so the result is
+    the same quantity with one full shuffle fewer. The vocab frame is
+    localCheckpointed so the totals aggregate and the scoring join
+    share ONE materialization; the only collect is two scalars."""
     toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
                               F.explode(tokens_col(text_col)).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    vocab = (tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    vocab = (toks.groupBy("term").agg(F.count("*").alias("cf"))
              .localCheckpoint(eager=False))
     tot = vocab.agg(F.sum("cf").alias("total"),
                     F.count("*").alias("vsize")).collect()[0]
     total, vsize = int(tot["total"]), int(tot["vsize"])
     logp = F.log((F.col("cf") + F.lit(float(k_smooth)))
                  / F.lit(float(total) + float(k_smooth) * vsize))
-    per_doc = (tf.join(vocab, "term")
+    per_doc = (toks.join(vocab, "term")
                .groupBy("doc_id")
-               .agg((-F.sum(F.col("tf") * logp) / F.sum("tf"))
-                    .alias("cross_entropy"),
-                    F.sum("tf").alias("n_tokens")))
+               .agg((-F.sum(logp) / F.count("*")).alias("cross_entropy"),
+                    F.count("*").alias("n_tokens")))
     return per_doc.select(
         "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("cross_entropy").alias("cross_entropy"),
