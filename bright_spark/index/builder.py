@@ -664,6 +664,14 @@ class IndexBuilder:
                 [self.lang_col] if self.lang_col else [])
             scan = self.spark.read.parquet(
                 *pending.docs_dirs()).select(*cols)
+            # ids are already assigned on this path, so the tokenize
+            # kernel is partition-assignment-free — floor its
+            # parallelism: the freshly written docs table is many small
+            # files that open-cost packing can collapse into one or two
+            # scan splits (guide §6), single-threading the heaviest
+            # build stage; no-op when the scan is already wide
+            from bright_spark.util import fan_out
+            scan = fan_out(scan, self.n_build_partitions)
             id_offsets = None
         else:
             cols = list(dict.fromkeys(

@@ -30,23 +30,7 @@ def tokens_col(text_col: str = "text"):
     return F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
 
 
-def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Parallelism floor for per-row-heavy operators: round-robin
-    repartition ONLY when the input has fewer partitions than the
-    session's default parallelism. A small corpus arriving as one
-    unsplittable file (single parquet row group caps scan tasks at 1 —
-    guide §2.5 'input skew') would otherwise run every narrow
-    tokenize/hash stage on one core; at real scale inputs already
-    exceed the floor and this adds NO shuffle. Results are unaffected:
-    downstream aggregations are partition-order-insensitive and the
-    round-robin assignment is deterministic (sort-before-repartition)."""
-    sc = df.sparkSession.sparkContext
-    target = target or sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    return df.repartition(target) if n < target else df
+from bright_spark.util import fan_out  # noqa: F401  (re-export; used below)
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id",

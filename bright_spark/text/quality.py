@@ -99,7 +99,7 @@ def repetition_profile(df: DataFrame, id_col: str = "doc_id",
         F.transform(F.sequence(F.lit(0), F.size(toks) - k),
                     lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
     ).otherwise(F.array(F.array_join(toks, " ")))
-    out = fan_out(df).select(F.col(id_col).alias("doc_id"), grams.alias("g"))
+    out = df.select(F.col(id_col).alias("doc_id"), grams.alias("g"))
     total = F.size("g").cast("bigint")
     distinct = F.size(F.array_distinct("g")).cast("bigint")
     return out.select(
