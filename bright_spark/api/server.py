@@ -112,22 +112,37 @@ def _config_json(cfg: IndexConfig) -> dict:
             "excludeAttributes": list(cfg.exclude_attributes)}
 
 
+_KNOWN_TOP = {"indexes", "health", "metrics"}
+_KNOWN_SUB = {"documents", "searches", "ingresses"}
+
+
 def _metric_route(parts: list[str]) -> str:
     """Fiber-style route pattern for the metrics label — ids collapse
-    to :id/:docid/:iid so label cardinality is bounded by the route
-    table, never by the data."""
+    to :id/:docid/:iid, and any segment outside the route table
+    collapses to a constant, so label cardinality is bounded by the
+    route table even for unauthenticated requests to arbitrary paths
+    (which are still counted, as 401/404)."""
     if not parts:
         return "/"
+    if parts[0] not in _KNOWN_TOP:
+        return "/<unmatched>"
     if parts[0] != "indexes":
         return "/" + parts[0]
     out = ["indexes"]
     if len(parts) >= 2:
         out.append(":id")
     if len(parts) >= 3:
-        out.append(parts[2])
+        out.append(parts[2] if parts[2] in _KNOWN_SUB else "<unmatched>")
     if len(parts) >= 4:
         out.append(":iid" if parts[2] == "ingresses" else ":docid")
     return "/" + "/".join(out)
+
+
+def _label_escape(v: str) -> str:
+    """Prometheus exposition label-value escaping (backslash, quote,
+    newline) — belt and braces on top of the route whitelisting."""
+    return (v.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n"))
 
 
 def make_handler(store: IndexStore, ingress_manager=None,
@@ -203,9 +218,11 @@ def make_handler(store: IndexStore, ingress_manager=None,
                 "# TYPE bright_spark_http_requests_total counter",
             ]
             for (method, route, status), n in snap:
+                m, r, s = (_label_escape(str(x))
+                           for x in (method, route, status))
                 lines.append(
-                    f'bright_spark_http_requests_total{{method="{method}"'
-                    f',route="{route}",status="{status}"}} {n}')
+                    f'bright_spark_http_requests_total{{method="{m}"'
+                    f',route="{r}",status="{s}"}} {n}')
             body = ("\n".join(lines) + "\n").encode()
             self.send_response(200)
             self.send_header("Content-Type",
@@ -222,7 +239,11 @@ def make_handler(store: IndexStore, ingress_manager=None,
                 # scraping and health checks need no credentials)
                 if method == "GET" and parts == ["metrics"]:
                     return self._metrics(parts, params)
-                if (master_key and parts != ["health"]
+                # only GET /health is registered ahead of auth in the
+                # reference — POST/PUT/DELETE to /health must 401, not
+                # answer an unauthenticated 404
+                if (master_key
+                        and not (method == "GET" and parts == ["health"])
                         and not self._authorize()):
                     return
                 handler = self._find(method, parts)

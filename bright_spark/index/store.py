@@ -71,6 +71,13 @@ class IndexStore:
         self._reg_lock = threading.RLock()
         self._index_locks: dict[str, threading.RLock] = {}
         self._load_configs()
+        # sweep tombstones leaked by a crash between delete_index's
+        # rename and its out-of-lock rmtree: '<id>.deleted.<pid>...'
+        # dirs are unreachable by construction (boot reads only
+        # configs.json), so they are safe to remove at any boot
+        import glob as _glob
+        for stale in _glob.glob(os.path.join(data_dir, "*.deleted.*")):
+            shutil.rmtree(stale, ignore_errors=True)
 
     def _index_lock(self, idx_id: str) -> threading.RLock:
         # RLock: add_document_rows delegates to add_documents for the

@@ -219,7 +219,12 @@ def auto_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
             decoded = _pil_decode(bytes(payload))
             if decoded is not None:
                 return decoded
-            raise
+            # no PIL in this environment: an unsupported-but-valid PNG
+            # variant (palette, 16-bit, interlaced — all common in web
+            # corpora) must not kill the whole featurization job; fall
+            # back to the deterministic fake like other undecodable
+            # formats do
+            return fake_decode_image(payload, width, height)
     decoded = _pil_decode(bytes(payload))
     if decoded is not None:
         return decoded
