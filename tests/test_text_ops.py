@@ -731,3 +731,35 @@ def test_dedup_paragraphs_fuzz_vs_reference(spark):
             assert got[d]["text"] == want[d][0], (trial, d, texts[d])
             assert got[d]["n_paragraphs"] == want[d][1]
             assert got[d]["n_removed"] == want[d][2]
+
+
+def test_shingle_arrays_match_exploded_distinct(spark):
+    """The per-row array_distinct shingle build must yield exactly the
+    set the old corpus-wide explode+distinct produced — including docs
+    with repeated shingles and docs shorter than k."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bright_spark.text.dedup import shingles_df, tokens_col
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b c a b c a b c",      # repeated shingles
+                 "x y",                     # shorter than k -> whole doc
+                 "one two three four",
+                 "a b c d"]}))
+    got = {(r["doc_id"], r["shingle"]) for r in shingles_df(docs).collect()}
+    toks = docs.select("doc_id", tokens_col("text").alias("toks"))
+    old = toks.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("toks") >= 3,
+            F.transform(F.sequence(F.lit(0), F.size("toks") - 3),
+                        lambda i: F.array_join(F.slice("toks", i + 1, 3), " "))
+        ).otherwise(F.array(F.array_join("toks", " ")))).alias("shingle")
+    ).distinct()
+    expect = {(r["doc_id"], r["shingle"]) for r in old.collect()}
+    assert got == expect
+    # per-doc arrays are duplicate-free (set semantics)
+    from bright_spark.text.dedup import shingle_arrays
+    for r in shingle_arrays(docs).collect():
+        assert len(r["sh"]) == len(set(r["sh"]))

@@ -283,3 +283,25 @@ def test_semantic_dup_clusters(spark):
     assert got[0] == got[1] == got[2] == 0
     assert got[10] == got[11] == 10
     assert got[20] == 20 and got[21] == 21
+
+
+def test_fold_dot_is_exact_left_fold():
+    """The numpy kernels' dot must be bit-identical to the Catalyst
+    aggregate(zip_with(...), 0.0, acc+x) left fold — np.add.accumulate
+    applies + sequentially, and the leading 0.0 column reproduces the
+    fold's 0.0 + x0 start. Pin against a pure-Python reference fold."""
+    import numpy as np
+
+    from bright_spark.vectors.similarity import _fold_dot
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((50, 64))
+    b = rng.standard_normal((50, 64))
+    got = _fold_dot(a, b)
+    for i in range(a.shape[0]):
+        acc = 0.0
+        for x, y in zip(a[i], b[i]):
+            acc = acc + float(x) * float(y)
+        assert got[i] == acc  # bitwise, not approx
+    # -0.0 edge: an all-(-0.0) product row folds to +0.0 like Catalyst
+    z = _fold_dot(np.array([[0.0, 0.0]]), np.array([[-1.0, -1.0]]))
+    assert z[0] == 0.0 and np.signbit(z[0]) == np.signbit(0.0 + -0.0)
