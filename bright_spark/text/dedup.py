@@ -423,13 +423,16 @@ def near_duplicates_simhash(df: DataFrame, max_hamming: int = 3,
     b2 = bdf.select(F.col("doc_id").alias("id_b"),
                     F.col("simhash_lo").alias("lo_b"),
                     F.col("simhash_hi").alias("hi_b"), "band", "key")
-    pairs = (a.join(b2, ["band", "key"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b", "lo_a", "hi_a", "lo_b", "hi_b")
-             .distinct())
     ham = F.expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)")
-    return (pairs.select("id_a", "id_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
+    # hamming is a pure function of the pair, so filter BEFORE the
+    # distinct: the dedup exchange then carries only true near-dups
+    # (3 narrow columns), not every random band collision with both
+    # full signatures — same rows out, far fewer/narrower rows shuffled
+    return (a.join(b2, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def _simhash_sums(halves: list[str]) -> list:
