@@ -65,7 +65,12 @@ def main() -> None:
                 n=3, min_ratio=0.2),
             "text_lm_perplexity": lambda: lm_perplexity(docs),
             "text_lm_bigram": lambda: lm_perplexity_bigram(docs),
-            "text_vocabulary": lambda: vocabulary(docs),
+            # _materialize=False where supported: the checkpoint would
+            # otherwise truncate the visible plan to a Scan ExistingRDD
+            "text_vocabulary": lambda: vocabulary(
+                docs, **({"_materialize": False}
+                         if "_materialize" in vocabulary.__code__.co_varnames
+                         else {})),
             "text_lang_id": lambda: language_id(docs),
             "dedup_paragraphs": lambda: dedup_paragraphs(docs, sep=" "),
         }
