@@ -759,14 +759,33 @@ class IndexBuilder:
             "version": 4,  # v4: partitioned docs/term_stats CoW
         }
 
+    # below this many bytes of term_stats files, sum the per-field cf
+    # totals driver-side with pyarrow instead of scheduling a Spark
+    # job — the job itself costs more than reading a few MB; bigger
+    # selections (a web-scale vocabulary) stay distributed
+    _DRIVER_CF_BYTES = 64 * 1024 * 1024
+
     def _field_cf_totals(self, dirs: list[str]) -> dict[str, int]:
         """Per-field Σ cf over a set of term_stats dirs — a column-
         pruned scan of the tiny aggregate. Explicit schema: an EMPTY
         selection (delete-everything, emptied buckets) has zero part
         files and inference would fail on the bare _SUCCESS marker."""
+        import glob
         from bright_spark.index.catalog import TERM_STATS_SCHEMA
         if not dirs:
             return {}
+        files = [f for d in dirs
+                 for f in glob.glob(os.path.join(d, "*.parquet"))]
+        if (files and sum(os.path.getsize(f) for f in files)
+                <= self._DRIVER_CF_BYTES):
+            import pyarrow.parquet as pq
+            totals: dict[str, int] = {}
+            for f in files:
+                t = pq.read_table(f, columns=["field", "cf"])
+                for fld, cf in zip(t.column("field").to_pylist(),
+                                   t.column("cf").to_pylist()):
+                    totals[fld] = totals.get(fld, 0) + int(cf or 0)
+            return totals
         frows = (self.spark.read.schema(TERM_STATS_SCHEMA).parquet(*dirs)
                  .groupBy("field").agg(F.sum("cf").alias("t")).collect())
         return {r["field"]: int(r["t"] or 0) for r in frows}
@@ -799,9 +818,17 @@ class IndexBuilder:
             pending.part_dirs("term_stats"))
         n_docs = getattr(self, "_n_docs", None)
         if n_docs is None:
+            # parquet FOOTER row counts of the freshly written docs
+            # dirs — exact, O(files) metadata reads, no Spark job (the
+            # id_col path never runs the offsets count pass, so this
+            # was a full scan+count job per build)
+            import glob
+            import pyarrow.parquet as pq
             ddirs = pending.docs_dirs()
-            n_docs = (int(self.spark.read.parquet(*ddirs).count())
-                      if ddirs else 0)
+            n_docs = sum(
+                pq.ParquetFile(f).metadata.num_rows
+                for d in ddirs
+                for f in glob.glob(os.path.join(d, "*.parquet")))
             self._n_docs = n_docs
         meta = self._make_meta(n_docs, field_tokens,
                                self._docs_ddl(pending))
