@@ -9,8 +9,53 @@ scale), UTC timezone pinned so DuckDB-oracle comparisons are stable.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+# app ids already warmed this process — prewarm is once per session, not
+# once per get_spark() call
+_PREWARMED: set[str] = set()
+
+
+def _prewarm(spark: SparkSession) -> None:
+    """One-time session warm-up on synthetic rows (``spark.range``):
+    spawn one Python worker per core through the Arrow path, pull the
+    shuffle machinery (serializer + zstd codec JNI load) through one
+    tiny exchange, and initialize the parquet committer/output codec
+    with a one-row write to a temp dir that is deleted immediately.
+
+    This moves PROCESS-startup cost (worker spawn, native codec load,
+    committer init) out of whatever query happens to run first — the
+    same reason a latency-sensitive service warms its pools at boot.
+    It reads no user data and caches no results; disable with
+    BRIGHT_SPARK_PREWARM=0."""
+    try:
+        sc = spark.sparkContext
+        n = max(2, sc.defaultParallelism)
+        df = spark.range(n, numPartitions=n)
+
+        def _identity(batches):
+            for b in batches:
+                yield b
+
+        sc.setJobDescription("session prewarm")
+        df.mapInArrow(_identity, "id long").write.format("noop") \
+            .mode("overwrite").save()
+        df.repartition(2).write.format("noop").mode("overwrite").save()
+        d = tempfile.mkdtemp(prefix="bright_spark_prewarm_")
+        try:
+            spark.range(1).coalesce(1).write.mode("overwrite").parquet(d)
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    except Exception:
+        pass
+    finally:
+        try:
+            spark.sparkContext.setJobDescription(None)
+        except Exception:
+            pass
 
 
 def get_spark(
@@ -71,4 +116,9 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    app_id = spark.sparkContext.applicationId
+    if (os.environ.get("BRIGHT_SPARK_PREWARM", "1") != "0"
+            and app_id not in _PREWARMED):
+        _PREWARMED.add(app_id)
+        _prewarm(spark)
     return spark

@@ -109,19 +109,49 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     ``sh`` reuses an already-built frame: either the (doc_id, sh)
     array form or an exploded (doc_id, shingle) frame.
 
-    The n salted md5s run in a codegen'd projection over the EXPLODED
-    shingles with a map-side-combinable min aggregate (the per-row
-    ``array_min(transform(md5(...)))`` alternative evaluates the hash
-    in the interpreted higher-order-function path — measured ~4x
-    slower for the same 8 x |shingles| digests); the exchange carries
-    only 8 hex strings per doc."""
+    The array form runs an Arrow ``mapInPandas`` kernel: per doc, each
+    shingle is UTF-8 encoded once and hashlib md5 (C speed, one digest
+    object per call — no per-call MessageDigest lookup) produces the n
+    salted digests with running mins. Identical bytes to the Catalyst
+    ``min(md5(concat('i|', shingle)))`` aggregate (both are lowercase
+    hex over UTF-8; parity asserted in tests) at ~3x less task time —
+    AND the plan loses its only exchange: signatures come out of the
+    map, so nothing shuffles at all. Docs whose shingle array is empty
+    produce no row, matching the explode+groupBy semantics. The
+    exploded legacy form keeps the codegen'd min-aggregate path (the
+    exchange there carries 8 hex strings per doc)."""
     if sh is None:
         sh = shingle_arrays(df, id_col, text_col, k)
-    if "sh" in sh.columns:
-        sh = sh.select("doc_id", F.explode("sh").alias("shingle"))
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
-            .alias(f"h{i}") for i in range(n_hashes)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    if "sh" not in sh.columns:
+        aggs = [F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+                .alias(f"h{i}") for i in range(n_hashes)]
+        return sh.groupBy("doc_id").agg(*aggs)
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    prefixes = [f"{i}|".encode() for i in range(n_hashes)]
+
+    def sig_kernel(batches):
+        from hashlib import md5
+        for pdf in batches:
+            ids = []
+            cols: list[list] = [[] for _ in range(n_hashes)]
+            for did, arr in zip(pdf["doc_id"].values, pdf["sh"].values):
+                if arr is None or len(arr) == 0:
+                    continue
+                enc = [s.encode() for s in arr]
+                ids.append(did)
+                for i, p in enumerate(prefixes):
+                    cols[i].append(min(md5(p + b).hexdigest() for b in enc))
+            yield pd.DataFrame(
+                {"doc_id": ids,
+                 **{f"h{i}": cols[i] for i in range(n_hashes)}})
+
+    out_schema = StructType(
+        [sh.schema["doc_id"]]
+        + [StructField(f"h{i}", StringType()) for i in range(n_hashes)])
+    return sh.select("doc_id", "sh").mapInPandas(sig_kernel, out_schema)
 
 
 def lsh_bands(sig: DataFrame, n_hashes: int = 8, bands: int = 4) -> DataFrame:
@@ -191,6 +221,15 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     # relative to the corpus) feeds BOTH attach joins; checkpoint it so
     # the prune + tokenize runs once, not per join side
     sh = sh.localCheckpoint(eager=False)
+    # both attach joins broadcast the shingle side, so the verify
+    # inherits the PAIRS frame's partitioning — and a distinct over
+    # 16-byte id pairs AQE-coalesces to one partition long before the
+    # per-pair array_intersect/array_union cost (the operator's
+    # heaviest per-row compute) stops fitting one core. Spread the
+    # pairs first; at scale the pair set is already wide and fan_out
+    # adds no shuffle (event-log evidence: a 47,750-pair verify ran as
+    # ONE 7.5 s task).
+    pairs = fan_out(pairs)
     j = (pairs
          .join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
          .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"))
@@ -417,6 +456,15 @@ def near_duplicates_simhash(df: DataFrame, max_hamming: int = 3,
     bdf = bands[0]
     for p in bands[1:]:
         bdf = bdf.unionByName(p)
+    # the self-join's shuffle carries ~30-byte rows, so AQE's byte-
+    # target coalescing collapses it to a handful of partitions while
+    # the per-partition JOIN work (bucket fan-out + bit_count verify)
+    # stays compute-heavy — event log: a 200k-row band join ran as 3
+    # tasks for 4.3 s. Pin an explicit partition count (derived from
+    # the session, not a constant); both join sides share the one
+    # exchange (ReusedExchange) exactly as before.
+    n_parts = bdf.sparkSession.sparkContext.defaultParallelism
+    bdf = bdf.repartition(n_parts, "band", "key")
     a = bdf.select(F.col("doc_id").alias("id_a"),
                    F.col("simhash_lo").alias("lo_a"),
                    F.col("simhash_hi").alias("hi_a"), "band", "key")

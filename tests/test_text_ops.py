@@ -763,3 +763,32 @@ def test_shingle_arrays_match_exploded_distinct(spark):
     from bright_spark.text.dedup import shingle_arrays
     for r in shingle_arrays(docs).collect():
         assert len(r["sh"]) == len(set(r["sh"]))
+
+
+def test_minhash_signature_kernel_matches_jvm_aggregate(spark):
+    """The Arrow hashlib signature kernel must be byte-identical to the
+    definitional Catalyst min(md5(concat('i|', shingle))) aggregate —
+    including non-ASCII shingles (UTF-8 bytes) and a doc whose shingle
+    array is empty (no output row, matching explode semantics)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bright_spark.text.dedup import minhash_signatures, shingle_arrays
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["der schnelle fuchs springt über den grünen Zaun",
+                 "a b c a b c a b c",
+                 "one two three four five six",
+                 ""]}))
+    sh = shingle_arrays(docs)
+    # force a row with an EMPTY shingle array through the kernel (the
+    # natural build never makes one: short docs get a whole-doc
+    # shingle) — the kernel must drop it like explode would
+    sh_with_empty = sh.withColumn(
+        "sh", F.when(F.col("doc_id") == 3,
+                     F.array().cast("array<string>")).otherwise(F.col("sh")))
+    got = sorted(minhash_signatures(docs, sh=sh_with_empty).collect())
+    exploded = sh_with_empty.select("doc_id", F.explode("sh").alias("shingle"))
+    expect = sorted(minhash_signatures(docs, sh=exploded).collect())
+    assert got == expect
+    assert {r["doc_id"] for r in got} == {0, 1, 2}
