@@ -508,22 +508,77 @@ def _simhash_value(half: str):
     return out
 
 
-def simhash64(df: DataFrame, id_col: str = "doc_id",
-              text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc as two 32-bit halves (doc_id, simhash_hi,
-    simhash_lo): half-h bit j set iff sum over distinct terms of
-    tf * (+1 if bit j of the half's 32 md5 bits else -1) >= 0, with the
-    low half from md5 hex chars 1-8 and the high half from chars 9-16.
+def _simhash_kernel_frame(df: DataFrame, id_col: str, text_col: str,
+                          out_cols: list[str]) -> DataFrame:
+    """Arrow ``mapInPandas`` SimHash: per task a dict caches each
+    term's ±1 bit vector (64 int64 lanes from md5 hex chars 1-8 = low
+    half, 9-16 = high half), so md5 runs once per DISTINCT term per
+    task instead of once per occurrence (Zipf corpora repeat terms
+    heavily — the Catalyst path re-hashed every occurrence); per doc
+    the vectors accumulate tf-weighted in exact integer arithmetic.
+    Bit j of a half is set iff its sum >= 0 — identical to the
+    ``_simhash_sums``/``_simhash_value`` aggregate (parity pinned in
+    tests). Signatures come out of the map: the token explode, the
+    64-sum aggregate and its exchange all disappear. Docs whose token
+    array is empty produce no row, matching explode semantics.
+    ``out_cols``: ["simhash_lo", "simhash_hi"] or ["simhash"] (low
+    half only)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
 
-    Two int64-safe halves (not one 64-bit value) keep every shift/xor
-    inside signed-int64 arithmetic, so the identical computation runs
-    on any ANSI SQL engine (oracle parity) — while the full 64 bits
-    support 4x16-bit LSH bands at web scale.
+    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
+                              tokens_col(text_col).alias("toks"))
+    n_out = len(out_cols)
+    weights = 1 << np.arange(32, dtype=np.int64)
 
-    Plan shape: token explode -> md5 halves -> ONE hash aggregate on
-    doc_id carrying 64 integer sums (map-side combined, so the
-    exchange moves one 64-long row per doc per map task). The old plan
-    exploded 32 bit-rows per (doc, term) and paid three shuffles."""
+    def kernel(batches):
+        from collections import Counter
+        from hashlib import md5
+        vecs: dict[str, "np.ndarray"] = {}
+
+        def vec(term: str) -> "np.ndarray":
+            v = vecs.get(term)
+            if v is None:
+                if len(vecs) > (1 << 20):   # bound per-task cache
+                    vecs.clear()
+                hx = md5(term.encode()).hexdigest()
+                h_lo, h_hi = int(hx[0:8], 16), int(hx[8:16], 16)
+                bits = np.concatenate([
+                    (h_lo >> np.arange(32, dtype=np.int64)) & 1,
+                    (h_hi >> np.arange(32, dtype=np.int64)) & 1])
+                v = (2 * bits - 1).astype(np.int64)
+                vecs[term] = v
+            return v
+
+        for pdf in batches:
+            ids, los, his = [], [], []
+            for did, arr in zip(pdf["doc_id"].values, pdf["toks"].values):
+                if arr is None or len(arr) == 0:
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                for term, cnt in Counter(arr).items():
+                    acc += vec(term) * cnt
+                ids.append(did)
+                los.append(int(((acc[:32] >= 0) * weights).sum()))
+                his.append(int(((acc[32:] >= 0) * weights).sum()))
+            out = {"doc_id": ids, out_cols[0]: los}
+            if n_out == 2:
+                out[out_cols[1]] = his
+            yield pd.DataFrame(out)
+
+    schema = StructType([toks.schema["doc_id"]]
+                        + [StructField(c, LongType()) for c in out_cols])
+    return toks.mapInPandas(kernel, schema)
+
+
+def _simhash64_agg(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Definitional Catalyst aggregate form of :func:`simhash64` —
+    token explode -> md5 halves -> ONE hash aggregate on doc_id
+    carrying 64 integer sums. Kept as the parity reference for the
+    Arrow kernel (and for ANSI-SQL engines: the identical computation
+    runs on DuckDB for the oracle)."""
     toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
                               F.explode(tokens_col(text_col)).alias("term"))
     h = toks.select(
@@ -536,20 +591,33 @@ def simhash64(df: DataFrame, id_col: str = "doc_id",
                        _simhash_value("hi").alias("simhash_hi"))
 
 
+def simhash64(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc as two 32-bit halves (doc_id, simhash_hi,
+    simhash_lo): half-h bit j set iff sum over distinct terms of
+    tf * (+1 if bit j of the half's 32 md5 bits else -1) >= 0, with the
+    low half from md5 hex chars 1-8 and the high half from chars 9-16.
+
+    Two int64-safe halves (not one 64-bit value) keep every shift/xor
+    inside signed-int64 arithmetic, so the identical computation runs
+    on any ANSI SQL engine (oracle parity) — while the full 64 bits
+    support 4x16-bit LSH bands at web scale.
+
+    Computed by the Arrow kernel (:func:`_simhash_kernel_frame`) —
+    byte-identical to the :func:`_simhash64_agg` aggregate, with no
+    explode and no exchange."""
+    return _simhash_kernel_frame(df, id_col, text_col,
+                                 ["simhash_lo", "simhash_hi"])
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """32-bit SimHash per doc: bit j set iff
     sum over distinct terms of tf * (+1 if bit j of
     int(md5(term)[:8], 16) else -1) >= 0 (the low half of
     :func:`simhash64`; kept for compact signature use cases). Same
-    single-aggregate plan shape as :func:`simhash64`."""
-    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
-                              F.explode(tokens_col(text_col)).alias("term"))
-    h = toks.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("bigint").alias("h_lo"))
-    sums = h.groupBy("doc_id").agg(*_simhash_sums(["lo"]))
-    return sums.select("doc_id", _simhash_value("lo").alias("simhash"))
+    Arrow-kernel derivation as :func:`simhash64`."""
+    return _simhash_kernel_frame(df, id_col, text_col, ["simhash"])
 
 
 def dedup_paragraphs(df: DataFrame, id_col: str = "doc_id",

@@ -792,3 +792,25 @@ def test_minhash_signature_kernel_matches_jvm_aggregate(spark):
     expect = sorted(minhash_signatures(docs, sh=exploded).collect())
     assert got == expect
     assert {r["doc_id"] for r in got} == {0, 1, 2}
+
+
+def test_simhash_kernel_matches_jvm_aggregate(spark):
+    """The Arrow SimHash kernel (per-task md5 cache + integer bit
+    sums) must equal the definitional 64-sum Catalyst aggregate —
+    including repeated terms (tf weighting), unicode terms, and an
+    empty-string token (empty text still tokenizes to [''])."""
+    import pandas as pd
+
+    from bright_spark.text.dedup import _simhash64_agg, simhash, simhash64
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["der schnelle fuchs springt über den grünen Zaun",
+                 "a b c a b c a b c a b c a b c",
+                 "one two three four five six seven eight",
+                 ""]}))
+    got = sorted(simhash64(docs).collect())
+    expect = sorted(_simhash64_agg(docs).collect())
+    assert got == expect
+    lo = {r["doc_id"]: r["simhash_lo"] for r in got}
+    got32 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert got32 == lo
