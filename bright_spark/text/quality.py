@@ -239,14 +239,26 @@ def lm_perplexity_bigram(df: DataFrame, id_col: str = "doc_id",
         "doc_id", F.explode(F.arrays_zip("t", "p")).alias("z")
     ).select("doc_id", F.col("z.t").alias("term"),
              F.col("z.p").alias("prev"))
-    uni = (seq.groupBy("term").agg(F.count("*").alias("cf"))
+    bi = (seq.filter(F.col("prev").isNotNull())
+          .groupBy("prev", "term").agg(F.count("*").alias("bcf"))
+          .localCheckpoint(eager=False))
+    # unigram counts derive EXACTLY from the bigram model plus the
+    # per-doc first tokens: cf(t) = Σ_prev bcf(prev, t)  (occurrences
+    # at positions >= 2)  +  #docs whose first token is t. Integer
+    # arithmetic, identical cf/total/vsize — and it drops one full
+    # corpus tokenize+explode pass (seq was consumed three times: uni,
+    # bi, scoring; now the uni model aggregates the already-tiny bi
+    # frame and a one-row-per-doc first-token frame instead).
+    firsts = (toks.select(F.element_at("t", 1).alias("term"))
+              .filter(F.col("term").isNotNull())
+              .groupBy("term").agg(F.count("*").alias("cf")))
+    uni = (bi.groupBy("term").agg(F.sum("bcf").alias("cf"))
+           .unionByName(firsts)
+           .groupBy("term").agg(F.sum("cf").cast("bigint").alias("cf"))
            .localCheckpoint(eager=False))
     tot = uni.agg(F.sum("cf").alias("total"),
                   F.count("*").alias("vsize")).collect()[0]
     total, vsize = int(tot["total"]), int(tot["vsize"])
-    bi = (seq.filter(F.col("prev").isNotNull())
-          .groupBy("prev", "term").agg(F.count("*").alias("bcf"))
-          .localCheckpoint(eager=False))
     ctx = bi.groupBy("prev").agg(F.sum("bcf").alias("ccf"))
     scored = (seq.join(uni, "term")
               .join(bi, ["prev", "term"], "left")

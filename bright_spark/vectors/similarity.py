@@ -197,7 +197,14 @@ def near_duplicates_cosine(df: DataFrame, threshold: float = 0.3,
                              "id_b": np.concatenate(out_b),
                              "cosine": np.concatenate(out_c)})
 
-    return tagged.groupBy("sig").applyInPandas(
+    # pin the bucket exchange's partition count: the shuffle carries
+    # only (id, emb, sig) rows, so AQE's byte-target coalescing merges
+    # it down (event log: 14 tasks for a 2.6 s pair-scoring stage)
+    # while the per-bucket O(bucket^2) PYTHON compute is what needs
+    # the cores. groupBy on the same key reuses the pinned
+    # partitioning — no second exchange.
+    n_parts = tagged.sparkSession.sparkContext.defaultParallelism
+    return tagged.repartition(n_parts, "sig").groupBy("sig").applyInPandas(
         bucket_pairs, "id_a BIGINT, id_b BIGINT, cosine DOUBLE")
 
 
