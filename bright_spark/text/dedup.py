@@ -369,14 +369,21 @@ def duplicate_clusters(df: DataFrame, pairs: DataFrame,
     import pandas as pd
 
     nodes = df.select(F.col(id_col).alias("id")).distinct()
-    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-             .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                       F.col("id_a").alias("dst")))
+    # both edge directions from ONE pass over the pair dataflow: the
+    # old src/dst union referenced `pairs` twice, and everything above
+    # the pair frame's last exchange (LSH banding + the verify kernel —
+    # the expensive part of the whole operator) executed once per
+    # branch when the checkpoint below materialized
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"),
+                         F.col("id_a").alias("dst")))).alias("e"))
+             .select("e.src", "e.dst")
              .distinct())
-    # the pair computation feeding `edges` (LSH/band joins + verify) is
-    # the expensive part of the whole operator — materialize it ONCE:
-    # without this every propagation round (join + convergence count)
-    # re-executes the full candidate+verify dataflow from scratch
+    # materialize ONCE: without this every propagation round (join +
+    # convergence count) re-executes the full candidate+verify
+    # dataflow from scratch
     edges = edges.localCheckpoint(eager=True)
 
     n_edges = edges.count()
