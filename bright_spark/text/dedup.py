@@ -207,8 +207,11 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     ``sh`` accepts a legacy exploded (doc_id, shingle) frame; the
     (doc_id, sh) array form is ignored in favor of the cheaper pruned
     re-derivation from ``df``."""
-    ids = (pairs.select(F.col("id_a").alias("doc_id"))
-           .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+    # one pass over the pair dataflow for both id columns (a two-branch
+    # union would execute everything above the pair frame's last
+    # exchange once per branch when `pairs` is not materialized — e.g.
+    # the ngram path's blocking join)
+    ids = (pairs.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
            .distinct())
     if sh is not None and "sh" not in sh.columns:
         sh = (sh.join(ids, "doc_id", "left_semi")
@@ -267,7 +270,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("id_a"),
                      F.col("b.doc_id").alias("id_b"))
-             .distinct())
+             .distinct()
+             # consumed by the verify's id derivation AND its attach
+             # join — materialize so the blocking join runs once
+             .localCheckpoint(eager=False))
     return (jaccard_pairs(df, pairs, id_col, text_col, k)
             .filter(F.col("jaccard") >= threshold))
 
