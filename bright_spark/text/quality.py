@@ -287,21 +287,59 @@ def vocabulary(df: DataFrame, id_col: str = "doc_id",
     asc tie-break). The standard input to tokenizer/BPE training,
     stopword derivation, and OOV analysis.
 
-    100 TB shape: one token explode -> per-doc distinct for df + plain
-    count for cf, both map-side combinable. The rank is computed
-    WITHOUT a single-partition global window (a code corpus's
-    distinct-term count reaches 10^9+ — one sort task would straggle
-    or OOM): repartitionByRange on (cf desc, term asc) + a per-
-    partition row_number + cumulative partition-count offsets (the
-    zipWithIndex shape). The ordering is total (term is unique), so
-    the result is identical to the global row_number; the only driver
-    collect is one row PER PARTITION (bounded by cluster width, not
-    data)."""
-    toks = fan_out(df).select(F.col(id_col).alias("doc_id"),
-                              F.explode(tokens_col(text_col)).alias("term"))
-    agg = (toks.groupBy("term")
-           .agg(F.count("*").alias("cf"),
-                F.countDistinct("doc_id").alias("df"))
+    100 TB shape: an Arrow kernel reduces each PARTITION of token
+    arrays to exact (term, cf_partial, df_partial) rows — every doc
+    lives in exactly one partition, so per-partition doc counts sum
+    to the exact df; ``countDistinct(doc_id)`` in contrast cannot
+    partial-aggregate and shuffled one Expand row per (term, doc)
+    pair (measured 1.16M partial rows for a 50k-doc corpus where the
+    kernel ships |V| x partitions). An oversized per-task vocabulary
+    flushes at 2M entries (doc boundaries only, so the flushed
+    partials still sum exactly). The rank is computed WITHOUT a
+    single-partition global window (a code corpus's distinct-term
+    count reaches 10^9+ — one sort task would straggle or OOM):
+    repartitionByRange on (cf desc, term asc) + a per-partition
+    row_number + cumulative partition-count offsets (the zipWithIndex
+    shape). The ordering is total (term is unique), so the result is
+    identical to the global row_number; the only driver collect is
+    one row PER PARTITION (bounded by cluster width, not data).
+
+    df counts input ROWS containing the term — identical to
+    count(distinct doc_id) under the documents contract (doc_id is
+    the table's key; parity with the definitional aggregate is pinned
+    in tests)."""
+    toks = fan_out(df).select(tokens_col(text_col).alias("toks"))
+
+    def cf_df_kernel(batches):
+        import pandas as pd
+        from collections import Counter
+        cf: dict = {}
+        dfc: dict = {}
+
+        def flush():
+            out = pd.DataFrame(
+                {"term": list(cf), "cf": list(cf.values()),
+                 "df": [dfc[t] for t in cf]})
+            cf.clear()
+            dfc.clear()
+            return out
+
+        for pdf in batches:
+            for arr in pdf["toks"].values:
+                if arr is None or len(arr) == 0:
+                    continue
+                for term, n in Counter(arr).items():
+                    cf[term] = cf.get(term, 0) + n
+                    dfc[term] = dfc.get(term, 0) + 1
+            if len(cf) > 2_000_000:
+                yield flush()
+        if cf:
+            yield flush()
+
+    partials = toks.mapInPandas(cf_df_kernel,
+                                "term string, cf long, df long")
+    agg = (partials.groupBy("term")
+           .agg(F.sum("cf").alias("cf"), F.sum("df").alias("df"))
            .filter(F.col("cf") >= min_count))
     from pyspark.sql import Window
     sc = df.sparkSession.sparkContext

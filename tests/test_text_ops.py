@@ -814,3 +814,33 @@ def test_simhash_kernel_matches_jvm_aggregate(spark):
     lo = {r["doc_id"]: r["simhash_lo"] for r in got}
     got32 = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert got32 == lo
+
+
+def test_vocabulary_kernel_matches_definitional_aggregate(spark):
+    """The per-partition cf/df kernel must equal the definitional
+    explode + count/countDistinct aggregate — including repeated terms
+    within a doc (cf counts occurrences, df counts docs once),
+    unicode, and docs spread across partitions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from bright_spark.text.dedup import fan_out, tokens_col
+    from bright_spark.text.quality import vocabulary
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": list(range(8)),
+        "text": ["a b a b a", "a über c", "c c c", "d", "a d",
+                 "b über b", "e f g", "e e f"]}))
+    got = {(r["term"], r["cf"], r["df"], r["rank"])
+           for r in vocabulary(docs).collect()}
+    toks = fan_out(docs).select("doc_id",
+                                F.explode(tokens_col("text")).alias("term"))
+    agg = (toks.groupBy("term")
+           .agg(F.count("*").alias("cf"),
+                F.countDistinct("doc_id").alias("df")))
+    from pyspark.sql import Window
+    ranked = agg.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("cf").desc(), F.col("term").asc())))
+    expect = {(r["term"], r["cf"], r["df"], r["rank"])
+              for r in ranked.collect()}
+    assert got == expect
